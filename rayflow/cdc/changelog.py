@@ -1,0 +1,202 @@
+"""Deterministic synthetic CDC change-log generator (test/bench fixture).
+
+Plays the role of the reference's ``generate`` input (``⟨upstream:
+internal/impl/pure/input_generate.go⟩``): seeded, pure-function synthesis
+of a binlog/WAL-style change stream over multi-turn conversation
+transcripts (FIXTURES.md §2).  No wall-clock, no unseeded randomness —
+Ray task retries may re-execute code, so determinism is a hard rule.
+
+On-disk layout (consumed by :mod:`rayflow.cdc.source`)::
+
+    {log_dir}/band-{b:05d}/part-{sp:04d}-lsn-{lo:012d}-{hi:012d}.parquet
+
+A *band* is a contiguous global LSN range — the replay micro-batch unit
+(the analogue of one committed Kafka offset range per partition in the
+reference).  Within a band there is one file per source partition,
+internally sorted by ``lsn``.
+
+Event stream shape:
+
+- phase 1: one ``insert`` per (conv_id, turn_idx), interleaved across
+  conversations in turn order (like concurrent conversations appending);
+- phase 2: ``update`` / ``delete`` events over Zipf-skewed conversations
+  (hot conversations — the skew the merge must defuse), in a seeded
+  shuffled order.  LSNs are globally unique and monotone; ``src_ts``
+  is derived from lsn so ties are impossible by construction.
+
+Schema evolution (FIXTURES.md "changes_v2"): events with
+``lsn >= evolve_at_lsn`` carry an added ``meta_model: string`` column and
+a widened ``turn_idx: int64``.  Bands overlapping the switch are written
+with the v2 schema (pre-switch rows have null ``meta_model``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rayflow.schema import CHANGE_SCHEMA
+
+TS_BASE_US = 1_700_000_000_000_000  # fixed epoch base (microseconds)
+
+#: v2 (evolved) change schema: turn_idx widened, meta_model added.
+CHANGE_SCHEMA_V2 = pa.schema(
+    [
+        (f.name, pa.int64() if f.name == "turn_idx" else f.type)
+        for f in CHANGE_SCHEMA
+    ]
+    + [("meta_model", pa.string())]
+)
+
+
+@dataclass(frozen=True)
+class ChangeLogSpec:
+    n_convs: int = 100
+    turns_per_conv: float = 8.0       # mean turns per conversation (>=1)
+    update_ratio: float = 0.5         # updates as a fraction of inserts
+    delete_ratio: float = 0.05        # deletes as a fraction of inserts
+    zipf_s: float = 1.5               # Zipf exponent for hot-conversation skew
+    n_source_partitions: int = 4
+    n_bands: int = 4                  # replay micro-batches
+    seed: int = 42
+    evolve_at_lsn: int | None = None  # schema-evolution switch point
+
+
+def _synth_events(spec: ChangeLogSpec) -> dict[str, np.ndarray]:
+    """Vectorized event synthesis → parallel numpy arrays, lsn-ordered."""
+    rng = np.random.default_rng(spec.seed)
+    n_convs = spec.n_convs
+
+    # turns per conversation (>=1, Poisson around the mean)
+    turns = rng.poisson(max(spec.turns_per_conv - 1.0, 0.0), n_convs) + 1
+    n_ins = int(turns.sum())
+
+    conv_i = np.repeat(np.arange(n_convs), turns)
+    # turn_idx = 0..T_i-1 per conversation, vectorized
+    offs = np.concatenate(([0], np.cumsum(turns)[:-1]))
+    turn_i = np.arange(n_ins) - np.repeat(offs, turns)
+
+    # interleave inserts across conversations in turn order
+    order = np.lexsort((conv_i, turn_i))
+    conv_ins, turn_ins = conv_i[order], turn_i[order]
+    ver_ins = np.zeros(n_ins, dtype=np.int64)
+    op_ins = np.zeros(n_ins, dtype=np.int8)  # 0=insert
+
+    # phase 2: updates + deletes over Zipf-skewed conversations
+    n_upd = int(round(spec.update_ratio * n_ins))
+    n_del = int(round(spec.delete_ratio * n_ins))
+    n_mut = n_upd + n_del
+    z = rng.zipf(spec.zipf_s, n_mut)
+    conv_mut = (z - 1) % n_convs                       # rank 0 = hottest conv
+    turn_mut = (rng.random(n_mut) * turns[conv_mut]).astype(np.int64)
+    op_mut = np.concatenate(
+        [np.ones(n_upd, dtype=np.int8), np.full(n_del, 2, dtype=np.int8)]
+    )
+    perm = rng.permutation(n_mut)
+    conv_mut, turn_mut, op_mut = conv_mut[perm], turn_mut[perm], op_mut[perm]
+
+    conv = np.concatenate([conv_ins, conv_mut])
+    turn = np.concatenate([turn_ins, turn_mut]).astype(np.int64)
+    op = np.concatenate([op_ins, op_mut])
+    n = n_ins + n_mut
+    lsn = np.arange(n, dtype=np.int64)
+    # updates carry the lsn as version so per-turn text is unique per writer
+    ver = np.concatenate([ver_ins, lsn[n_ins:]])
+    return {"conv": conv, "turn": turn, "op": op, "lsn": lsn, "ver": ver}
+
+
+_OP_NAMES = np.array(["insert", "update", "delete"])
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+
+
+def _events_to_table(ev: dict[str, np.ndarray], lo: int, hi: int,
+                     evolve_at: int | None) -> pa.Table:
+    """Materialize events with lsn in [lo, hi) as an Arrow change table."""
+    sl = slice(lo, hi)
+    conv, turn, op, lsn, ver = (
+        ev["conv"][sl], ev["turn"][sl], ev["op"][sl], ev["lsn"][sl], ev["ver"][sl]
+    )
+    n = len(lsn)
+    conv_id = np.char.add("conv", np.char.zfill(conv.astype("U8"), 8))
+    is_del = op == 2
+    role = _ROLES[np.where(turn % 2 == 0, 0, np.where(turn % 9 == 5, 3, 1))]
+    tool = np.where((turn % 7 == 3) & (turn % 2 == 1), "search", "")
+    # per-turn text: deterministic function of (conv, turn, version)
+    text = np.char.add(
+        np.char.add(
+            np.char.add("turn text conv=", conv.astype("U10")),
+            np.char.add(" idx=", turn.astype("U10")),
+        ),
+        np.char.add(" v=", ver.astype("U12")),
+    )
+    ts = TS_BASE_US + turn * 1_000_000 + conv  # payload event time
+    src_ts = TS_BASE_US + lsn                  # unique, monotone
+
+    mask = pa.array(is_del)
+    cols = {
+        "lsn": pa.array(lsn),
+        "op": pa.array(_OP_NAMES[op]),
+        "src_ts": pa.array(src_ts, type=pa.timestamp("us")),
+        "conv_id": pa.array(conv_id),
+        "turn_idx": pa.array(turn, type=pa.int32()),
+        "role": pa.array(role),
+        "text": pa.array(text),
+        "tool": pa.array(tool),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    }
+    # null-out payload columns on deletes (envelope stays)
+    if is_del.any():
+        import pyarrow.compute as pc
+        for name in ("role", "text", "tool", "ts"):
+            cols[name] = pc.if_else(mask, pa.scalar(None, cols[name].type), cols[name])
+
+    tbl = pa.table(cols).cast(CHANGE_SCHEMA)
+    if evolve_at is not None and hi > evolve_at:
+        import pyarrow.compute as pc
+        meta = pc.if_else(
+            pa.array(lsn >= evolve_at),
+            pa.scalar("model-v2", pa.string()),
+            pa.scalar(None, pa.string()),
+        )
+        tbl = tbl.append_column("meta_model", meta).cast(CHANGE_SCHEMA_V2)
+    return tbl
+
+
+def generate_changelog(log_dir: str, spec: ChangeLogSpec) -> dict:
+    """Write the change log to ``log_dir``; returns summary stats."""
+    ev = _synth_events(spec)
+    n = len(ev["lsn"])
+    nsp = spec.n_source_partitions
+    src_part = (ev["conv"].astype(np.uint64) * np.uint64(2654435761)) % np.uint64(nsp)
+
+    bounds = np.linspace(0, n, spec.n_bands + 1).astype(np.int64)
+    n_files = 0
+    for b in range(spec.n_bands):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi <= lo:
+            continue
+        band_dir = os.path.join(log_dir, f"band-{b:05d}")
+        os.makedirs(band_dir, exist_ok=True)
+        tbl = _events_to_table(ev, lo, hi, spec.evolve_at_lsn)
+        parts = src_part[lo:hi]
+        for sp in range(nsp):
+            idx = np.nonzero(parts == sp)[0]
+            if len(idx) == 0:
+                continue
+            sub = tbl.take(pa.array(idx))  # already lsn-sorted
+            flo, fhi = int(sub["lsn"][0].as_py()), int(sub["lsn"][-1].as_py())
+            path = os.path.join(
+                band_dir, f"part-{sp:04d}-lsn-{flo:012d}-{fhi:012d}.parquet"
+            )
+            pq.write_table(sub, path)
+            n_files += 1
+    return {
+        "n_events": n,
+        "n_bands": spec.n_bands,
+        "n_files": n_files,
+        "max_lsn": n - 1,
+    }

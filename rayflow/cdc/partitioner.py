@@ -1,0 +1,92 @@
+"""Key partitioning with hot-key salting for the CDC merge shuffle.
+
+The reference scales horizontally by source-partition assignment only
+(Kafka consumer groups, SURVEY.md §4) and has no skew handling; at
+10^10-event scale the north rule requires explicit hash partitioning by
+``conv_id`` *and* salting hot conversations.  Strategy:
+
+- ``part_id = H(conv_id) % P`` normally (one conversation → one merge
+  partition, so merge state for a key never races across workers);
+- a conversation found hot (event share above a threshold in a seeded
+  sample) is *salted*: ``part_id = H(conv_id, turn_idx % s) % P`` — its
+  turns spread over ``s`` partitions.  Correctness is preserved because
+  the salt is a pure function of the merge key ``(conv_id, turn_idx)``:
+  every event for one key still lands in exactly one partition.
+
+Hashes use ``pandas.util.hash_array`` (SipHash with a fixed key):
+deterministic across processes/nodes, vectorized in C — Python's
+builtin ``hash`` is per-process salted and must never be used here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PART_COL = "_part_id"
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mixing constant
+
+
+def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of a string column."""
+    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(arr, dtype=object))
+
+
+def compute_part_ids(
+    conv_id: pa.ChunkedArray | np.ndarray,
+    turn_idx: pa.ChunkedArray | np.ndarray,
+    num_partitions: int,
+    salts: dict[str, int] | None = None,
+) -> np.ndarray:
+    """Vectorized ``part_id`` for a batch (see module docstring)."""
+    conv_np = (
+        conv_id.to_numpy(zero_copy_only=False)
+        if isinstance(conv_id, (pa.ChunkedArray, pa.Array))
+        else np.asarray(conv_id)
+    )
+    h = hash_strings(conv_np)
+    if salts:
+        s = pd.Series(conv_np).map(salts).fillna(1).to_numpy(dtype=np.uint64)
+        if (s > 1).any():
+            turn_np = (
+                turn_idx.to_numpy(zero_copy_only=False)
+                if isinstance(turn_idx, (pa.ChunkedArray, pa.Array))
+                else np.asarray(turn_idx)
+            ).astype(np.uint64)
+            salt = turn_np % np.maximum(s, 1)
+            h = np.where(s > 1, (h + (salt + np.uint64(1)) * _MIX), h)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def plan_salts(
+    ds,
+    num_partitions: int,
+    sample_fraction: float = 0.05,
+    hot_share: float = 0.5,
+    max_salt: int = 16,
+    seed: int = 42,
+) -> dict[str, int]:
+    """Detect hot conversations from a seeded sample of the change stream.
+
+    A conversation whose sampled event share exceeds ``hot_share / P``
+    (i.e. it would fill more than ``hot_share`` of one average merge
+    partition) gets a salt proportional to its excess, capped at
+    ``max_salt``.  The sample is a small groupby-count — cheap relative
+    to the replay it protects.
+    """
+    sample = ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=seed)
+    counts = sample.groupby("conv_id").count().to_pandas()
+    if counts.empty:
+        return {}
+    total = counts["count()"].sum()
+    threshold = max(hot_share * total / num_partitions, 1.0)
+    hot = counts[counts["count()"] > threshold]
+    salts: dict[str, int] = {}
+    for conv, cnt in zip(hot["conv_id"], hot["count()"]):
+        s = int(min(max_salt, int(np.ceil(cnt / threshold))))
+        if s > 1:
+            salts[str(conv)] = s
+    return salts

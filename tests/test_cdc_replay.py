@@ -1,0 +1,118 @@
+"""CDC end-to-end golden replay tests (SURVEY.md §5).
+
+The engine's distributed replay must equal the reference-semantics
+oracle: per-key max-lsn LWW, deletes drop the key, per-turn ``text``
+equality under stable ``(conv_id, turn_idx)`` ordering.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from rayflow.cdc import ChangeLogSpec, CdcEngine, generate_changelog
+from rayflow.cdc.oracle import lww_oracle, read_changelog_pandas
+
+SPEC = ChangeLogSpec(
+    n_convs=80,
+    turns_per_conv=6.0,
+    update_ratio=0.6,
+    delete_ratio=0.08,
+    zipf_s=1.4,
+    n_source_partitions=3,
+    n_bands=4,
+    seed=42,
+)
+
+
+@pytest.fixture(scope="module")
+def changelog(tmp_path_factory):
+    log_dir = str(tmp_path_factory.mktemp("changelog"))
+    info = generate_changelog(log_dir, SPEC)
+    return log_dir, info
+
+
+def _engine_result(engine: CdcEngine) -> pd.DataFrame:
+    tbl = engine.final_table(include_meta=True)
+    df = tbl.to_pandas()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn"]
+    extra = [c for c in df.columns if c not in cols]
+    return df[cols + extra].reset_index(drop=True)
+
+
+def _oracle_result(log_dir: str, max_lsn: int | None = None) -> pd.DataFrame:
+    return lww_oracle(read_changelog_pandas(log_dir, max_lsn))
+
+
+def _assert_equal(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
+    assert len(engine_df) == len(oracle_df)
+    eng = engine_df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ora = oracle_df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ora = ora[eng.columns]  # align column order
+    # dtypes: oracle keeps int32 turn_idx via pandas; align
+    for c in eng.columns:
+        if eng[c].dtype != ora[c].dtype:
+            ora[c] = ora[c].astype(eng[c].dtype)
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    # the headline invariant, stated explicitly:
+    assert (eng["text"].values == ora["text"].values).all()
+
+
+def test_generator_deterministic(tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    i1 = generate_changelog(d1, SPEC)
+    i2 = generate_changelog(d2, SPEC)
+    assert i1 == i2
+    assert read_changelog_pandas(d1).equals(read_changelog_pandas(d2))
+
+
+def test_full_replay_matches_oracle(changelog, tmp_path):
+    log_dir, info = changelog
+    engine = CdcEngine(str(tmp_path / "lake"), num_partitions=8)
+    stats = engine.replay(log_dir)
+    assert stats.bands_applied == SPEC.n_bands
+    assert stats.n_events == info["n_events"]
+    _assert_equal(_engine_result(engine), _oracle_result(log_dir))
+
+
+def test_resume_mid_replay(changelog, tmp_path):
+    """Kill/resume: apply k bands, build a NEW engine over the same lake
+    (fresh process analogue), continue — final state identical."""
+    log_dir, _ = changelog
+    lake = str(tmp_path / "lake")
+    e1 = CdcEngine(lake, num_partitions=8)
+    s1 = e1.replay(log_dir, max_bands=2)
+    assert s1.bands_applied == 2
+    # intermediate state matches the oracle truncated at the watermark
+    _assert_equal(_engine_result(e1), _oracle_result(log_dir, e1.manifest.committed_lsn))
+
+    e2 = CdcEngine(lake, num_partitions=8)  # re-reads manifest from disk
+    s2 = e2.replay(log_dir)
+    assert s2.bands_applied == SPEC.n_bands - 2
+    _assert_equal(_engine_result(e2), _oracle_result(log_dir))
+
+
+def test_double_apply_idempotent(changelog, tmp_path):
+    """Re-running replay over a fully-committed lake applies nothing."""
+    log_dir, _ = changelog
+    lake = str(tmp_path / "lake")
+    e = CdcEngine(lake, num_partitions=8)
+    e.replay(log_dir)
+    before = _engine_result(e)
+    s = e.replay(log_dir)
+    assert s.bands_applied == 0
+    pd.testing.assert_frame_equal(before, _engine_result(e))
+
+
+def test_lineage_and_metrics(changelog, tmp_path):
+    log_dir, info = changelog
+    e = CdcEngine(str(tmp_path / "lake"), num_partitions=8)
+    e.replay(log_dir)
+    lineage = e.manifest.state["lineage"]
+    assert len(lineage) == SPEC.n_bands
+    assert sum(rec["n_events"] for rec in lineage) == info["n_events"]
+    for rec in lineage:
+        assert rec["lsn_hi"] >= rec["lsn_lo"]
+        assert rec["events_per_s"] > 0
+        assert rec["input_files"]
+    assert e.manifest.committed_lsn == info["max_lsn"]
