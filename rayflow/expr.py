@@ -1,0 +1,487 @@
+"""Scalar expression layer — the Bloblang analogue, vectorized.
+
+The reference's per-record expression language (Bloblang: ``⟨upstream:
+internal/bloblang/query/⟩`` ~25 functions + ~180 methods over JSON
+message trees) is rebuilt as a thin, composable expression tree over
+Arrow *columns*: every function is a vectorized kernel
+(``pyarrow.compute`` first, numpy/pandas where Arrow lacks one, per-row
+Python only for genuinely row-wise ops like cryptographic hashes).
+
+Two entry styles:
+
+- **Python-native**: ``col("a") * 2 + col("b")``, ``col("s").upper()``,
+  ``when(col("x") > 3, lit("hi"), lit("lo"))`` — used by library code.
+- **Config-native** (the YAML/dict pipeline surface, like a Benthos
+  mapping block): s-expressions ``["add", ["col","a"], ["lit",2]]``
+  parsed by :func:`parse` — used by :mod:`rayflow.pipeline`.
+
+Evaluation: ``expr.eval(batch)`` with ``batch: pa.Table`` returns a
+``pa.ChunkedArray``/``pa.Array`` (or scalar for literals).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------------------
+# expression tree
+# --------------------------------------------------------------------------
+
+
+class Expr:
+    """A lazily-evaluated column expression."""
+
+    def __init__(self, fn: Callable[[pa.Table], Any], name: str = "expr"):
+        self._fn = fn
+        self._name = name
+
+    def eval(self, batch: pa.Table):
+        return self._fn(batch)
+
+    def __repr__(self):
+        return f"<Expr {self._name}>"
+
+    # -- operator sugar ----------------------------------------------------
+    def _bin(self, other, kernel, name):
+        other = _wrap(other)
+        return Expr(lambda t: kernel(_arr(self.eval(t)), _arr(other.eval(t))), name)
+
+    def __add__(self, o):
+        return self._bin(o, pc.add, "add")
+
+    def __sub__(self, o):
+        return self._bin(o, pc.subtract, "sub")
+
+    def __mul__(self, o):
+        return self._bin(o, pc.multiply, "mul")
+
+    def __truediv__(self, o):
+        return self._bin(o, pc.divide, "div")
+
+    def __mod__(self, o):
+        # arithmetic modulo for ints (pyarrow has no modulo kernel pre-17)
+        def _mod(t):
+            a, b = _arr(self.eval(t)), _arr(_wrap(o).eval(t))
+            return pc.subtract(a, pc.multiply(_floor_div(a, b), b))
+
+        return Expr(_mod, "mod")
+
+    def __eq__(self, o):  # noqa: A003 - intentional expression semantics
+        return self._bin(o, pc.equal, "eq")
+
+    def __ne__(self, o):
+        return self._bin(o, pc.not_equal, "ne")
+
+    def __lt__(self, o):
+        return self._bin(o, pc.less, "lt")
+
+    def __le__(self, o):
+        return self._bin(o, pc.less_equal, "le")
+
+    def __gt__(self, o):
+        return self._bin(o, pc.greater, "gt")
+
+    def __ge__(self, o):
+        return self._bin(o, pc.greater_equal, "ge")
+
+    def __and__(self, o):
+        return self._bin(o, pc.and_kleene, "and")
+
+    def __or__(self, o):
+        return self._bin(o, pc.or_kleene, "or")
+
+    def __invert__(self):
+        return Expr(lambda t: pc.invert(_arr(self.eval(t))), "not")
+
+    def __hash__(self):
+        return id(self)
+
+    # -- method sugar (thin wrappers over the F registry) ------------------
+    def method(self, fname: str, *args) -> "Expr":
+        return F(fname, self, *args)
+
+
+def _floor_div(a, b):
+    return pc.floor(pc.divide(pc.cast(a, pa.float64()), pc.cast(b, pa.float64())))
+
+
+def _arr(v):
+    """Normalize eval results: leave arrays/chunked arrays/scalars as-is."""
+    return v
+
+
+def col(name: str) -> Expr:
+    return Expr(lambda t, n=name: t.column(n), f"col:{name}")
+
+
+def lit(value: Any) -> Expr:
+    return Expr(lambda t, v=value: pa.scalar(v), f"lit:{value!r}")
+
+
+def _wrap(v) -> Expr:
+    return v if isinstance(v, Expr) else lit(v)
+
+
+def when(cond: Expr, then, otherwise) -> Expr:
+    then, otherwise = _wrap(then), _wrap(otherwise)
+    return Expr(
+        lambda t: pc.if_else(cond.eval(t), then.eval(t), otherwise.eval(t)), "when"
+    )
+
+
+# --------------------------------------------------------------------------
+# function registry (the scalar-function surface, SURVEY.md §2.7)
+# --------------------------------------------------------------------------
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_fn(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def F(name: str, *args) -> Expr:
+    """Build an expression calling registered function ``name``."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown scalar function: {name!r}")
+    fn = _REGISTRY[name]
+    exprs = [_wrap(a) for a in args]
+    return Expr(lambda t: fn(*[e.eval(t) for e in exprs]), name)
+
+
+def functions() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _np_str(a) -> np.ndarray:
+    """Arrow string column → numpy object array (for Python fallbacks)."""
+    if isinstance(a, (pa.ChunkedArray, pa.Array)):
+        return a.to_numpy(zero_copy_only=False)
+    return np.asarray(a)
+
+
+def _pyfall(fn):
+    """Vectorize a per-row Python function over a string column."""
+
+    def wrapper(a, *rest):
+        vals = _np_str(a)
+        rest_py = [r.as_py() if isinstance(r, pa.Scalar) else r for r in rest]
+        return pa.array(
+            [None if v is None else fn(v, *rest_py) for v in vals]
+        )
+
+    return wrapper
+
+
+# -- string ----------------------------------------------------------------
+register_fn("uppercase")(pc.utf8_upper)
+register_fn("lowercase")(pc.utf8_lower)
+register_fn("capitalize")(pc.utf8_capitalize)
+register_fn("title")(pc.utf8_title)
+register_fn("trim")(pc.utf8_trim_whitespace)
+register_fn("ltrim")(pc.utf8_ltrim_whitespace)
+register_fn("rtrim")(pc.utf8_rtrim_whitespace)
+register_fn("reverse")(pc.utf8_reverse)
+register_fn("length")(pc.utf8_length)
+
+
+@register_fn("contains")
+def _contains(a, pat):
+    return pc.match_substring(a, pat.as_py() if isinstance(pat, pa.Scalar) else pat)
+
+
+@register_fn("has_prefix")
+def _has_prefix(a, pat):
+    return pc.starts_with(a, pat.as_py() if isinstance(pat, pa.Scalar) else pat)
+
+
+@register_fn("has_suffix")
+def _has_suffix(a, pat):
+    return pc.ends_with(a, pat.as_py() if isinstance(pat, pa.Scalar) else pat)
+
+
+@register_fn("index_of")
+def _index_of(a, pat):
+    return pc.find_substring(a, pat.as_py() if isinstance(pat, pa.Scalar) else pat)
+
+
+@register_fn("re_match")
+def _re_match(a, pat):
+    return pc.match_substring_regex(a, pat.as_py() if isinstance(pat, pa.Scalar) else pat)
+
+
+@register_fn("re_replace_all")
+def _re_replace(a, pat, rep):
+    return pc.replace_substring_regex(
+        a,
+        pat.as_py() if isinstance(pat, pa.Scalar) else pat,
+        replacement=rep.as_py() if isinstance(rep, pa.Scalar) else rep,
+    )
+
+
+@register_fn("replace_all")
+def _replace_all(a, pat, rep):
+    return pc.replace_substring(
+        a,
+        pat.as_py() if isinstance(pat, pa.Scalar) else pat,
+        replacement=rep.as_py() if isinstance(rep, pa.Scalar) else rep,
+    )
+
+
+@register_fn("split")
+def _split(a, sep):
+    return pc.split_pattern(a, sep.as_py() if isinstance(sep, pa.Scalar) else sep)
+
+
+@register_fn("slice")
+def _slice(a, start, stop):
+    s = start.as_py() if isinstance(start, pa.Scalar) else start
+    e = stop.as_py() if isinstance(stop, pa.Scalar) else stop
+    return pc.utf8_slice_codeunits(a, s, e)
+
+
+@register_fn("lpad")
+def _lpad(a, width, ch):
+    return pc.utf8_lpad(a, width.as_py(), padding=ch.as_py())
+
+
+@register_fn("concat")
+def _concat(*arrays):
+    return pc.binary_join_element_wise(*arrays, "")
+
+
+@register_fn("count_substring")
+def _count_sub(a, pat):
+    return pc.count_substring(a, pat.as_py() if isinstance(pat, pa.Scalar) else pat)
+
+
+@register_fn("count_substring_regex")
+def _count_sub_re(a, pat):
+    return pc.count_substring_regex(a, pat.as_py() if isinstance(pat, pa.Scalar) else pat)
+
+
+# -- number / math ---------------------------------------------------------
+register_fn("abs")(pc.abs)
+register_fn("ceil")(pc.ceil)
+register_fn("floor")(pc.floor)
+register_fn("sqrt")(pc.sqrt)
+register_fn("exp")(pc.exp)
+register_fn("ln")(pc.ln)
+register_fn("log10")(pc.log10)
+register_fn("negate")(pc.negate)
+register_fn("sign")(pc.sign)
+
+
+@register_fn("round")
+def _round(a, nd=None):
+    n = 0 if nd is None else (nd.as_py() if isinstance(nd, pa.Scalar) else nd)
+    return pc.round(a, ndigits=n)
+
+
+@register_fn("min_of")
+def _min_of(*arrays):
+    return pc.min_element_wise(*arrays)
+
+
+@register_fn("max_of")
+def _max_of(*arrays):
+    return pc.max_element_wise(*arrays)
+
+
+@register_fn("power")
+def _power(a, b):
+    return pc.power(a, b)
+
+
+# -- casts / types ---------------------------------------------------------
+for _name, _type in [
+    ("int64", pa.int64()),
+    ("int32", pa.int32()),
+    ("float64", pa.float64()),
+    ("string", pa.string()),
+    ("bool", pa.bool_()),
+]:
+    register_fn(_name)(lambda a, t=_type: pc.cast(a, t))
+
+register_fn("is_null")(pc.is_null)
+register_fn("not_null")(pc.is_valid)
+
+
+@register_fn("coalesce")
+def _coalesce(*arrays):
+    return pc.coalesce(*arrays)
+
+
+@register_fn("fill_null")
+def _fill_null(a, v):
+    return pc.fill_null(a, v)
+
+
+@register_fn("if_else")
+def _if_else(c, a, b):
+    return pc.if_else(c, a, b)
+
+
+# -- timestamps ------------------------------------------------------------
+register_fn("year")(pc.year)
+register_fn("month")(pc.month)
+register_fn("day")(pc.day)
+register_fn("hour")(pc.hour)
+register_fn("minute")(pc.minute)
+register_fn("second")(pc.second)
+register_fn("day_of_week")(pc.day_of_week)
+
+
+@register_fn("ts_parse")
+def _ts_parse(a, fmt):
+    return pc.strptime(a, format=fmt.as_py(), unit="us")
+
+
+@register_fn("ts_format")
+def _ts_format(a, fmt):
+    return pc.strftime(a, format=fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt)
+
+
+@register_fn("ts_unix")
+def _ts_unix(a):
+    return pc.divide(pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64()), 1_000_000)
+
+
+@register_fn("ts_unix_micro")
+def _ts_unix_micro(a):
+    return pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+
+
+@register_fn("ts_round")
+def _ts_round(a, unit):
+    u = unit.as_py() if isinstance(unit, pa.Scalar) else unit
+    return pc.floor_temporal(a, unit=u)
+
+
+@register_fn("ts_bucket")
+def _ts_bucket(a, seconds):
+    """Event-time bucket index: floor(epoch_us / (seconds*1e6)).  The
+    window-bucketing primitive (``system_window`` analogue)."""
+    s = seconds.as_py() if isinstance(seconds, pa.Scalar) else seconds
+    us = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()), s * 1e6)), pa.int64())
+
+
+# -- lists -----------------------------------------------------------------
+register_fn("list_len")(pc.list_value_length)
+register_fn("list_flatten")(pc.list_flatten)
+
+
+@register_fn("list_join")
+def _list_join(a, sep):
+    return pc.binary_join(a, sep)
+
+
+@register_fn("list_get")
+def _list_get(a, i):
+    return pc.list_element(a, i.as_py() if isinstance(i, pa.Scalar) else i)
+
+
+# -- encode / hash (per-row Python; used for keys/fingerprints, not hot paths)
+import base64 as _b64
+import hashlib as _hl
+import zlib as _zl
+
+register_fn("hash_md5")(_pyfall(lambda s: _hl.md5(s.encode()).hexdigest()))
+register_fn("hash_sha1")(_pyfall(lambda s: _hl.sha1(s.encode()).hexdigest()))
+register_fn("hash_sha256")(_pyfall(lambda s: _hl.sha256(s.encode()).hexdigest()))
+register_fn("hash_crc32")(_pyfall(lambda s: _zl.crc32(s.encode())))
+register_fn("encode_base64")(_pyfall(lambda s: _b64.b64encode(s.encode()).decode()))
+register_fn("decode_base64")(_pyfall(lambda s: _b64.b64decode(s).decode()))
+register_fn("encode_hex")(_pyfall(lambda s: s.encode().hex()))
+
+
+# -- parse / format --------------------------------------------------------
+@register_fn("json_get")
+def _json_get(a, key):
+    """Extract one key from a JSON-string column (``jq``/``json(path)``
+    analogue).  Per-batch Python over parsed docs; returns strings (or
+    null for missing keys / parse failures)."""
+    k = key.as_py() if isinstance(key, pa.Scalar) else key
+    out = []
+    for v in _np_str(a):
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            d = json.loads(v)
+            got = d.get(k) if isinstance(d, dict) else None
+            out.append(None if got is None else str(got))
+        except (json.JSONDecodeError, TypeError):
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+@register_fn("json_get_int")
+def _json_get_int(a, key):
+    k = key.as_py() if isinstance(key, pa.Scalar) else key
+    out = []
+    for v in _np_str(a):
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            d = json.loads(v)
+            got = d.get(k) if isinstance(d, dict) else None
+            out.append(int(got) if got is not None else None)
+        except (json.JSONDecodeError, TypeError, ValueError):
+            out.append(None)
+    return pa.array(out, type=pa.int64())
+
+
+@register_fn("format_json")
+def _format_json(a):
+    return _pyfall(lambda s: json.dumps(s))(a)
+
+
+# --------------------------------------------------------------------------
+# s-expression parser (config surface)
+# --------------------------------------------------------------------------
+
+
+def parse(sexpr) -> Expr:
+    """Parse the config s-expression form into an :class:`Expr`.
+
+    ``["col", "a"]`` · ``["lit", 2]`` · ``["add", X, Y]`` ·
+    ``["when", C, A, B]`` · any registered function name with args.
+    Bare scalars are literals.
+    """
+    if not isinstance(sexpr, (list, tuple)):
+        return lit(sexpr)
+    head, *rest = sexpr
+    if head == "col":
+        return col(rest[0])
+    if head == "lit":
+        return lit(rest[0])
+    if head == "when":
+        return when(parse(rest[0]), parse(rest[1]), parse(rest[2]))
+    args = [parse(r) for r in rest]
+    binops = {
+        "add": Expr.__add__, "sub": Expr.__sub__, "mul": Expr.__mul__,
+        "div": Expr.__truediv__, "mod": Expr.__mod__, "eq": Expr.__eq__,
+        "ne": Expr.__ne__, "lt": Expr.__lt__, "le": Expr.__le__,
+        "gt": Expr.__gt__, "ge": Expr.__ge__, "and": Expr.__and__,
+        "or": Expr.__or__,
+    }
+    if head in binops:
+        e = args[0]
+        for other in args[1:]:
+            e = binops[head](e, other)
+        return e
+    if head == "not":
+        return ~args[0]
+    return F(head, *args)

@@ -1,0 +1,280 @@
+"""Core stateless + shuffle ops — the ``internal/impl/pure`` analogues.
+
+Every op is a named builder returning ``Dataset → Dataset``.  All hot
+paths are ``map_batches`` with ``batch_format="pyarrow"`` and
+vectorized bodies; nothing iterates Python rows.
+
+Reference processors covered here (SURVEY.md §2.3):
+``mapping``/``mutation`` → :func:`build_mapping`; Bloblang ``deleted()``
+and ``bounds_check`` → :func:`build_filter`; ``select_parts``/projection
+→ select/drop/rename; ``unarchive``(json_array)/``split`` →
+explode/repartition; ``dedupe`` → :func:`build_dedupe` (two-phase:
+per-block partial reduce, then keyed shuffle reduce); ``group_by_value``
++ mapping reduce → :func:`build_group_agg`; ``switch``/``try``/``catch``
+→ route/error-column convention.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayflow import expr as E
+from rayflow.ops import register_op
+from rayflow.ops.kernels import argextreme_reduce, explode_list
+
+_PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _exprs(spec: dict[str, Any]) -> dict[str, E.Expr]:
+    return {
+        name: (e if isinstance(e, E.Expr) else E.parse(e)) for name, e in spec.items()
+    }
+
+
+@register_op("mapping")
+def build_mapping(*, cols: dict[str, Any], select: list[str] | None = None,
+                  drop: list[str] | None = None):
+    """Compute/overwrite columns from expressions; optionally project.
+
+    The ``mapping``/``mutation`` processor: Bloblang assignments become
+    vectorized Arrow kernel trees (:mod:`rayflow.expr`)."""
+    compiled = _exprs(cols)
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            for name, ex in compiled.items():
+                val = ex.eval(t)
+                if isinstance(val, pa.Scalar):
+                    val = pa.nulls(t.num_rows, val.type).fill_null(val)
+                if name in t.column_names:
+                    t = t.set_column(t.column_names.index(name), name, val)
+                else:
+                    t = t.append_column(name, val)
+            if drop:
+                t = t.drop_columns([c for c in drop if c in t.column_names])
+            if select:
+                t = t.select(select)
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("filter")
+def build_filter(*, predicate: Any):
+    """Keep rows where the predicate expression is true (vectorized —
+    never ``ds.filter(row_fn)``)."""
+    pred = predicate if isinstance(predicate, E.Expr) else E.parse(predicate)
+
+    def apply(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.fill_null(pred.eval(t), False)), **_PA_KW
+        )
+
+    return apply
+
+
+@register_op("select")
+def build_select(*, columns: list[str]):
+    def apply(ds):
+        return ds.select_columns(columns)
+
+    return apply
+
+
+@register_op("drop")
+def build_drop(*, columns: list[str]):
+    def apply(ds):
+        return ds.drop_columns(columns)
+
+    return apply
+
+
+@register_op("rename")
+def build_rename(*, names: dict[str, str]):
+    def apply(ds):
+        return ds.rename_columns(names)
+
+    return apply
+
+
+@register_op("explode")
+def build_explode(*, column: str, out: str | None = None):
+    """List column → one row per element (``unarchive`` json_array)."""
+
+    def apply(ds):
+        return ds.map_batches(lambda t: explode_list(t, column, out), **_PA_KW)
+
+    return apply
+
+
+@register_op("split_text")
+def build_split_text(*, column: str, pattern: str = r"\s+", out: str = "token",
+                     regex: bool = True):
+    """Tokenize a string column and explode to one row per token."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            split = (
+                pc.split_pattern_regex(t.column(column), pattern)
+                if regex
+                else pc.split_pattern(t.column(column), pattern)
+            )
+            t = t.append_column("__tokens", split)
+            out_t = explode_list(t, "__tokens", out)
+            return out_t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("dedupe")
+def build_dedupe(*, keys: list[str], order_col: str, keep: str = "max"):
+    """Global exact dedupe: keep the min/max-``order_col`` row per key.
+
+    The ``dedupe`` processor's cache-backed seen-set becomes a two-phase
+    reduce: per-block partial (collapses duplicates before the exchange)
+    then a keyed shuffle reduce — no shared mutable cache needed, and
+    deterministic regardless of arrival order (same philosophy as the CDC
+    LWW merge).  ``order_col`` must be globally unique."""
+
+    def apply(ds):
+        ds = ds.map_batches(
+            lambda t: argextreme_reduce(t, keys, order_col, keep), **_PA_KW
+        )
+        return ds.groupby(keys).map_groups(
+            lambda t: argextreme_reduce(t, keys, order_col, keep),
+            batch_format="pyarrow",
+        )
+
+    return apply
+
+
+@register_op("union")
+def build_union(*, others: list):
+    """Fan-in (the ``broker`` input)."""
+
+    def apply(ds):
+        return ds.union(*others)
+
+    return apply
+
+
+@register_op("limit")
+def build_limit(*, n: int):
+    def apply(ds):
+        return ds.limit(n)
+
+    return apply
+
+
+@register_op("sort")
+def build_sort(*, keys: list[str], descending: bool | list[bool] = False):
+    def apply(ds):
+        return ds.sort(keys, descending=descending)
+
+    return apply
+
+
+@register_op("sample")
+def build_sample(*, fraction: float, seed: int = 42):
+    def apply(ds):
+        return ds.random_sample(fraction, seed=seed)
+
+    return apply
+
+
+@register_op("repartition")
+def build_repartition(*, num_blocks: int, shuffle: bool = False):
+    """Block sizing (``split`` processor / batching policy analogue)."""
+
+    def apply(ds):
+        return ds.repartition(num_blocks, shuffle=shuffle)
+
+    return apply
+
+
+@register_op("switch")
+def build_switch(*, cases: list[tuple[Any, str]], default: str = "_default",
+                 out: str = "route"):
+    """Route each row to the first matching case (``switch`` output /
+    processor): adds a route column; downstream filters or a partitioned
+    write consume it."""
+    compiled = [(E.parse(c) if not isinstance(c, E.Expr) else c, name)
+                for c, name in cases]
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            route = pa.nulls(t.num_rows, pa.string())
+            # evaluate in reverse so earlier cases overwrite later ones
+            for cond, name in reversed(compiled):
+                mask = pc.fill_null(cond.eval(t), False)
+                route = pc.if_else(mask, pa.scalar(name, pa.string()), route)
+            route = pc.fill_null(route, default)
+            return t.append_column(out, route)
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("catch")
+def build_catch(*, error_col: str = "_error", mode: str = "drop",
+                dead_letter_path: str | None = None):
+    """Error-path handling (``try``/``catch``): ops that fail per-row set
+    ``error_col``; ``catch`` drops (optionally dead-lettering) or clears.
+    """
+
+    def apply(ds):
+        if mode == "clear":
+            return ds.drop_columns([error_col])
+
+        def fn(t: pa.Table) -> pa.Table:
+            if error_col not in t.column_names:
+                return t
+            bad_mask = pc.is_valid(t.column(error_col))
+            if dead_letter_path and pc.any(bad_mask).as_py():
+                import os
+                import uuid
+
+                import pyarrow.parquet as pq
+
+                os.makedirs(dead_letter_path, exist_ok=True)
+                pq.write_table(
+                    t.filter(bad_mask),
+                    os.path.join(dead_letter_path, f"dead-{uuid.uuid4().hex}.parquet"),
+                )
+            return t.filter(pc.invert(bad_mask)).drop_columns([error_col])
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+def _agg(fn: str, col: str | None, alias: str):
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+    if fn == "count":
+        return Count(alias_name=alias)
+    return {"sum": Sum, "min": Min, "max": Max, "mean": Mean, "std": Std}[fn](
+        col, alias_name=alias
+    )
+
+
+@register_op("group_agg")
+def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]]):
+    """Grouped aggregation (``group_by_value`` + Bloblang fold reduce).
+
+    ``aggs`` = [(fn, col_or_None, alias)], fn ∈ sum/min/max/mean/std/count.
+    This is a shuffle; Ray Data pre-combines per block internally."""
+
+    def apply(ds):
+        built = [_agg(f, c, alias) for f, c, alias in aggs]
+        return ds.groupby(keys).aggregate(*built)
+
+    return apply

@@ -1,0 +1,116 @@
+"""Joins & lookups (SURVEY.md §2.5).
+
+The reference has exactly two join shapes: the ``sequence`` input's
+``sharded_join`` (offline key merge of two inputs, ``⟨upstream:
+internal/impl/pure/input_sequence.go⟩``) and the ``branch``+``cache``/
+``http`` enrichment lookup (``⟨upstream:
+internal/impl/pure/processor_branch.go⟩``).  Ray-Data-native mappings:
+
+- **broadcast_join** — the enrichment lookup: the small side is put in
+  the object store ONCE (``ray.put``) and fetched once per worker
+  *process* (module-level cache keyed by object ref), not per batch and
+  not re-shipped with every task.  The big side streams through a
+  vectorized pandas merge per batch as stateless tasks — elastic, and
+  no actor pool that could reserve every CPU on a small node.
+- **sharded_join** — both sides large: ``Dataset.join`` (hash shuffle
+  on the key, Ray ≥ 2.46).  The partition count is explicit — at scale
+  pick it so each partition's build side fits a worker's heap.
+- **semi/anti** via ``broadcast_semi`` — broadcast the key set, filter
+  inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayflow.ops import register_op
+
+_PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
+
+#: per-worker-process cache of fetched broadcast objects: ref.hex() → value.
+#: ``ray.get`` on an already-local object is cheap, but the pandas index /
+#: sorted key-set build on top of it is not — cache the derived form.
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _fetch(ref, derive):
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = derive(ray.get(ref))
+    return _BCAST_CACHE[key]
+
+
+@register_op("broadcast_join")
+def build_broadcast_join(*, small, on: list[str], right_on: list[str] | None = None,
+                         how: str = "left", suffix: str = "_r"):
+    """``small`` may be a pa.Table / pandas DataFrame (will be ray.put)
+    or an existing ObjectRef."""
+    import ray
+
+    small_ref = small if isinstance(small, ray.ObjectRef) else ray.put(small)
+    ron = right_on or on
+
+    def derive(obj):
+        return obj.to_pandas() if isinstance(obj, pa.Table) else obj
+
+    def merge(batch: pa.Table) -> pa.Table:
+        small_pd = _fetch(small_ref, derive)
+        left = batch.to_pandas()
+        merged = left.merge(
+            small_pd, how=how, left_on=on, right_on=ron, suffixes=("", suffix)
+        )
+        dup = [c for c in ron if c not in on and c in merged.columns]
+        if dup:
+            merged = merged.drop(columns=dup)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    def apply(ds):
+        return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
+
+    return apply
+
+
+@register_op("broadcast_semi")
+def build_broadcast_semi(*, keys_ref, on: str, anti: bool = False):
+    """Semi/anti join: broadcast the key set, vectorized membership filter."""
+    import ray
+
+    ref = keys_ref if isinstance(keys_ref, ray.ObjectRef) else ray.put(keys_ref)
+
+    def derive(keys):
+        return pa.array(sorted(set(keys)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        value_set = _fetch(ref, derive)
+        mask = pc.is_in(t.column(on), value_set=value_set)
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    def apply(ds):
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("sharded_join")
+def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = None,
+                       how: str = "inner", num_partitions: int = 16):
+    """Large-large hash join (the ``sharded_join`` sequence input):
+    both sides shuffled on the key into ``num_partitions`` shards, merged
+    shard-wise.  Uses ``Dataset.join``; sizing rule at scale: shard count
+    ≥ build-side bytes / worker heap budget."""
+
+    def apply(ds):
+        return ds.join(
+            right,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=tuple(on),
+            right_on=tuple(right_on) if right_on else None,
+        )
+
+    return apply

@@ -1,0 +1,40 @@
+"""Shared vectorized Arrow kernels used by several ops."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def argextreme_reduce(
+    tbl: pa.Table, keys: list[str], order_col: str, keep: str = "max"
+) -> pa.Table:
+    """Keep the row with the min/max ``order_col`` per key group.
+
+    Pure vectorized Arrow (grouped extreme + hash-set membership filter).
+    REQUIRES ``order_col`` values to be globally unique in ``tbl`` (LSNs,
+    primary keys) — otherwise a row from another group sharing the winning
+    value would survive.  This is the whole-row argmax trick the CDC merge
+    uses (:func:`rayflow.cdc.merge.lww_reduce` is the ``max``/lsn case).
+    """
+    if tbl.num_rows == 0:
+        return tbl
+    agg = tbl.group_by(keys, use_threads=False).aggregate([(order_col, keep)])
+    winners = agg.column(f"{order_col}_{keep}")
+    if len(winners) == tbl.num_rows:
+        return tbl
+    mask = pc.is_in(tbl.column(order_col), value_set=winners.combine_chunks())
+    return tbl.filter(mask)
+
+
+def explode_list(tbl: pa.Table, list_col: str, out_col: str | None = None) -> pa.Table:
+    """One output row per list element (``unarchive``/``flat_map``
+    analogue).  Vectorized: list flatten + parent-index take."""
+    out_col = out_col or list_col
+    arr = tbl.column(list_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = pc.list_flatten(arr)
+    parents = pc.list_parent_indices(arr)
+    rest = tbl.drop_columns([list_col]).take(parents)
+    return rest.append_column(out_col, flat)

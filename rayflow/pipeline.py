@@ -1,0 +1,175 @@
+"""Declarative pipeline builder — the Benthos-config analogue.
+
+The reference builds ``input → pipeline(processors) → output`` from a
+YAML config tree (``⟨upstream: internal/config/⟩``, ``internal/stream/
+type.go``; the YAML *is* the physical plan — no optimizer).  Here the
+same declaration is a plain dict (YAML-loadable) over the op registry::
+
+    p = Pipeline.from_dict({
+        "input":  {"op": "read_parquet", "paths": ".../lineitem.parquet",
+                    "columns": ["l_quantity", "l_shipdate"]},
+        "steps": [
+            {"op": "filter", "predicate": ["lt", ["col", "l_shipdate"],
+                                                  ["lit", "1996-01-01"]]},
+            {"op": "group_agg", "keys": ["l_returnflag"],
+             "aggs": [["sum", "l_quantity", "sum_qty"]]},
+        ],
+        "output": {"op": "write_parquet", "path": "/tmp/out"},
+    })
+    ds_or_none = p.run()
+
+Multiple named pipelines can be declared and instantiated
+programmatically — the ``benthos streams`` manager analogue is just a
+dict of these.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from rayflow.ops import OPS, build_op, register_op
+
+# --------------------------------------------------------------------------
+# sources (inputs) — SURVEY.md §2.1
+# --------------------------------------------------------------------------
+
+
+@register_op("read_parquet")
+def build_read_parquet(*, paths, columns: list[str] | None = None, **kw):
+    """``file`` input with parquet codec; ALWAYS pass ``columns`` when the
+    pipeline doesn't need the full width — pruning happens at the read."""
+
+    def source(_=None):
+        import ray.data as rd
+
+        return rd.read_parquet(paths, columns=columns, **kw)
+
+    return source
+
+
+@register_op("read_csv")
+def build_read_csv(*, paths, **kw):
+    def source(_=None):
+        import ray.data as rd
+
+        return rd.read_csv(paths, **kw)
+
+    return source
+
+
+@register_op("read_json")
+def build_read_json(*, paths, **kw):
+    def source(_=None):
+        import ray.data as rd
+
+        return rd.read_json(paths, **kw)
+
+    return source
+
+
+@register_op("read_text")
+def build_read_text(*, paths, **kw):
+    """``file`` input with the ``lines`` scanner."""
+
+    def source(_=None):
+        import ray.data as rd
+
+        return rd.read_text(paths, **kw)
+
+    return source
+
+
+@register_op("generate")
+def build_generate(*, count: int, mapping: dict[str, Any] | None = None,
+                   seed_col: str = "id"):
+    """Synthetic input (``generate``): ``range(count)`` + a mapping.
+    Deterministic by construction — the row index is the only seed."""
+
+    def source(_=None):
+        import ray.data as rd
+
+        ds = rd.range(count).rename_columns({"id": seed_col})
+        if mapping:
+            from rayflow.ops.core import build_mapping
+
+            ds = build_mapping(cols=mapping)(ds)
+        return ds
+
+    return source
+
+
+# --------------------------------------------------------------------------
+# sinks (outputs) — SURVEY.md §2.2
+# --------------------------------------------------------------------------
+
+
+@register_op("write_parquet")
+def build_write_parquet(*, path: str, partition_cols: list[str] | None = None, **kw):
+    """Lake-style sink: a directory of part files (resumable layout);
+    optionally hash-partitioned by columns for downstream pruning."""
+
+    def sink(ds):
+        if partition_cols:
+            ds.write_parquet(path, partition_cols=partition_cols, **kw)
+        else:
+            ds.write_parquet(path, **kw)
+        return None
+
+    return sink
+
+
+@register_op("write_json")
+def build_write_json(*, path: str, **kw):
+    def sink(ds):
+        ds.write_json(path, **kw)
+        return None
+
+    return sink
+
+
+@register_op("route_write")
+def build_route_write(*, path: str, route_col: str = "route"):
+    """``switch`` output: one partition directory per route value."""
+
+    def sink(ds):
+        ds.write_parquet(path, partition_cols=[route_col])
+        return None
+
+    return sink
+
+
+# --------------------------------------------------------------------------
+# the pipeline object
+# --------------------------------------------------------------------------
+
+
+class Pipeline:
+    def __init__(self, source=None, steps=(), output=None):
+        self.source = source
+        self.steps = list(steps)
+        self.output = output
+
+    @classmethod
+    def from_dict(cls, conf: dict) -> "Pipeline":
+        src = build_op(conf["input"]) if "input" in conf else None
+        steps = [build_op(s) for s in conf.get("steps", [])]
+        out = build_op(conf["output"]) if "output" in conf else None
+        return cls(src, steps, out)
+
+    def run(self, ds=None):
+        """Execute: source (unless a Dataset is passed in), then each
+        step, then the sink.  Returns the final Dataset (or None if the
+        sink consumed it)."""
+        if ds is None:
+            if self.source is None:
+                raise ValueError("pipeline has no input and no dataset was given")
+            ds = self.source()
+        for step in self.steps:
+            ds = step(ds)
+        if self.output is not None:
+            return self.output(ds)
+        return ds
+
+
+def available_ops() -> list[str]:
+    return sorted(OPS)

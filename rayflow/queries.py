@@ -1,0 +1,548 @@
+"""Named query/pipeline registry — the driver-contract surface.
+
+Each entry pairs a Ray-Data pipeline (built from :mod:`rayflow.ops`
+operators, exercising the component surface of SURVEY.md §2) with an
+equivalent DuckDB SQL oracle over the same parquet tables.  Aggregate /
+computed column names MATCH between both sides (driver hashes values
+under sorted column names).
+
+Conventions:
+- every callable takes ``sf_dir`` and returns a ``ray.data.Dataset``
+  (small results — the driver materializes);
+- SQL avoids DuckDB extensions (offline container): JSON extraction via
+  ``regexp_extract``, no ``json_*`` functions;
+- int sums are cast to BIGINT in SQL (DuckDB's HUGEINT would drift the
+  schema/hashes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayflow import expr as E
+from rayflow.ops import build_op
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# relational core: filter / project / mapping
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_project_revenue",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
+    """,
+)
+def filter_project_revenue(sf_dir: str):
+    """Stateless transform chain: pruned read → vectorized filter →
+    computed column → projection (``mapping`` + ``bounds_check``)."""
+    import datetime
+
+    ds = _rd().read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    ds = build_op({
+        "op": "filter",
+        "predicate": (E.col("l_shipdate") < E.lit(datetime.datetime(1997, 1, 1)))
+        & (E.col("l_quantity") > 45.0),
+    })(ds)
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"revenue": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_orderkey", "l_linenumber", "l_quantity", "revenue"],
+    })(ds)
+    return ds
+
+
+@query(
+    "groupby_agg_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                         AS sum_qty,
+           sum(l_extendedprice)                    AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           avg(l_quantity)                         AS avg_qty,
+           avg(l_extendedprice)                    AS avg_price,
+           CAST(count(*) AS BIGINT)                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg_q1(sf_dir: str):
+    """TPC-H Q1 shape: the grouped-aggregate archetype (``group_by_value``
+    + Bloblang fold).  Ray Data pre-combines per block before the
+    shuffle, so the exchange carries one partial row per (key, block)."""
+    import datetime
+
+    ds = _rd().read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    ds = build_op({
+        "op": "filter",
+        "predicate": E.col("l_shipdate") <= E.lit(datetime.datetime(1998, 9, 2)),
+    })(ds)
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"disc_price": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount"))},
+    })(ds)
+    return build_op({
+        "op": "group_agg",
+        "keys": ["l_returnflag", "l_linestatus"],
+        "aggs": [
+            ("sum", "l_quantity", "sum_qty"),
+            ("sum", "l_extendedprice", "sum_base_price"),
+            ("sum", "disc_price", "sum_disc_price"),
+            ("mean", "l_quantity", "avg_qty"),
+            ("mean", "l_extendedprice", "avg_price"),
+            ("count", None, "count_order"),
+        ],
+    })(ds)
+
+
+@query(
+    "sort_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_topk_orders(sf_dir: str):
+    """Distributed sort + limit (top-k)."""
+    ds = _rd().read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    ds = build_op({"op": "sort", "keys": ["o_totalprice", "o_orderkey"],
+                   "descending": [True, False]})(ds)
+    return build_op({"op": "limit", "n": 10})(ds)
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "broadcast_join_region",
+    """
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           sum(c_acctbal)           AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def broadcast_join_region(sf_dir: str):
+    """Enrichment lookup join (``branch`` + ``cache`` get): the dim side
+    (nation⋈region, tiny) is broadcast via ``ray.put`` once; the fact
+    side streams.  No shuffle until the final small aggregate."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    ds = _rd().read_parquet(
+        _t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"]
+    )
+    ds = build_op({
+        "op": "broadcast_join", "small": dim,
+        "on": ["c_nationkey"], "right_on": ["n_nationkey"], "how": "inner",
+    })(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["r_name"],
+        "aggs": [("count", None, "n_cust"), ("sum", "c_acctbal", "total_bal")],
+    })(ds)
+
+
+@query(
+    "sharded_join_mktsegment",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice)        AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sharded_join_mktsegment(sf_dir: str):
+    """Large-large hash join (``sequence`` input ``sharded_join``):
+    both sides shuffled on the key."""
+    orders = _rd().read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    customer = _rd().read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    ds = build_op({
+        "op": "sharded_join", "right": customer,
+        "on": ["o_custkey"], "right_on": ["c_custkey"],
+        "how": "inner", "num_partitions": 8,
+    })(orders)
+    return build_op({
+        "op": "group_agg", "keys": ["c_mktsegment"],
+        "aggs": [("count", None, "n_orders"), ("sum", "o_totalprice", "total_price")],
+    })(ds)
+
+
+@query(
+    "semi_join_expensive_orders",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o_orderstatus
+    """,
+)
+def semi_join_expensive_orders(sf_dir: str):
+    """Semi join via broadcast key set + vectorized membership filter."""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    )
+    keys = keys.filter(pc.greater(keys["c_acctbal"], 5000.0))["c_custkey"].to_pylist()
+    ds = _rd().read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+    ds = build_op({"op": "broadcast_semi", "keys_ref": keys, "on": "o_custkey"})(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["o_orderstatus"], "aggs": [("count", None, "n")],
+    })(ds)
+
+
+# --------------------------------------------------------------------------
+# JSON / routing / dedupe / union (the message-processor surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(sf_dir: str):
+    """JSON payload extraction (``jq``/Bloblang ``json(path)``) over the
+    dynamic ``props`` column, then aggregate."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"k": E.F("json_get_int", E.col("props"), "k")},
+        "drop": ["props"],
+    })(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["event_type"],
+        "aggs": [("sum", "k", "sum_k"), ("count", None, "n")],
+    })(ds)
+
+
+@query(
+    "dedupe_latest_event",
+    """
+    SELECT user_id, event_type, event_id, value, ts
+    FROM (
+      SELECT user_id, event_type, event_id, value, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedupe_latest_event(sf_dir: str):
+    """Exact keyed dedupe keeping the latest row (``dedupe`` processor;
+    two-phase block-partial + shuffle reduce)."""
+    ds = _rd().read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type", "event_id", "value", "ts"],
+    )
+    return build_op({
+        "op": "dedupe", "keys": ["user_id", "event_type"],
+        "order_col": "event_id", "keep": "max",
+    })(ds)
+
+
+@query(
+    "switch_route_counts",
+    """
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS route,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value)               AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def switch_route_counts(sf_dir: str):
+    """Conditional routing (``switch``): first-match route column."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["value"])
+    ds = build_op({
+        "op": "switch",
+        "cases": [
+            (E.col("value") < 10.0, "low"),
+            (E.col("value") < 100.0, "mid"),
+        ],
+        "default": "high",
+    })(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["route"],
+        "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
+    })(ds)
+
+
+@query(
+    "union_fanin",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT event_type FROM events WHERE value < 50
+      UNION ALL
+      SELECT event_type FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY event_type
+    """,
+)
+def union_fanin(sf_dir: str):
+    """Fan-in of two branches (``broker`` input)."""
+    rd = _rd()
+    a = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    a = build_op({"op": "filter", "predicate": E.col("value") < 50.0})(a)
+    a = a.select_columns(["event_type"])
+    b = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    b = build_op({"op": "filter", "predicate": E.col("event_type") == "purchase"})(b)
+    ds = a.union(b)
+    return build_op({
+        "op": "group_agg", "keys": ["event_type"], "aggs": [("count", None, "n")],
+    })(ds)
+
+
+# --------------------------------------------------------------------------
+# windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_tumbling_hour",
+    """
+    SELECT time_bucket(INTERVAL 3600 SECONDS, ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value)               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hour(sf_dir: str):
+    """Tumbling event-time window (``system_window`` analogue)."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    return build_op({
+        "op": "window_tumbling", "ts_col": "ts", "size_s": 3600,
+        "keys": ["event_type"],
+        "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
+    })(ds)
+
+
+@query(
+    "window_sliding_2h",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 3600 SECONDS, ts) AS tb, value FROM events
+    ), u AS (
+      SELECT tb AS window_start, value FROM b
+      UNION ALL
+      SELECT tb - INTERVAL 3600 SECONDS AS window_start, value FROM b
+    )
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value
+    FROM u GROUP BY window_start
+    """,
+)
+def window_sliding_2h(sf_dir: str):
+    """Sliding window size=2h slide=1h: vectorized row replication into
+    every containing window, then the same keyed aggregate."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    return build_op({
+        "op": "window_sliding", "ts_col": "ts", "size_s": 7200, "slide_s": 3600,
+        "keys": [], "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
+    })(ds)
+
+
+# --------------------------------------------------------------------------
+# string / document ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "string_ops_lang",
+    """
+    SELECT upper(lang) AS lang_up,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           avg(length(text))             AS avg_chars
+    FROM documents
+    GROUP BY upper(lang)
+    """,
+)
+def string_ops_lang(sf_dir: str):
+    """Scalar string functions (Bloblang string methods → Arrow kernels)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+    ds = build_op({
+        "op": "mapping",
+        "cols": {
+            "lang_up": E.F("uppercase", E.col("lang")),
+            "text_len": E.F("length", E.col("text")),
+        },
+        "select": ["lang_up", "text_len"],
+    })(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["lang_up"],
+        "aggs": [("count", None, "n_docs"), ("sum", "text_len", "total_chars"),
+                 ("mean", "text_len", "avg_chars")],
+    })(ds)
+
+
+@query(
+    "explode_token_topk",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def explode_token_topk(sf_dir: str):
+    """Tokenize + explode (``unarchive``/``flat_map``) + top-k."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = build_op({"op": "split_text", "column": "text", "out": "token",
+                   "pattern": " ", "regex": False})(ds)
+    ds = ds.select_columns(["token"])
+    ds = build_op({
+        "op": "group_agg", "keys": ["token"], "aggs": [("count", None, "n")],
+    })(ds)
+    ds = build_op({"op": "sort", "keys": ["n", "token"],
+                   "descending": [True, False]})(ds)
+    return build_op({"op": "limit", "n": 20})(ds)
+
+
+# --------------------------------------------------------------------------
+# flagship: CDC upsert through the real merge machinery
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_upsert_events",
+    """
+    WITH changes AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  ELSE 4 END AS INTEGER)     AS turn_idx,
+             event_type                      AS role,
+             props                           AS text,
+             ''                              AS tool,
+             ts,
+             event_id                        AS lsn,
+             CASE WHEN value < 10 THEN 'delete' ELSE 'update' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn AS _lsn
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_upsert_events(sf_dir: str):
+    """The flagship pipeline run against driver data: the ``events``
+    table dressed as a CDC change stream (event_id ≙ lsn, (user_id,
+    event_type) ≙ key, value<10 ≙ delete) and replayed through the REAL
+    engine — NormalizeChanges → salted partitioning → MergeWorker actor
+    pool → exactly-once lake → read back (FIXTURES.md §3)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rayflow.cdc.replay import CdcEngine
+    from rayflow.schema import CHANGE_SCHEMA
+
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"))
+
+    _TURN = {"click": 0, "error": 1, "purchase": 2, "signup": 3}
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        turn = np.array([_TURN.get(v, 4) for v in et], dtype=np.int32)
+        conv = np.char.add("u", t["user_id"].to_numpy(zero_copy_only=False).astype("U20"))
+        op = np.where(t["value"].to_numpy(zero_copy_only=False) < 10, "delete", "update")
+        out = pa.table({
+            "lsn": t["event_id"],
+            "op": pa.array(op),
+            "src_ts": t["ts"].cast(pa.timestamp("us")),
+            "conv_id": pa.array(conv.astype(object), type=pa.string()),
+            "turn_idx": pa.array(turn, type=pa.int32()),
+            "role": t["event_type"],
+            "text": t["props"],
+            "tool": pa.array(np.full(t.num_rows, ""), type=pa.string()),
+            "ts": t["ts"].cast(pa.timestamp("us")),
+        })
+        return out.cast(CHANGE_SCHEMA)
+
+    changes = ds.map_batches(to_changes, batch_format="pyarrow", zero_copy_batch=True)
+
+    # one-band change log on disk → full engine path (source → merge → sink)
+    work = tempfile.mkdtemp(prefix="rayflow-cdcq-")
+    log_dir = os.path.join(work, "log")
+    band = os.path.join(log_dir, "band-00000")
+    os.makedirs(band)
+    tbl = pa.concat_tables(
+        [b for b in changes.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ).sort_by("lsn")
+    lo, hi = tbl["lsn"][0].as_py(), tbl["lsn"][-1].as_py()
+    pq.write_table(tbl, os.path.join(band, f"part-0000-lsn-{lo:012d}-{hi:012d}.parquet"))
+
+    engine = CdcEngine(os.path.join(work, "lake"), num_partitions=8, auto_salt=False)
+    engine.replay(log_dir)
+    return engine.final_dataset(include_meta=True)
