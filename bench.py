@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Headline: full CDC replay of a deterministic synthetic change log sized
+from the sf0.1 tier (~1.5M change events over 60k conversations,
+Zipf-skewed updates) into the Parquet transcript lake — the BASELINE.md
+metric.  Also times representative operator pipelines over
+``$GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``).
+
+Prints ONE JSON line::
+
+    {"metric": "cdc_replay", "value": <headline seconds>, "unit": "sec",
+     "events": N, "events_per_s": R, "queries": {...}, "sf": ...,
+     "num_cpus": N}
+
+``--scaling`` runs the headline replay at num_cpus=4 and num_cpus=16 in
+fresh subprocesses on the same input and reports the scaling efficiency
+(T32/T8)/4 — the sandbox evidence protocol for the north rule's N→4N
+cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_TAG = os.path.basename(SF_DIR.rstrip("/"))
+
+# change-log spec sized from the sf tier (lineitem ≈ 6M rows/sf →
+# sf0.1 ≈ 600k turns ≈ 1.55M change events)
+_SPEC_BY_SF = {
+    "sf0.001": dict(n_convs=600, turns_per_conv=10.0),
+    "sf0.01": dict(n_convs=6_000, turns_per_conv=10.0),
+    "sf0.1": dict(n_convs=120_000, turns_per_conv=10.0),
+}
+
+BENCH_QUERIES = [
+    "groupby_agg_q1",
+    "filter_project_revenue",
+    "sharded_join_mktsegment",
+    "broadcast_join_region",
+    "dedupe_latest_event",
+    "window_tumbling_hour",
+    "json_extract_props",
+    "explode_token_topk",
+]
+
+
+def _changelog_dir() -> str:
+    """Generate (once, cached by spec) the bench change log."""
+    from rayflow.cdc import ChangeLogSpec, generate_changelog
+
+    base = _SPEC_BY_SF.get(SF_TAG, _SPEC_BY_SF["sf0.1"])
+    spec = ChangeLogSpec(
+        n_convs=base["n_convs"],
+        turns_per_conv=base["turns_per_conv"],
+        # heavy update churn: ~46 events per turn (~56M events at sf0.1) so
+        # per-event merge compute dominates fixed overheads — the regime the
+        # throughput/scaling metric is about
+        update_ratio=45.0,
+        delete_ratio=0.5,
+        zipf_s=1.2,
+        n_source_partitions=8,
+        n_bands=8,
+        seed=42,
+    )
+    key = f"{spec.n_convs}-{spec.turns_per_conv}-{spec.update_ratio}-{spec.delete_ratio}-{spec.zipf_s}-{spec.n_source_partitions}-{spec.n_bands}-{spec.seed}"
+    cache = f"/tmp/rayflow-bench/changelog-{SF_TAG}-{key}"
+    done = os.path.join(cache, "_DONE.json")
+    if not os.path.exists(done):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        info = generate_changelog(cache, spec)
+        with open(done, "w") as f:
+            json.dump(info, f)
+    with open(done) as f:
+        info = json.load(f)
+    return cache, info
+
+
+def _warm_cache(paths):
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rayflow.cdc.replay import CdcEngine
+    from rayflow.cdc.source import list_bands
+
+    log_dir, info = _changelog_dir()
+    _warm_cache([f for b in list_bands(log_dir) for f in b.files])
+
+    # warm the Ray worker pool (process spawn + imports) before timing —
+    # sustained-throughput measurement, not cluster cold-start
+    import ray.data as rd
+
+    rd.range(10_000).map_batches(lambda b: b).count()
+
+    lake = f"/tmp/rayflow-bench/lake-{SF_TAG}-{NUM_CPUS}"
+    shutil.rmtree(lake, ignore_errors=True)
+    engine = CdcEngine(lake, num_partitions=64, auto_salt=True,
+                       salt_sample_fraction=0.01)
+    bands_per_commit = int(os.environ.get("RAYFLOW_BENCH_BANDS_PER_COMMIT", "8"))
+    t0 = time.perf_counter()
+    stats = engine.replay(log_dir, bands_per_commit=bands_per_commit)
+    headline = time.perf_counter() - t0
+
+    result = {
+        "metric": "cdc_replay",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "events": stats.n_events,
+        "events_per_s": round(stats.n_events / headline, 1),
+        "sf": SF_TAG,
+        "num_cpus": NUM_CPUS,
+        "bands_per_commit": bands_per_commit,
+        "queries": {},
+    }
+
+    from rayflow.queries import QUERIES
+
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        # consume: small results — materialize fully
+        try:
+            res.to_pandas()
+        except AttributeError:
+            pass
+        result["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYFLOW_BENCH_REPLAY_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 4, 16
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"events_per_s_{lo}": r_lo["events_per_s"],
+        f"events_per_s_{hi}": r_hi["events_per_s"],
+        "events": r_lo["events"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_TAG,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        if os.environ.get("RAYFLOW_BENCH_REPLAY_ONLY"):
+            BENCH_QUERIES = []
+        print(json.dumps(run_bench()))

@@ -100,8 +100,85 @@ def lake_schema_for(change_schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields + [pa.field(META_LSN, pa.int64())])
 
 
+def drop_duplicate_lsns(tbl: pa.Table, lsn_col: str = "lsn") -> pa.Table:
+    """Remove exact event replays (same globally-unique lsn appearing
+    twice — possible when a retried routing task re-applies a batch to a
+    streaming merge actor).  Vectorized: sort by lsn, keep first of each
+    run."""
+    lsns = tbl.column(lsn_col)
+    if pc.count_distinct(lsns).as_py() == tbl.num_rows:
+        return tbl
+    order = pc.sort_indices(tbl, sort_keys=[(lsn_col, "ascending")])
+    tbl = tbl.take(order)
+    arr = tbl.column(lsn_col).to_numpy()
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = arr[1:] != arr[:-1]
+    return tbl.filter(pa.array(keep))
+
+
+def merge_partition_delta(
+    delta: pa.Table,
+    base: pa.Table | None,
+    *,
+    lake_dir: str,
+    part_id: int,
+    band_hi: int,
+) -> dict:
+    """LWW-merge one partition's delta with its base state and write the
+    new state file idempotently.  Shared by the shuffle-mode MergeWorker
+    and the streaming MergeActor pool."""
+    delta = drop_duplicate_lsns(delta)
+    if base is not None and base.num_rows > 0:
+        # dress base rows as pseudo-changes: lsn = stored _lsn, op = 'base'
+        base = base.rename_columns(
+            ["lsn" if c == META_LSN else c for c in base.column_names]
+        )
+        base = base.append_column(
+            "op", pa.array(np.full(base.num_rows, _BASE_OP), type=pa.string())
+        )
+        uni = unify(delta.schema, base.schema)
+        combined = pa.concat_tables([conform(delta, uni), conform(base, uni)])
+    else:
+        combined = delta
+
+    winners = lww_reduce(combined)
+    survivors = winners.filter(pc.not_equal(winners["op"], "delete"))
+    out_fields = [
+        f for f in combined.schema if f.name not in ("lsn", "op", "src_ts")
+    ]
+    out_schema = pa.schema(out_fields + [pa.field(META_LSN, pa.int64())])
+    out = conform(
+        survivors.rename_columns(
+            [META_LSN if c == "lsn" else c for c in survivors.column_names]
+        ),
+        out_schema,
+    )
+
+    part_dir = os.path.join(lake_dir, f"part-{part_id:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    final = os.path.join(part_dir, f"state-{band_hi:012d}.parquet")
+    tmp = final + f".tmp.{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, final)  # atomic; retries converge on identical bytes
+    return {
+        "part_id": part_id,
+        "file": final,
+        "rows": out.num_rows,
+        "n_events": delta.num_rows,
+        "lsn_hi": band_hi,
+    }
+
+
+def hydrate_base(base_files: dict[int, str], part_id: int) -> pa.Table | None:
+    path = base_files.get(part_id)
+    if path is None or not os.path.exists(path):
+        return None
+    return pq.read_table(path)
+
+
 class MergeWorker:
-    """Actor-pool group merge: one call = one lake partition's band delta.
+    """Shuffle-mode group merge: one call = one lake partition's delta
+    (fed by ``groupby(_part_id).map_groups``, an actor pool).
 
     Stateful per the reference's cache/dedupe resources (SURVEY.md §2.6):
     constructed once per actor; per-call state (the partition's latest-
@@ -118,64 +195,19 @@ class MergeWorker:
         self.lake_schema = lake_schema_for(change_schema)
         self.band_hi = band_hi
 
-    def _hydrate(self, part_id: int) -> pa.Table | None:
-        path = self.base_files.get(part_id)
-        if path is None or not os.path.exists(path):
-            return None
-        return pq.read_table(path)
-
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _stats_table([])
         part_id = int(group[PART_COL][0].as_py())
         delta = group.drop_columns([PART_COL])
-
-        base = self._hydrate(part_id)
-        if base is not None:
-            # dress base rows as pseudo-changes: lsn = stored _lsn, op = 'base'
-            base = base.rename_columns(
-                ["lsn" if c == META_LSN else c for c in base.column_names]
-            )
-            base = base.append_column(
-                "op", pa.array(np.full(base.num_rows, _BASE_OP), type=pa.string())
-            )
-            uni = unify(delta.schema, base.schema)
-            combined = pa.concat_tables([conform(delta, uni), conform(base, uni)])
-        else:
-            combined = delta
-
-        winners = lww_reduce(combined)
-        survivors = winners.filter(pc.not_equal(winners["op"], "delete"))
-        out = conform(
-            survivors.rename_columns(
-                [META_LSN if c == "lsn" else c for c in survivors.column_names]
-            ),
-            self._out_schema(combined.schema),
+        stats = merge_partition_delta(
+            delta,
+            hydrate_base(self.base_files, part_id),
+            lake_dir=self.lake_dir,
+            part_id=part_id,
+            band_hi=self.band_hi,
         )
-
-        path = self._write_state(part_id, out)
-        return _stats_table([
-            {
-                "part_id": part_id,
-                "file": path,
-                "rows": out.num_rows,
-                "n_events": delta.num_rows,
-                "lsn_hi": self.band_hi,
-            }
-        ])
-
-    def _out_schema(self, combined_schema: pa.Schema) -> pa.Schema:
-        fields = [f for f in combined_schema if f.name not in ("lsn", "op", "src_ts")]
-        return pa.schema(fields + [pa.field(META_LSN, pa.int64())])
-
-    def _write_state(self, part_id: int, table: pa.Table) -> str:
-        part_dir = os.path.join(self.lake_dir, f"part-{part_id:05d}")
-        os.makedirs(part_dir, exist_ok=True)
-        final = os.path.join(part_dir, f"state-{self.band_hi:012d}.parquet")
-        tmp = final + f".tmp.{os.getpid()}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, final)  # atomic; retries converge on identical bytes
-        return final
+        return _stats_table([stats])
 
 
 _STATS_SCHEMA = pa.schema(

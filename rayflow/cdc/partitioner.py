@@ -77,8 +77,33 @@ def plan_salts(
     ``max_salt``.  The sample is a small groupby-count — cheap relative
     to the replay it protects.
     """
+    import pandas as pd
+    import pyarrow as pa
+
     sample = ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=seed)
-    counts = sample.groupby("conv_id").count().to_pandas()
+
+    # Shuffle-free counting: per-block value_counts (tiny tables) combined
+    # on the driver — a full groupby shuffle here cost more than the replay
+    # it was protecting (measured 8-12s at sf0.1).
+    def _block_counts(t: pa.Table) -> pa.Table:
+        vc = t.group_by("conv_id", use_threads=False).aggregate([("conv_id", "count")])
+        return vc.rename_columns(["conv_id", "n"])
+
+    import ray
+
+    refs = sample.map_batches(
+        _block_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        return {}
+    counts = (
+        pa.concat_tables(tables)
+        .to_pandas()
+        .groupby("conv_id", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "count()"})
+    )
     if counts.empty:
         return {}
     total = counts["count()"].sum()

@@ -89,15 +89,50 @@ class CdcEngine:
 
     # -- replay ------------------------------------------------------------
 
-    def replay(self, log_dir: str, max_bands: int | None = None) -> ReplayStats:
-        """Apply all un-committed bands of ``log_dir`` (resume-safe)."""
+    def replay(self, log_dir: str, max_bands: int | None = None,
+               bands_per_commit: int = 1, mode: str = "streaming") -> ReplayStats:
+        """Apply all un-committed bands of ``log_dir`` (resume-safe).
+
+        ``bands_per_commit`` is the checkpoint-granularity knob (the
+        batching-policy analogue): N bands are processed in ONE Dataset
+        execution and committed atomically together.  Larger groups
+        amortize per-execution overheads (shuffle setup, merge actor-pool
+        startup, lake rewrite amplification) at the cost of coarser
+        resume granularity — a crash redoes the whole in-flight group.
+
+        ``mode``:
+
+        - ``"streaming"`` (default): long-lived merge-actor pool with
+          direct key routing (:mod:`rayflow.cdc.streaming`) — no sort
+          machinery, stable wall-times, actors persist across commit
+          groups within this call.
+        - ``"shuffle"``: ``groupby(_part_id).map_groups`` exchange —
+          fully Dataset-native; used as a correctness cross-check and
+          when actor RAM for a group's delta is unavailable.
+
+        Both modes produce byte-identical lake state (tested).
+        """
         import ray
         import ray.data as rd
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        # The merge exchange is a key-partitioned groupby; the default
+        # pull-based sort shuffle serializes badly on wide inputs (measured
+        # 3-4x slower at sf0.1).  Push-based overlaps map and reduce.
+        DataContext.get_current().shuffle_strategy = (
+            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        )
 
         # actor-pool size: leave headroom for read/normalize stages so the
         # streaming executor can pipeline instead of serializing stages
         merge_conc = self.merge_concurrency or max(
-            1, min(self.num_partitions, int(ray.cluster_resources().get("CPU", 8)) - 2)
+            1,
+            min(
+                self.num_partitions,
+                int(ray.cluster_resources().get("CPU", 8)) - 2,
+                16,  # merge calls are short; a bigger pool just pays startup
+            ),
         )
 
         stats = ReplayStats()
@@ -111,68 +146,121 @@ class CdcEngine:
             self.auto_salt and not salts and self.manifest.committed_lsn < 0 and bands
         ):
             # Plan the salt map ONCE at lake creation from a sample of the
-            # whole visible log (key column only — pruned at the read), then
-            # persist it: key→partition placement must stay stable forever.
+            # visible log, then persist it: key→partition placement must
+            # stay stable forever.  Sampling is FILE-level (deterministic,
+            # spread across bands/source partitions) so only the sampled
+            # files' key column is ever read — row-sampling every file
+            # cost more than the replay it protects.
             all_files = [f for b in bands for f in b.files]
-            key_ds = rd.read_parquet(all_files, columns=["conv_id"])
+            n_sample = max(
+                min(4, len(all_files)),
+                int(round(self.salt_sample_fraction * len(all_files))),
+            )
+            stride = max(1, len(all_files) // n_sample)
+            sample_files = all_files[::stride][:n_sample]
+            key_ds = rd.read_parquet(sample_files, columns=["conv_id"])
             salts = plan_salts(
                 key_ds,
                 self.num_partitions,
-                sample_fraction=self.salt_sample_fraction,
+                sample_fraction=1.0,
                 seed=self.seed,
             )
-        for band in bands:
-            tb0 = time.perf_counter()
-            step_schema = band_schema(band)
-            prior = self.manifest.schema
-            if prior is not None:
-                step_schema = unify(prior, step_schema)
+        import pyarrow.parquet as pq
 
-            ds = rd.read_parquet(band.files)
-            n_raw = ds.count()  # Parquet footer metadata — no data read
+        pool = None
+        if mode == "streaming" and bands:
+            from rayflow.cdc.streaming import MergePool
 
-            normalized = ds.map_batches(
-                NormalizeChanges(step_schema, self.num_partitions, salts),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_actors = self.merge_concurrency or max(
+                1, min(self.num_partitions, n_cpus // 2)
             )
-            merged = normalized.groupby(PART_COL).map_groups(
-                MergeWorker,
-                fn_constructor_kwargs=dict(
-                    lake_dir=self.lake_dir,
-                    base_files=self.manifest.partition_files(),
-                    change_schema=step_schema,
-                    band_hi=band.lsn_hi,
-                ),
-                batch_format="pyarrow",
-                concurrency=merge_conc,
-                num_cpus=1,
-            )
-            part_stats = merged.take_all()  # P tiny rows
-            wall = time.perf_counter() - tb0
+            pool = MergePool(num_actors=n_actors)
 
-            lineage = {
-                "band_id": band.band_id,
-                "lsn_lo": band.lsn_lo,
-                "lsn_hi": band.lsn_hi,
-                "input_files": [f.split("/")[-2] + "/" + f.split("/")[-1] for f in band.files],
-                "n_events": n_raw,
-                "n_partitions_touched": len(part_stats),
-                "rows_after": int(sum(r["rows"] for r in part_stats)),
-                "wall_s": round(wall, 4),
-                "events_per_s": round(n_raw / wall, 1) if wall > 0 else None,
-            }
-            self.manifest.commit_band(
-                band_hi=band.lsn_hi,
-                schema=step_schema,
-                part_stats=part_stats,
-                salts=salts,
-                lineage=lineage,
-                num_partitions=self.num_partitions,
-            )
-            stats.bands_applied += 1
-            stats.n_events += n_raw
-            stats.lineage.append(lineage)
+        groups = [
+            bands[i : i + bands_per_commit]
+            for i in range(0, len(bands), max(1, bands_per_commit))
+        ]
+        try:
+            for group in groups:
+                tb0 = time.perf_counter()
+                files = [f for b in group for f in b.files]
+                group_hi = max(b.lsn_hi for b in group)
+                step_schema = unify(*[band_schema(b) for b in group])
+                prior = self.manifest.schema
+                if prior is not None:
+                    step_schema = unify(prior, step_schema)
+
+                # event count from parquet footers (no data read, no extra
+                # Dataset execution)
+                n_raw = sum(pq.read_metadata(f).num_rows for f in files)
+                normalize = NormalizeChanges(
+                    step_schema, self.num_partitions, salts
+                )
+
+                if pool is not None:
+                    from rayflow.cdc.streaming import ReadNormalizeRoute
+
+                    paths = rd.from_items(
+                        [{"path": f} for f in files],
+                        override_num_blocks=len(files),
+                    )
+                    routed = paths.map_batches(
+                        ReadNormalizeRoute(normalize, pool.actors, pool.num_actors),
+                        batch_size=1,
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                    routed.take_all()  # drive the stream through the pool
+                    part_stats = pool.flush(
+                        self.lake_dir, self.manifest.partition_files(), group_hi
+                    )
+                else:
+                    normalized = rd.read_parquet(files).map_batches(
+                        normalize, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    merged = normalized.groupby(PART_COL).map_groups(
+                        MergeWorker,
+                        fn_constructor_kwargs=dict(
+                            lake_dir=self.lake_dir,
+                            base_files=self.manifest.partition_files(),
+                            change_schema=step_schema,
+                            band_hi=group_hi,
+                        ),
+                        batch_format="pyarrow",
+                        concurrency=merge_conc,
+                        num_cpus=1,
+                    )
+                    part_stats = merged.take_all()  # P tiny rows
+                wall = time.perf_counter() - tb0
+
+                lineage = {
+                    "band_ids": [b.band_id for b in group],
+                    "lsn_lo": min(b.lsn_lo for b in group),
+                    "lsn_hi": group_hi,
+                    "input_files": [
+                        f.split("/")[-2] + "/" + f.split("/")[-1] for f in files
+                    ],
+                    "n_events": n_raw,
+                    "n_partitions_touched": len(part_stats),
+                    "rows_after": int(sum(r["rows"] for r in part_stats)),
+                    "wall_s": round(wall, 4),
+                    "events_per_s": round(n_raw / wall, 1) if wall > 0 else None,
+                }
+                self.manifest.commit_band(
+                    band_hi=group_hi,
+                    schema=step_schema,
+                    part_stats=part_stats,
+                    salts=salts,
+                    lineage=lineage,
+                    num_partitions=self.num_partitions,
+                )
+                stats.bands_applied += len(group)
+                stats.n_events += n_raw
+                stats.lineage.append(lineage)
+        finally:
+            if pool is not None:
+                pool.shutdown()
 
         stats.wall_s = time.perf_counter() - t0
         return stats

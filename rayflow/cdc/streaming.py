@@ -1,0 +1,210 @@
+"""Streaming merge pool: long-lived actors holding per-partition state.
+
+This is the architecture the north star names explicitly: *actor pools
+holding per-partition merge state (hash-indexed latest-version maps with
+LSN-based last-writer-wins)* — the Ray-native rebuild of the reference's
+manager-held cache resources + dedupe seen-state (``⟨upstream:
+internal/manager/⟩``, ``processor_dedupe.go``).
+
+Topology for one commit group::
+
+    read_parquet(files)  →  map_batches(NormalizeChanges)   [stateless tasks]
+        →  map_batches(RouteToPool)                          [stateless tasks]
+              each task splits its batch by owning actor
+              (owner = part_id % A) and ray.get's
+              MergeActor.apply(sub) — the get IS the
+              backpressure: a task can't out-run its actors
+    driver: ray.get(actor.flush(band_hi)) for all actors     [parallel]
+    driver: manifest.commit_band(...)                        [atomic]
+
+Each :class:`MergeActor` owns partitions ``p ≡ idx (mod A)`` and buffers
+their deltas as Arrow sub-tables (compacted with the vectorized LWW
+reduce when a partition's buffer exceeds ``compact_rows`` — so actor
+memory holds at most O(live keys + compact_rows) rows per partition, the
+"hash-indexed latest-version map" in columnar form).  ``flush`` merges
+each owned partition with its durable base state and writes the new
+state file idempotently; the actors' RAM is never the source of truth,
+so a crashed group is simply re-run (exactly-once comes from the
+manifest commit, SURVEY.md §7.4).  Exact replays of an event (a retried
+routing task re-applying a batch) are removed by unique-LSN dedupe in
+the merge.
+
+Versus the shuffle path (``groupby(_part_id).map_groups``): no sort
+machinery, stable wall-times, and state survives across micro-batches
+within a replay session.  The shuffle path remains as a cross-checked
+alternative (``CdcEngine.replay(mode="shuffle")``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayflow.cdc.merge import hydrate_base, lww_reduce, merge_partition_delta
+from rayflow.cdc.partitioner import PART_COL
+from rayflow.schema import conform, unify
+
+
+class _MergeActorImpl:
+    """Plain class; wrapped with ``ray.remote`` at pool construction so
+    importing this module never touches Ray."""
+
+    def __init__(self, actor_idx: int, num_actors: int,
+                 compact_rows: int = 500_000):
+        self.idx = actor_idx
+        self.n = num_actors
+        self.compact_rows = compact_rows
+        self.buf: dict[int, list[pa.Table]] = {}
+        self.rows: dict[int, int] = {}
+
+    def apply(self, block: pa.Table, indices: np.ndarray) -> int:
+        """Absorb this actor's rows of a routed block.
+
+        ``block`` arrives as a zero-copy plasma read (the router put it
+        ONCE and every actor's task references the same object — shipping
+        per-actor sub-tables through the RPC cost 3x the whole stage,
+        measured); ``indices`` selects the rows this actor owns."""
+        sub = block.take(pa.array(indices))
+        if sub.num_rows == 0:
+            return 0
+        parts = sub.column(PART_COL).to_numpy()
+        order = np.argsort(parts, kind="stable")
+        sorted_tbl = sub.take(pa.array(order))
+        sorted_parts = parts[order]
+        bounds = np.flatnonzero(np.diff(sorted_parts)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sorted_parts)]))
+        for s, e in zip(starts, ends):
+            pid = int(sorted_parts[s])
+            piece = sorted_tbl.slice(s, e - s).drop_columns([PART_COL])
+            self.buf.setdefault(pid, []).append(piece)
+            self.rows[pid] = self.rows.get(pid, 0) + (e - s)
+            if self.rows[pid] > self.compact_rows:
+                self._compact(pid)
+        return sub.num_rows
+
+    def _compact(self, pid: int) -> None:
+        tables = self.buf[pid]
+        uni = unify(*[t.schema for t in tables])
+        merged = lww_reduce(
+            pa.concat_tables([conform(t, uni) for t in tables])
+        )
+        self.buf[pid] = [merged]
+        self.rows[pid] = merged.num_rows
+
+    def flush(self, lake_dir: str, base_files: dict[int, str],
+              band_hi: int) -> list[dict]:
+        """Merge every owned partition with its base and write the new
+        state files; clears actor state.  Returns per-partition stats."""
+        stats = []
+        for pid in sorted(self.buf):
+            tables = self.buf[pid]
+            uni = unify(*[t.schema for t in tables])
+            delta = pa.concat_tables([conform(t, uni) for t in tables])
+            stats.append(
+                merge_partition_delta(
+                    delta,
+                    hydrate_base(base_files, pid),
+                    lake_dir=lake_dir,
+                    part_id=pid,
+                    band_hi=band_hi,
+                )
+            )
+        self.buf.clear()
+        self.rows.clear()
+        return stats
+
+
+class MergePool:
+    """Driver-side handle on the actor pool (one per replay session)."""
+
+    def __init__(self, num_actors: int, compact_rows: int = 500_000):
+        import ray
+
+        self.num_actors = num_actors
+        actor_cls = ray.remote(num_cpus=1)(_MergeActorImpl)
+        self.actors = [
+            actor_cls.remote(i, num_actors, compact_rows)
+            for i in range(num_actors)
+        ]
+
+    def flush(self, lake_dir: str, base_files: dict[int, str],
+              band_hi: int) -> list[dict]:
+        import ray
+
+        results = ray.get(
+            [a.flush.remote(lake_dir, base_files, band_hi) for a in self.actors]
+        )
+        return [rec for per_actor in results for rec in per_actor]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+class RouteToPool:
+    """Stateless routing stage: split each normalized batch by owning
+    actor and block on the actors' acks (backpressure — a task cannot
+    out-run its merge actors).  Returns a tiny count table so the
+    Dataset execution has an output to drive."""
+
+    def __init__(self, actors, num_actors: int):
+        self.actors = actors
+        self.n = num_actors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if batch.num_rows == 0:
+            return pa.table({"routed": pa.array([0], type=pa.int64())})
+        batch = batch.combine_chunks()
+        owner = batch.column(PART_COL).to_numpy() % self.n
+        block_ref = ray.put(batch)  # ONE plasma write, shared by all actors
+        refs = []
+        for a_idx in np.unique(owner):
+            idx = np.flatnonzero(owner == a_idx)
+            refs.append(self.actors[a_idx].apply.remote(block_ref, idx))
+        routed = sum(ray.get(refs))
+        del block_ref
+        return pa.table({"routed": pa.array([routed], type=pa.int64())})
+
+
+class NormalizeAndRoute:
+    """Fused normalize + route stage (one task launch per block)."""
+
+    def __init__(self, normalize, actors, num_actors: int):
+        self.normalize = normalize
+        self.route = RouteToPool(actors, num_actors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.route(self.normalize(batch))
+
+
+class ReadNormalizeRoute:
+    """Fused read → normalize → route, driven by a Dataset of file paths.
+
+    One task per change-log file keeps the block composition aligned with
+    the on-disk files — updates to one conversation cluster within a
+    source partition's file, so the per-block LWW collapse removes far
+    more duplicates than arbitrary re-split blocks would (measured: 3.2M
+    vs 8.5M surviving rows on the sf0.1 bench log), and the Dataset
+    machinery never re-serializes the decoded table between read and
+    normalize.  Backpressure still applies: this is an ordinary
+    ``map_batches`` stage consuming a tiny paths Dataset."""
+
+    def __init__(self, normalize, actors, num_actors: int):
+        self.normalize = normalize
+        self.route = RouteToPool(actors, num_actors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        routed = 0
+        for path in batch.column("path").to_pylist():
+            tbl = pq.read_table(path, use_threads=False)
+            out = self.route(self.normalize(tbl))
+            routed += int(out.column("routed")[0].as_py())
+        return pa.table({"routed": pa.array([routed], type=pa.int64())})

@@ -45,6 +45,10 @@ def ops() -> list[str]:
 
 
 # populate the registry
+from rayflow.ops import ann as _ann  # noqa: E402,F401
 from rayflow.ops import core as _core  # noqa: E402,F401
+from rayflow.ops import dedup as _dedup  # noqa: E402,F401
 from rayflow.ops import joins as _joins  # noqa: E402,F401
+from rayflow.ops import multimodal as _multimodal  # noqa: E402,F401
+from rayflow.ops import textops as _textops  # noqa: E402,F401
 from rayflow.ops import windows as _windows  # noqa: E402,F401

@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup primitive is the cache-backed ``dedupe``
+processor (exact keys).  A training-data engine needs near-duplicate
+detection at corpus scale; these follow the standard sketch pipeline
+(Broder MinHash / Charikar SimHash, public literature):
+
+- **exact**: content hash → keyed reduce (no shuffle of full text).
+- **MinHash+LSH**: per-doc shingle set → ``num_perm`` minhashes → band
+  into ``(band_id, band_hash)`` keys → ``groupby`` the bands → candidate
+  pairs → exact-Jaccard verification.  The only all-to-all exchange
+  carries (doc_id, band_hash) pairs — tiny next to the corpus.
+- **SimHash**: 64-bit fingerprint; near-dups block on bit-band equality.
+- **blocked n-gram Jaccard**: exact pairwise within small blocks (a
+  pre-existing blocking key, e.g. ``source``) — the brute-force oracle
+  for the sketch methods at test scale.
+
+All hashing is deterministic (crc32 / fixed-seed mixing), never
+Python's salted ``hash``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayflow.ops import register_op
+from rayflow.ops.kernels import argextreme_reduce
+
+_PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_shingles(text: str, k: int) -> set[int]:
+    toks = text.split()
+    if len(toks) < k:
+        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+    return {
+        zlib.crc32(" ".join(toks[i : i + k]).encode())
+        for i in range(len(toks) - k + 1)
+    }
+
+
+def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minhashes via universal hashing (a*x+b mod p)."""
+    if not shingles:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (num_perm, n_shingles) matrix-free min: loop over perms is fine
+    # (num_perm ~ 64), the inner op is vectorized over shingles
+    sig = np.empty(len(a), dtype=np.uint64)
+    for i in range(len(a)):
+        sig[i] = ((a[i] * x + b[i]) % _MERSENNE).min()
+    return sig
+
+
+class MinHasher:
+    """Actor-pool stage: permutation coefficients drawn once per actor
+    from a fixed seed (identical across actors — determinism)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(self.id_col).to_numpy()
+        sigs = [
+            minhash_signature(_token_shingles(s or "", self.k), self.a, self.b)
+            for s in texts
+        ]
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "sig": pa.array([s.astype(np.int64) for s in sigs],
+                            type=pa.list_(pa.int64())),
+        })
+
+
+def explode_bands(t: pa.Table, num_bands: int, id_col: str = "doc_id") -> pa.Table:
+    """Signature → (doc_id, band_id, band_hash) rows, vectorized."""
+    ids = t.column(id_col).to_numpy()
+    sigs = t.column("sig").to_pylist()
+    if not sigs:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+        })
+    sig_mat = np.asarray(sigs, dtype=np.uint64)  # (n_docs, num_perm)
+    rows_per_band = sig_mat.shape[1] // num_bands
+    out_ids, out_bands, out_hashes = [], [], []
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    for b in range(num_bands):
+        chunk = sig_mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+        h = np.zeros(len(ids), dtype=np.uint64)
+        for j in range(chunk.shape[1]):
+            h = (h ^ chunk[:, j]) * mix
+        out_ids.append(ids)
+        out_bands.append(np.full(len(ids), b, dtype=np.int32))
+        out_hashes.append((h >> np.uint64(1)).astype(np.int64))
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_ids)),
+        "band_id": pa.array(np.concatenate(out_bands)),
+        "band_hash": pa.array(np.concatenate(out_hashes)),
+    })
+
+
+def _pairs_from_group(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    ids = np.sort(g[id_col].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+
+def jaccard(sa: set, sb: set) -> float:
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+@register_op("minhash_lsh_dedup")
+def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
+                      num_bands: int = 16, shingle_k: int = 3, seed: int = 42,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      concurrency: int = 2):
+    """Near-duplicate pair detection.  Returns (doc_a, doc_b, jaccard)
+    for verified pairs with token-shingle Jaccard ≥ threshold.
+
+    Verification broadcasts the candidate docs' texts (``ray.put`` once);
+    at corpus scale swap that stage for a sharded join on doc_id — the
+    candidate set is tiny either way (bands with ≥2 docs only)."""
+
+    def apply(ds):
+        # signature + banding (the distributed part)
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                       seed=seed, text_col=text_col, id_col=id_col),
+            concurrency=concurrency,
+            batch_format="pyarrow", zero_copy_batch=True, num_cpus=1,
+        )
+        bands = sigs.map_batches(
+            lambda t: explode_bands(t, num_bands, id_col), **_PA_KW
+        )
+        cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+            _pairs_from_group, batch_format="pandas"
+        )
+        pairs = (
+            cand.to_pandas().drop_duplicates(ignore_index=True)
+            if cand.count() > 0
+            else pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        )
+
+        # exact-Jaccard verification on the (small) candidate set
+        need = set(pairs["doc_a"]) | set(pairs["doc_b"])
+        doc_text = {}
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            ids = batch.column(id_col).to_numpy()
+            mask = np.isin(ids, np.fromiter(need, dtype=np.int64, count=len(need))) if need else np.zeros(len(ids), bool)
+            for i in np.flatnonzero(mask):
+                doc_text[int(ids[i])] = batch.column(text_col)[int(i)].as_py()
+        rows = []
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            ja = jaccard(
+                _token_shingles(doc_text.get(int(a), ""), shingle_k),
+                _token_shingles(doc_text.get(int(b), ""), shingle_k),
+            )
+            if ja >= threshold:
+                rows.append((int(a), int(b), round(ja, 6)))
+        import ray.data as rd
+
+        out = pa.table({
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        return rd.from_arrow(out)
+
+    return apply
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """Charikar 64-bit simhash over whitespace tokens (crc32-mixed)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.array(
+        [zlib.crc32(t.encode()) * 0x9E3779B97F4A7C15 % (1 << 64) for t in toks],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+    counts = bits.sum(axis=0)
+    vec = (counts * 2 > len(toks)).astype(np.uint64)
+    return int((vec << np.arange(64, dtype=np.uint64)).sum() >> np.uint64(1))
+
+
+@register_op("simhash")
+def build_simhash(*, text_col: str = "text", id_col: str = "doc_id"):
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            sh = [simhash64(s or "") for s in texts]
+            return pa.table({
+                id_col: t.column(id_col),
+                "simhash": pa.array(sh, pa.int64()),
+            })
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("jaccard_block_pairs")
+def build_jaccard_block_pairs(*, block_col: str = "source",
+                              threshold: float = 0.5, shingle_k: int = 3,
+                              text_col: str = "text", id_col: str = "doc_id"):
+    """Exact pairwise n-gram Jaccard within pre-blocked groups — the
+    brute-force baseline (quadratic per block; block sizes must be
+    bounded, which is the blocking key's job)."""
+
+    def apply(ds):
+        def per_block(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g[id_col].to_numpy()
+            shs = [_token_shingles(s or "", shingle_k) for s in g[text_col]]
+            rows = []
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ja = jaccard(shs[i], shs[j])
+                    if ja >= threshold:
+                        a, b = sorted((int(ids[i]), int(ids[j])))
+                        rows.append((a, b, round(ja, 6)))
+            return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+        return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+
+    return apply

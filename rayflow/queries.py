@@ -546,3 +546,146 @@ def cdc_upsert_events(sf_dir: str):
     engine = CdcEngine(os.path.join(work, "lake"), num_partitions=8, auto_salt=False)
     engine.replay(log_dir)
     return engine.final_dataset(include_meta=True)
+
+
+# --------------------------------------------------------------------------
+# training-data ops: text analysis / dedup / similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_count_docs",
+    """
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_docs(sf_dir: str):
+    """Token counting (whitespace regex, vectorized)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({"op": "token_count"})(ds)
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+@query(
+    "quality_metrics_docs",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_q,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+    FROM documents
+    """,
+)
+def quality_metrics_docs(sf_dir: str):
+    """Quality-scoring metrics (char/token/punct/digit counts)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({"op": "quality_score"})(ds)
+    return ds.select_columns(["doc_id", "n_chars_q", "n_tokens", "n_punct", "n_digits"])
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    """,
+)
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprinting (md5 + rolling-hash min; md5 oracle-checked)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({"op": "fingerprint"})(ds)
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+@query(
+    "dedup_exact_text",
+    """
+    SELECT text,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_text(sf_dir: str):
+    """Exact text dedup: keep-first per content group (hash-partitioned)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return build_op({
+        "op": "group_agg", "keys": ["text"],
+        "aggs": [("min", "doc_id", "first_doc"), ("count", None, "n_copies")],
+    })(ds)
+
+
+@query(
+    "knn_bruteforce_cos",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), sims AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding) AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def knn_bruteforce_cos(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
+    matmul partials, tiny per-query final reduce."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mask = pc.less(emb["vec_id"], 5)
+    qt = emb.filter(mask)
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return build_op({
+        "op": "knn_bruteforce", "queries": queries, "query_ids": qids, "k": 10,
+    })(ds)
+
+
+@query("minhash_near_dup")  # not SQL-expressible → driver rows-only check
+def minhash_near_dup(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs (Jaccard-verified); cross-checked
+    against blocked brute force in tests/test_training_ops.py."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return build_op({
+        "op": "minhash_lsh_dedup", "threshold": 0.5, "num_perm": 64,
+        "num_bands": 16, "shingle_k": 3,
+    })(ds)
+
+
+@query("simhash_fingerprints")  # deterministic; rows-only driver check
+def simhash_fingerprints(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return build_op({"op": "simhash"})(ds)
+
+
+@query("lang_id_docs")  # heuristic; rows-only driver check
+def lang_id_docs(sf_dir: str):
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({"op": "lang_id"})(ds)
+    return ds.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+@query("ann_lsh_topk")  # approximate; recall vs brute force tested in pytest
+def ann_lsh_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 5))
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return build_op({
+        "op": "ann_lsh", "queries": queries, "query_ids": qids, "k": 10,
+        "dim": queries.shape[1], "n_planes": 8,
+    })(ds)

@@ -116,3 +116,14 @@ def test_lineage_and_metrics(changelog, tmp_path):
         assert rec["events_per_s"] > 0
         assert rec["input_files"]
     assert e.manifest.committed_lsn == info["max_lsn"]
+
+
+def test_shuffle_and_streaming_modes_agree(changelog, tmp_path):
+    """The two merge exchanges (groupby shuffle vs streaming actor pool)
+    must produce identical final lake state."""
+    log_dir, _ = changelog
+    e1 = CdcEngine(str(tmp_path / "lake_a"), num_partitions=8)
+    e1.replay(log_dir, mode="streaming", bands_per_commit=2)
+    e2 = CdcEngine(str(tmp_path / "lake_b"), num_partitions=8)
+    e2.replay(log_dir, mode="shuffle", bands_per_commit=2)
+    pd.testing.assert_frame_equal(_engine_result(e1), _engine_result(e2))
