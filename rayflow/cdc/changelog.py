@@ -120,19 +120,23 @@ def _events_to_table(ev: dict[str, np.ndarray], lo: int, hi: int,
     conv, turn, op, lsn, ver = (
         ev["conv"][sl], ev["turn"][sl], ev["op"][sl], ev["lsn"][sl], ev["ver"][sl]
     )
-    n = len(lsn)
-    conv_id = np.char.add("conv", np.char.zfill(conv.astype("U8"), 8))
     is_del = op == 2
     role = _ROLES[np.where(turn % 2 == 0, 0, np.where(turn % 9 == 5, 3, 1))]
     tool = np.where((turn % 7 == 3) & (turn % 2 == 1), "search", "")
-    # per-turn text: deterministic function of (conv, turn, version)
-    text = np.char.add(
-        np.char.add(
-            np.char.add("turn text conv=", conv.astype("U10")),
-            np.char.add(" idx=", turn.astype("U10")),
-        ),
-        np.char.add(" v=", ver.astype("U12")),
+    # conv_id / per-turn text: deterministic functions of (conv, turn,
+    # version).  Built with polars (parallel C string kernels) — numpy's
+    # np.char was the generation bottleneck at 10^7+ events.
+    import polars as pl
+
+    sdf = pl.DataFrame({"conv": conv, "turn": turn, "ver": ver})
+    built = sdf.select(
+        conv_id=pl.lit("conv") + pl.col("conv").cast(pl.Utf8).str.zfill(8),
+        text=pl.lit("turn text conv=") + pl.col("conv").cast(pl.Utf8)
+        + pl.lit(" idx=") + pl.col("turn").cast(pl.Utf8)
+        + pl.lit(" v=") + pl.col("ver").cast(pl.Utf8),
     )
+    conv_id = built["conv_id"].to_arrow()
+    text = built["text"].to_arrow()
     ts = TS_BASE_US + turn * 1_000_000 + conv  # payload event time
     src_ts = TS_BASE_US + lsn                  # unique, monotone
 
@@ -141,10 +145,10 @@ def _events_to_table(ev: dict[str, np.ndarray], lo: int, hi: int,
         "lsn": pa.array(lsn),
         "op": pa.array(_OP_NAMES[op]),
         "src_ts": pa.array(src_ts, type=pa.timestamp("us")),
-        "conv_id": pa.array(conv_id),
+        "conv_id": conv_id.cast(pa.string()),
         "turn_idx": pa.array(turn, type=pa.int32()),
         "role": pa.array(role),
-        "text": pa.array(text),
+        "text": text.cast(pa.string()),
         "tool": pa.array(tool),
         "ts": pa.array(ts, type=pa.timestamp("us")),
     }

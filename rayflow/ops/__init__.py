@@ -45,6 +45,7 @@ def ops() -> list[str]:
 
 
 # populate the registry
+from rayflow.ops import advanced as _advanced  # noqa: E402,F401
 from rayflow.ops import ann as _ann  # noqa: E402,F401
 from rayflow.ops import core as _core  # noqa: E402,F401
 from rayflow.ops import dedup as _dedup  # noqa: E402,F401

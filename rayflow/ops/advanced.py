@@ -1,0 +1,339 @@
+"""Second wave of processor analogues: branch/workflow, archive/
+unarchive, grok, json_schema validation, cache ops, metric, read_until.
+
+These complete the SURVEY.md §2.3 inventory rows not covered by
+:mod:`rayflow.ops.core`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayflow import expr as E
+from rayflow.ops import build_op, register_op
+
+_PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register_op("branch")
+def build_branch(*, request_map: dict[str, Any], processors: list[dict],
+                 result_map: dict[str, str]):
+    """The enrichment workhorse (``⟨upstream:
+    internal/impl/pure/processor_branch.go⟩``): derive a request view
+    from each row (``request_map`` = col→expr), run child processors on
+    it, then merge selected result columns back onto the ORIGINAL rows
+    (``result_map`` = out_col→branch_col).  Row-aligned children only
+    (mapping/filter-free transforms) — the reference has the same
+    constraint for in-place result mapping."""
+    req_exprs = {k: (v if isinstance(v, E.Expr) else E.parse(v))
+                 for k, v in request_map.items()}
+    child_fns = [_table_fn(p) for p in processors]
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            req = pa.table({k: _as_array(ex.eval(t), t.num_rows)
+                            for k, ex in req_exprs.items()})
+            branch = req
+            for child in child_fns:
+                branch = child(branch)
+            if branch.num_rows != t.num_rows:
+                raise ValueError(
+                    "branch children changed row count; result_map requires "
+                    "row-aligned children"
+                )
+            for out_col, branch_col in result_map.items():
+                col = branch.column(branch_col)
+                if out_col in t.column_names:
+                    t = t.set_column(t.column_names.index(out_col), out_col, col)
+                else:
+                    t = t.append_column(out_col, col)
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+def _as_array(v, n):
+    if isinstance(v, pa.Scalar):
+        return pa.nulls(n, v.type).fill_null(v)
+    return v
+
+
+def _table_fn(conf: dict):
+    """Compile a branch-child processor config into a pure
+    ``pa.Table → pa.Table`` kernel (runs INSIDE the parent batch — no
+    nested Dataset execution in workers).  Row-aligned ops only."""
+    conf = dict(conf)
+    op = conf.pop("op")
+    if op == "mapping":
+        exprs = {k: (v if isinstance(v, E.Expr) else E.parse(v))
+                 for k, v in conf["cols"].items()}
+
+        def mapping_fn(t: pa.Table) -> pa.Table:
+            for name, ex in exprs.items():
+                val = _as_array(ex.eval(t), t.num_rows)
+                if name in t.column_names:
+                    t = t.set_column(t.column_names.index(name), name, val)
+                else:
+                    t = t.append_column(name, val)
+            return t
+
+        return mapping_fn
+    if op == "grok":
+        col, pattern = conf["column"], conf["pattern"]
+
+        def grok_fn(t: pa.Table) -> pa.Table:
+            extracted = pc.extract_regex(t.column(col), pattern)
+            for field in extracted.type:
+                t = t.append_column(field.name, pc.struct_field(extracted, field.name))
+            return t
+
+        return grok_fn
+    raise ValueError(
+        f"branch children must be row-aligned table ops (mapping/grok), got {op!r}"
+    )
+
+
+@register_op("workflow")
+def build_workflow(*, branches: dict[str, dict], order: list[str] | None = None):
+    """DAG of named branches with dependency ordering (``⟨upstream:
+    internal/impl/pure/processor_workflow.go⟩``).  ``order`` gives the
+    topological order (explicit, like the reference's adjacency spec);
+    default is insertion order."""
+    names = order or list(branches)
+    built = [(n, build_op({"op": "branch", **branches[n]})) for n in names]
+
+    def apply(ds):
+        for _, b in built:
+            ds = b(ds)
+        return ds
+
+    return apply
+
+
+@register_op("archive")
+def build_archive(*, columns: list[str], out: str = "archived",
+                  fmt: str = "json_array"):
+    """Batch → one document (``archive`` processor, json_array/lines):
+    each BLOCK becomes a single row whose payload is the serialized
+    rows.  Vectorized via Arrow→pylist once per block."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            rows = t.select(columns).to_pylist()
+            if fmt == "json_array":
+                payload = json.dumps(rows, default=str, sort_keys=True)
+            elif fmt == "lines":
+                payload = "\n".join(
+                    json.dumps(r, default=str, sort_keys=True) for r in rows
+                )
+            else:
+                raise ValueError(f"unknown archive format {fmt!r}")
+            return pa.table({out: pa.array([payload], pa.string()),
+                             "n_rows": pa.array([t.num_rows], pa.int64())})
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("unarchive")
+def build_unarchive(*, column: str, fmt: str = "json_array"):
+    """One document → rows (``unarchive``): parse a JSON-array (or
+    JSON-lines) string column and explode to one row per element, with
+    element keys as columns."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            out_rows: list[dict] = []
+            for payload in t.column(column).to_pylist():
+                if payload is None:
+                    continue
+                if fmt == "json_array":
+                    out_rows.extend(json.loads(payload))
+                elif fmt == "lines":
+                    out_rows.extend(
+                        json.loads(line) for line in payload.splitlines() if line
+                    )
+                else:
+                    raise ValueError(f"unknown unarchive format {fmt!r}")
+            if not out_rows:
+                return pa.table({"_empty": pa.array([], pa.int8())})
+            return pa.Table.from_pylist(out_rows)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply
+
+
+@register_op("grok")
+def build_grok(*, column: str, pattern: str, drop_source: bool = False):
+    """Regex extraction into typed columns (``grok`` / ``parse_log``):
+    named groups of ``pattern`` become string columns (vectorized
+    ``pc.extract_regex``); non-matching rows get nulls + ``_error``."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            extracted = pc.extract_regex(t.column(column), pattern)
+            struct_type = extracted.type
+            err = pc.if_else(
+                pc.is_valid(extracted),
+                pa.scalar(None, pa.string()),
+                pa.scalar("grok: no match", pa.string()),
+            )
+            for field in struct_type:
+                t = t.append_column(field.name, pc.struct_field(extracted, field.name))
+            t = t.append_column("_error", err)
+            if drop_source:
+                t = t.drop_columns([column])
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("json_schema")
+def build_json_schema(*, column: str, required: list[str],
+                      types: dict[str, type] | None = None):
+    """Validate a JSON-string column against a minimal schema spec
+    (required keys + python types) — the ``json_schema`` processor's
+    semantics without a jsonschema dependency.  Failures set ``_error``
+    (route with ``catch``)."""
+    types = types or {}
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            errs = []
+            for payload in t.column(column).to_pylist():
+                err = None
+                try:
+                    doc = json.loads(payload) if payload is not None else None
+                    if not isinstance(doc, dict):
+                        err = "json_schema: not an object"
+                    else:
+                        for k in required:
+                            if k not in doc:
+                                err = f"json_schema: missing key {k}"
+                                break
+                            want = types.get(k)
+                            if want is not None and not isinstance(doc[k], want):
+                                err = f"json_schema: {k} wrong type"
+                                break
+                except (json.JSONDecodeError, TypeError):
+                    err = "json_schema: invalid json"
+                errs.append(err)
+            return t.append_column("_error", pa.array(errs, pa.string()))
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("cache_set")
+def build_cache_set(*, cache: str, key_expr: Any, value_col: str,
+                    add_only: bool = False):
+    """Write rows into a named cache resource (``cache`` output /
+    processor set|add).  ``add_only=True`` = set-if-absent."""
+    kex = key_expr if isinstance(key_expr, E.Expr) else E.parse(key_expr)
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            import ray
+
+            from rayflow.state import get_cache
+
+            handle = get_cache(cache)
+            keys = [str(k) for k in _as_array(kex.eval(t), t.num_rows).to_pylist()]
+            vals = t.column(value_col).to_pylist()
+            items = dict(zip(keys, vals))
+            if add_only:
+                ray.get(handle.madd.remote(items))
+            else:
+                ray.get(handle.mset.remote(items))
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("cache_get")
+def build_cache_get(*, cache: str, key_expr: Any, out: str,
+                    out_type: pa.DataType | None = None):
+    """Enrich rows from a named cache (``branch`` + ``cache`` get)."""
+    kex = key_expr if isinstance(key_expr, E.Expr) else E.parse(key_expr)
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            import ray
+
+            from rayflow.state import get_cache
+
+            handle = get_cache(cache)
+            keys = [str(k) for k in _as_array(kex.eval(t), t.num_rows).to_pylist()]
+            vals = ray.get(handle.mget.remote(keys))
+            return t.append_column(out, pa.array(vals, out_type))
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("metric")
+def build_metric(*, name: str, counters: dict[str, Any], sink: str = "default"):
+    """Emit counters from the stream (``metric`` processor): each counter
+    is an expression summed per block and accumulated in the named
+    metrics actor.  Pass-through — the data is unchanged."""
+    exprs = {k: (v if isinstance(v, E.Expr) else E.parse(v))
+             for k, v in counters.items()}
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            import ray
+
+            from rayflow.state import get_metrics
+
+            handle = get_metrics(sink)
+            updates = {f"{name}.count": float(t.num_rows)}
+            for k, ex in exprs.items():
+                val = ex.eval(t)
+                if isinstance(val, pa.Scalar):
+                    updates[f"{name}.{k}"] = float(val.as_py() or 0) * t.num_rows
+                else:
+                    updates[f"{name}.{k}"] = float(
+                        pc.sum(pc.cast(val, pa.float64())).as_py() or 0.0
+                    )
+            # acknowledged: fire-and-forget increments can still be in
+            # flight when the driver reads the snapshot (observed)
+            ray.get(handle.incr.remote(updates))
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+def read_until(make_ds, predicate, max_iters: int = 1000):
+    """Bounded replay loop (``read_until`` input): keep pulling datasets
+    from ``make_ds(i)`` until ``predicate(ds) → True`` or the source is
+    exhausted (``make_ds`` returns None).  Driver-side control flow, like
+    the reference's wrapper input terminating on a Bloblang check."""
+    out = []
+    for i in range(max_iters):
+        ds = make_ds(i)
+        if ds is None:
+            break
+        out.append(ds)
+        if predicate(ds):
+            break
+    if not out:
+        return None
+    base = out[0]
+    return base.union(*out[1:]) if len(out) > 1 else base

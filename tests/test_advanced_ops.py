@@ -1,0 +1,184 @@
+"""Tests for the second-wave processor analogues (branch/workflow/
+archive/grok/json_schema/cache/metric/read_until)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayflow import expr as E
+from rayflow.ops import build_op
+
+
+def _events_tbl():
+    return pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "raw": pa.array([
+            '{"user": "alice", "n": 3}',
+            '{"user": "bob", "n": 7}',
+            '{"user": "carol"}',
+            "not json",
+        ]),
+        "log": pa.array([
+            "GET /index.html 200",
+            "POST /api/v1 500",
+            "GET /health 200",
+            "BAD",
+        ]),
+    })
+
+
+def test_branch_result_map(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([1.0, 2.0, 3.0])}))
+    out = build_op({
+        "op": "branch",
+        "request_map": {"x": E.col("a") * 10.0},
+        "processors": [{"op": "mapping", "cols": {"y": ["add", ["col", "x"], ["lit", 1.0]]}}],
+        "result_map": {"enriched": "y"},
+    })(ds).to_pandas().sort_values("a")
+    assert out["enriched"].tolist() == [11.0, 21.0, 31.0]
+
+
+def test_workflow_chains_branches(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([2.0, 4.0])}))
+    out = build_op({
+        "op": "workflow",
+        "branches": {
+            "double": {
+                "request_map": {"x": E.col("a")},
+                "processors": [{"op": "mapping", "cols": {"x2": ["mul", ["col", "x"], ["lit", 2.0]]}}],
+                "result_map": {"b": "x2"},
+            },
+            "plus_one": {
+                "request_map": {"x": E.col("b")},
+                "processors": [{"op": "mapping", "cols": {"x2": ["add", ["col", "x"], ["lit", 1.0]]}}],
+                "result_map": {"c": "x2"},
+            },
+        },
+        "order": ["double", "plus_one"],
+    })(ds).to_pandas().sort_values("a")
+    assert out["c"].tolist() == [5.0, 9.0]
+
+
+def test_archive_unarchive_roundtrip(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array(["x", "y", "z"])})
+    ds = rd.from_arrow(tbl)
+    arch = build_op({"op": "archive", "columns": ["k", "v"]})(ds)
+    adf = arch.to_pandas()
+    assert adf["n_rows"].sum() == 3
+    back = build_op({"op": "unarchive", "column": "archived"})(arch).to_pandas()
+    assert sorted(back["k"].tolist()) == [1, 2, 3]
+    assert set(back["v"]) == {"x", "y", "z"}
+
+
+def test_grok_extracts_named_groups(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_events_tbl())
+    out = build_op({
+        "op": "grok", "column": "log",
+        "pattern": r"(?P<verb>GET|POST) (?P<path>\S+) (?P<status>\d+)",
+    })(ds).to_pandas().sort_values("id")
+    assert out["verb"].tolist()[:3] == ["GET", "POST", "GET"]
+    assert out["status"].tolist()[3] is None
+    assert out["_error"].tolist()[3] == "grok: no match"
+
+
+def test_grok_then_catch_dead_letters(ray_session, tmp_path):
+    import glob
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(_events_tbl())
+    ds = build_op({
+        "op": "grok", "column": "log",
+        "pattern": r"(?P<verb>GET|POST) (?P<path>\S+) (?P<status>\d+)",
+    })(ds)
+    dlq = str(tmp_path / "dead")
+    good = build_op({"op": "catch", "dead_letter_path": dlq})(ds).to_pandas()
+    assert len(good) == 3 and "_error" not in good.columns
+    dead_files = glob.glob(f"{dlq}/*.parquet")
+    assert dead_files
+    import pyarrow.parquet as pq
+
+    dead = pa.concat_tables([pq.read_table(f) for f in dead_files])
+    assert dead.num_rows == 1
+
+
+def test_json_schema_validation(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_events_tbl())
+    out = build_op({
+        "op": "json_schema", "column": "raw",
+        "required": ["user", "n"], "types": {"n": int},
+    })(ds).to_pandas().sort_values("id")
+    errs = out["_error"].tolist()
+    assert errs[0] is None and errs[1] is None
+    assert "missing key n" in errs[2]
+    assert "invalid json" in errs[3]
+
+
+def test_cache_set_get_roundtrip(ray_session):
+    import ray.data as rd
+
+    from rayflow.state import drop_cache
+
+    tbl = pa.table({"k": pa.array([10, 20], pa.int64()),
+                    "v": pa.array(["a", "b"])})
+    ds = rd.from_arrow(tbl)
+    build_op({"op": "cache_set", "cache": "t1", "key_expr": E.col("k"),
+              "value_col": "v"})(ds).take_all()
+    probe = rd.from_arrow(pa.table({"k": pa.array([20, 10, 99], pa.int64())}))
+    out = build_op({"op": "cache_get", "cache": "t1", "key_expr": E.col("k"),
+                    "out": "v"})(probe).to_pandas().sort_values("k")
+    assert out["v"].tolist() == ["a", "b", None]
+    drop_cache("t1")
+
+
+def test_cache_add_is_set_if_absent(ray_session):
+    import ray
+
+    from rayflow.state import drop_cache, get_cache
+
+    c = get_cache("t2")
+    assert ray.get(c.madd.remote({"x": 1})) == [True]
+    assert ray.get(c.madd.remote({"x": 2})) == [False]
+    assert ray.get(c.mget.remote(["x"])) == [1]
+    drop_cache("t2")
+
+
+def test_metric_counters(ray_session):
+    import ray
+    import ray.data as rd
+
+    from rayflow.state import get_metrics
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([1.0, 2.0, 3.0])}))
+    build_op({"op": "metric", "name": "stage1", "sink": "tmetrics",
+              "counters": {"sum_v": E.col("v")}})(ds).take_all()
+    snap = ray.get(get_metrics("tmetrics").snapshot.remote())
+    assert snap["stage1.count"] == 3.0
+    assert snap["stage1.sum_v"] == 6.0
+
+
+def test_read_until(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.advanced import read_until
+
+    def make(i):
+        if i >= 5:
+            return None
+        return rd.from_arrow(pa.table({"i": pa.array([i], pa.int64())}))
+
+    out = read_until(make, predicate=lambda ds: ds.take_all()[0]["i"] >= 2)
+    assert sorted(r["i"] for r in out.take_all()) == [0, 1, 2]
