@@ -23,6 +23,7 @@ the lake (a moved key would LWW against the wrong base state).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -172,8 +173,11 @@ class CdcEngine:
             from rayflow.cdc.streaming import MergePool
 
             n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            # cap the pool: merge calls are short, and oversubscribing
+            # physical cores (actors + routing tasks) degrades sharply on
+            # SMT boxes (measured: 32 vCPUs/16 cores, see BASELINE.md)
             n_actors = self.merge_concurrency or max(
-                1, min(self.num_partitions, n_cpus // 2)
+                1, min(self.num_partitions, n_cpus // 2, 12)
             )
             pool = MergePool(num_actors=n_actors)
 
@@ -210,6 +214,7 @@ class CdcEngine:
                         batch_size=1,
                         batch_format="pyarrow",
                         zero_copy_batch=True,
+                        concurrency=min(int(ray.cluster_resources().get("CPU", 8)), 20),
                     )
                     routed.take_all()  # drive the stream through the pool
                     part_stats = pool.flush(
@@ -264,6 +269,60 @@ class CdcEngine:
 
         stats.wall_s = time.perf_counter() - t0
         return stats
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> int:
+        """Rewrite every live partition at the current unified lake
+        schema (folds pre-evolution files forward) and bump their state
+        version to the committed watermark.  Returns partitions rewritten.
+        Runs as a small Dataset over partition ids — each task rewrites
+        one partition file idempotently; commit is atomic as usual."""
+        import pyarrow.parquet as pq
+
+        from rayflow.cdc.merge import lake_schema_for
+        from rayflow.schema import conform as _conform
+
+        files = self.manifest.partition_files()
+        if not files or self.manifest.schema is None:
+            return 0
+        target = lake_schema_for(self.manifest.schema)
+        hi = self.manifest.committed_lsn
+        part_stats = []
+        for pid, path in sorted(files.items()):
+            tbl = _conform(pq.read_table(path), target)
+            rec = {
+                "part_id": pid, "rows": tbl.num_rows,
+                "n_events": 0, "lsn_hi": hi,
+            }
+            part_dir = os.path.join(self.lake_dir, f"part-{pid:05d}")
+            final = os.path.join(part_dir, f"compact-{hi:012d}.parquet")
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)
+            rec["file"] = final
+            part_stats.append(rec)
+        self.manifest.commit_band(
+            band_hi=hi, schema=self.manifest.schema, part_stats=part_stats,
+            salts={k: int(v) for k, v in self.manifest.state.get("salts", {}).items()},
+            lineage={"compaction": True, "n_partitions": len(part_stats)},
+            num_partitions=self.num_partitions,
+        )
+        return len(part_stats)
+
+    def vacuum(self) -> int:
+        """Delete state files not referenced by the manifest (older
+        versions superseded by later commits).  Safe any time: a file
+        not in the manifest does not exist, by definition."""
+        import glob as _glob
+
+        live = set(self.manifest.live_files())
+        removed = 0
+        for f in _glob.glob(os.path.join(self.lake_dir, "part-*", "*.parquet")):
+            if f not in live:
+                os.unlink(f)
+                removed += 1
+        return removed
 
     # -- read side ---------------------------------------------------------
 

@@ -689,3 +689,29 @@ def ann_lsh_topk(sf_dir: str):
         "op": "ann_lsh", "queries": queries, "query_ids": qids, "k": 10,
         "dim": queries.shape[1], "n_planes": 8,
     })(ds)
+
+
+@query(
+    "grok_extract_props",
+    """
+    SELECT regexp_extract(props, '"k": (-?\\d+)', 1) AS kstr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY n DESC, kstr
+    LIMIT 15
+    """,
+)
+def grok_extract_props(sf_dir: str):
+    """Regex field extraction (``grok``) + aggregate over the captured
+    group."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["props"])
+    ds = build_op({"op": "grok", "column": "props",
+                   "pattern": '"k": (?P<kstr>-?\\d+)'})(ds)
+    ds = build_op({"op": "catch"})(ds)
+    ds = build_op({
+        "op": "group_agg", "keys": ["kstr"], "aggs": [("count", None, "n")],
+    })(ds)
+    ds = build_op({"op": "sort", "keys": ["n", "kstr"],
+                   "descending": [True, False]})(ds)
+    return build_op({"op": "limit", "n": 15})(ds)

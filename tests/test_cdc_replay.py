@@ -127,3 +127,25 @@ def test_shuffle_and_streaming_modes_agree(changelog, tmp_path):
     e2 = CdcEngine(str(tmp_path / "lake_b"), num_partitions=8)
     e2.replay(log_dir, mode="shuffle", bands_per_commit=2)
     pd.testing.assert_frame_equal(_engine_result(e1), _engine_result(e2))
+
+
+def test_compact_and_vacuum(changelog, tmp_path):
+    """Compaction folds mixed-schema files to the unified schema and
+    vacuum removes superseded state versions; final data unchanged."""
+    import glob
+
+    log_dir, _ = changelog
+    lake = str(tmp_path / "lake")
+    e = CdcEngine(lake, num_partitions=8)
+    e.replay(log_dir)  # 4 bands -> up to 4 state versions per partition
+    before = _engine_result(e)
+    n_files_before = len(glob.glob(f"{lake}/part-*/*.parquet"))
+    assert e.compact() > 0
+    removed = e.vacuum()
+    assert removed > 0
+    n_files_after = len(glob.glob(f"{lake}/part-*/*.parquet"))
+    assert n_files_after < n_files_before
+    pd.testing.assert_frame_equal(before, _engine_result(e))
+    # engine reopened from disk still reads the compacted lake
+    e2 = CdcEngine(lake, num_partitions=8)
+    pd.testing.assert_frame_equal(before, _engine_result(e2))
