@@ -310,7 +310,8 @@ for _name, _type in [
     ("string", pa.string()),
     ("bool", pa.bool_()),
 ]:
-    register_fn(_name)(lambda a, t=_type: pc.cast(a, t))
+    # coercion semantics (Bloblang int64()/float64() truncate): unsafe cast
+    register_fn(_name)(lambda a, t=_type: pc.cast(a, t, safe=False))
 
 register_fn("is_null")(pc.is_null)
 register_fn("not_null")(pc.is_valid)
@@ -485,3 +486,47 @@ def parse(sexpr) -> Expr:
     if head == "not":
         return ~args[0]
     return F(head, *args)
+
+
+# -- additional Bloblang-name string methods -------------------------------
+import re as _re
+
+
+@register_fn("slug")
+def _slug(a):
+    def one(s):
+        s = _re.sub(r"[^a-z0-9]+", "-", s.lower()).strip("-")
+        return s
+
+    return _pyfall(one)(a)
+
+
+@register_fn("strip_html")
+def _strip_html(a):
+    return pc.replace_substring_regex(a, "<[^>]*>", replacement="")
+
+
+@register_fn("quote")
+def _quote(a):
+    return _pyfall(lambda s: json.dumps(s))(a)
+
+
+@register_fn("unquote")
+def _unquote(a):
+    return _pyfall(lambda s: json.loads(s))(a)
+
+
+@register_fn("repeat_str")
+def _repeat_str(a, n):
+    nn = n.as_py() if isinstance(n, pa.Scalar) else n
+    return _pyfall(lambda s: s * nn)(a)
+
+
+@register_fn("parse_int")
+def _parse_int(a):
+    return pc.cast(a, pa.int64(), safe=False)
+
+
+@register_fn("parse_float")
+def _parse_float(a):
+    return pc.cast(a, pa.float64(), safe=False)

@@ -106,3 +106,66 @@ def build_window_sliding(*, ts_col: str, size_s: float, slide_s: float,
         return ds.groupby([out] + keys).aggregate(*built)
 
     return apply
+
+
+@register_op("late_filter")
+def build_late_filter(*, ts_col: str, keys: list[str] | None = None,
+                      allowed_lateness_s: float = 0.0):
+    """Allowed-lateness rule on bounded replay (``system_window``'s
+    ``allowed_lateness``): drop rows older than the per-key max event
+    time minus the lateness budget.  Two passes: a tiny max aggregate
+    (broadcast to every task), then a vectorized filter — the watermark
+    is global per key, matching the reference's behaviour at
+    end-of-stream."""
+    keys = keys or []
+
+    def apply(ds):
+        import ray
+
+        if keys:
+            from ray.data.aggregate import Max
+
+            maxes = ds.groupby(keys).aggregate(Max(ts_col, alias_name="__maxts"))
+            wm = maxes.to_pandas()
+            wm_ref = ray.put(
+                {tuple(r[k] for k in keys): r["__maxts"] for _, r in wm.iterrows()}
+            )
+
+            def fn(t: pa.Table) -> pa.Table:
+                from rayflow.ops.joins import _fetch
+
+                watermark = _fetch(wm_ref, lambda v: v)
+                import pandas as pd
+
+                keyvals = list(zip(*[t.column(k).to_pylist() for k in keys]))
+                cutoff = pa.array(
+                    [
+                        pd.Timestamp(watermark[kv]).to_datetime64()
+                        - np.timedelta64(int(allowed_lateness_s * 1e6), "us")
+                        for kv in keyvals
+                    ],
+                    pa.timestamp("us"),
+                )
+                mask = pc.greater_equal(
+                    pc.cast(t.column(ts_col), pa.timestamp("us")), cutoff
+                )
+                return t.filter(mask)
+
+            return ds.map_batches(fn, **_PA_KW)
+
+        # global watermark
+        global_max = ds.max(ts_col)
+        cutoff = np.datetime64(global_max, "us") - np.timedelta64(
+            int(allowed_lateness_s * 1e6), "us"
+        )
+
+        def gfn(t: pa.Table) -> pa.Table:
+            mask = pc.greater_equal(
+                pc.cast(t.column(ts_col), pa.timestamp("us")),
+                pa.scalar(cutoff.astype("datetime64[us]").item(), pa.timestamp("us")),
+            )
+            return t.filter(mask)
+
+        return ds.map_batches(gfn, **_PA_KW)
+
+    return apply

@@ -173,3 +173,20 @@ class Pipeline:
 
 def available_ops() -> list[str]:
     return sorted(OPS)
+
+
+def from_yaml(text_or_path: str) -> Pipeline:
+    """Build a pipeline from YAML (the reference's native config format).
+
+    Accepts a YAML string or a path to a ``.yaml`` file.  The document
+    is the same shape as :meth:`Pipeline.from_dict`."""
+    import os
+
+    import yaml
+
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as f:
+            conf = yaml.safe_load(f)
+    else:
+        conf = yaml.safe_load(text_or_path)
+    return Pipeline.from_dict(conf)

@@ -182,3 +182,53 @@ def test_read_until(ray_session):
 
     out = read_until(make, predicate=lambda ds: ds.take_all()[0]["i"] >= 2)
     assert sorted(r["i"] for r in out.take_all()) == [0, 1, 2]
+
+
+def test_pipeline_from_yaml(ray_session):
+    from rayflow.pipeline import from_yaml
+
+    p = from_yaml("""
+input:
+  op: read_parquet
+  paths: /root/testdata/sf0.001/events.parquet
+  columns: [event_type, value]
+steps:
+  - op: filter
+    predicate: [ge, [col, value], [lit, 50.0]]
+  - op: group_agg
+    keys: [event_type]
+    aggs: [[count, null, n]]
+""")
+    out = p.run().to_pandas()
+    assert len(out) == 5 and (out["n"] > 0).all()
+
+
+def test_late_filter_global(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    ts = [datetime.datetime(2024, 1, 1, h) for h in (0, 5, 9, 10)]
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}))
+    out = build_op({"op": "late_filter", "ts_col": "ts",
+                    "allowed_lateness_s": 3600.0 * 2})(ds).to_pandas()
+    # watermark = 10:00, lateness 2h -> keep ts >= 08:00
+    assert sorted(t.hour for t in out["ts"]) == [9, 10]
+
+
+def test_late_filter_per_key(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    rows = [("a", 0), ("a", 4), ("a", 10), ("b", 0), ("b", 1)]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "ts": pa.array([datetime.datetime(2024, 1, 1, r[1]) for r in rows],
+                       pa.timestamp("us")),
+    }))
+    out = build_op({"op": "late_filter", "ts_col": "ts", "keys": ["k"],
+                    "allowed_lateness_s": 3600.0 * 2})(ds).to_pandas()
+    kept = sorted((r.k, r.ts.hour) for r in out.itertuples())
+    # a: watermark 10 -> keep >= 8 -> only hour 10; b: watermark 1 -> keep >= -1 -> both
+    assert kept == [("a", 10), ("b", 0), ("b", 1)]
