@@ -715,3 +715,35 @@ def grok_extract_props(sf_dir: str):
     ds = build_op({"op": "sort", "keys": ["n", "kstr"],
                    "descending": [True, False]})(ds)
     return build_op({"op": "limit", "n": 15})(ds)
+
+
+@query(
+    "generate_synthetic",
+    """
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST(i * 7 % 100 AS BIGINT) AS bucket,
+           CAST(sum(i) OVER () AS BIGINT) AS total
+    FROM (SELECT unnest(range(1000)) AS i)
+    """,
+)
+def generate_synthetic(sf_dir: str):
+    """Synthetic deterministic input (the ``generate`` input): row index
+    is the only seed.  Exercises the generate source + mapping through
+    the declarative pipeline builder."""
+    from rayflow.pipeline import Pipeline
+
+    p = Pipeline.from_dict({
+        "input": {
+            "op": "generate", "count": 1000,
+            "mapping": {"bucket": ["mod", ["col", "id"], ["lit", 100]]},
+        },
+    })
+    ds = p.run()
+    # bucket = id*7 % 100 to make the mapping non-trivial
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"bucket": E.F("int64", (E.col("id") * 7) % 100)},
+    })(ds)
+    total = 1000 * 999 // 2
+    ds = build_op({"op": "mapping", "cols": {"total": E.lit(total)}})(ds)
+    return ds.select_columns(["id", "bucket", "total"])

@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis) for the core kernels — the
+analogue of the reference's parser fuzz/round-trip tests (SURVEY.md §5
+#5), aimed at the kernels correctness depends on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rayflow.cdc.merge import drop_duplicate_lsns, lww_reduce
+from rayflow.ops.kernels import argextreme_reduce, explode_list
+from rayflow.ops.windows import explode_sliding
+from rayflow.schema import conform, unify
+
+# small-alphabet keys force collisions; lsn values unique by construction
+events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),          # conv_id
+        st.integers(0, 3),                              # turn_idx
+        st.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _to_table(evs):
+    n = len(evs)
+    return pa.table({
+        "conv_id": pa.array([e[0] for e in evs], pa.string()),
+        "turn_idx": pa.array([e[1] for e in evs], pa.int32()),
+        "op": pa.array([e[2] for e in evs], pa.string()),
+        "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([f"{e[0]}-{e[1]}-v{i}" for i, e in enumerate(evs)]),
+    })
+
+
+@given(events)
+@settings(max_examples=60, deadline=None)
+def test_lww_reduce_matches_pandas(evs):
+    tbl = _to_table(evs)
+    got = lww_reduce(tbl).to_pandas().sort_values("lsn").reset_index(drop=True)
+    if len(evs) == 0:
+        assert len(got) == 0
+        return
+    df = tbl.to_pandas()
+    want = (
+        df.sort_values("lsn").groupby(["conv_id", "turn_idx"], as_index=False).tail(1)
+        .sort_values("lsn").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@given(events, st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_lww_reduce_partition_invariance(evs, n_parts):
+    """Reducing per partition then re-reducing equals one global reduce —
+    the property the two-phase merge (block partial + per-partition
+    final) depends on."""
+    tbl = _to_table(evs)
+    whole = lww_reduce(tbl).to_pandas().sort_values("lsn").reset_index(drop=True)
+    pieces = []
+    for i in range(n_parts):
+        piece = tbl.filter(
+            pa.array((np.arange(tbl.num_rows) % n_parts) == i)
+        )
+        pieces.append(lww_reduce(piece))
+    recombined = lww_reduce(pa.concat_tables(pieces)) if pieces else tbl
+    got = recombined.to_pandas().sort_values("lsn").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, whole)
+
+
+@given(events)
+@settings(max_examples=30, deadline=None)
+def test_drop_duplicate_lsns_idempotent(evs):
+    tbl = _to_table(evs)
+    doubled = pa.concat_tables([tbl, tbl])  # simulate a replayed batch
+    got = drop_duplicate_lsns(doubled)
+    assert got.num_rows == tbl.num_rows
+    assert sorted(got["lsn"].to_pylist()) == sorted(tbl["lsn"].to_pylist())
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=0, max_size=50, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_argextreme_min_max(orders):
+    n = len(orders)
+    tbl = pa.table({
+        "k": pa.array([i % 3 for i in range(n)], pa.int64()),
+        "o": pa.array(orders, pa.int64()),
+    })
+    for keep, fn in (("max", max), ("min", min)):
+        got = argextreme_reduce(tbl, ["k"], "o", keep)
+        df = tbl.to_pandas()
+        if n:
+            want = df.groupby("k")["o"].agg(fn).sort_values().tolist()
+            assert sorted(got["o"].to_pylist()) == sorted(want)
+        else:
+            assert got.num_rows == 0
+
+
+@given(st.lists(st.lists(st.integers(-5, 5), max_size=4), min_size=0, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_explode_list_roundtrip_counts(lists):
+    tbl = pa.table({
+        "id": pa.array(range(len(lists)), pa.int64()),
+        "v": pa.array(lists, pa.list_(pa.int64())),
+    })
+    out = explode_list(tbl, "v")
+    assert out.num_rows == sum(len(x) for x in lists)
+    # every (id, element) pair preserved in order per parent
+    got = list(zip(out["id"].to_pylist(), out["v"].to_pylist()))
+    want = [(i, e) for i, xs in enumerate(lists) for e in xs]
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 10**7), min_size=1, max_size=30),
+    st.integers(1, 4),
+    st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_sliding_window_membership(ts_seconds, slide_mult, size_mult):
+    """Each replica's window actually contains its row's timestamp, and
+    the replica count equals the analytic window count."""
+    slide_s = slide_mult * 10
+    size_s = slide_s * size_mult  # aligned windows
+    tbl = pa.table({
+        "ts": pa.array(
+            np.array(ts_seconds, dtype=np.int64) * 1_000_000
+        ).cast(pa.timestamp("us")),
+    })
+    out = explode_sliding(tbl, "ts", float(size_s), float(slide_s))
+    assert out.num_rows == len(ts_seconds) * size_mult
+    ts_us = out["ts"].cast(pa.int64()).to_pylist()
+    ws_us = out["window_start"].cast(pa.int64()).to_pylist()
+    for t, w in zip(ts_us, ws_us):
+        assert w <= t < w + size_s * 1_000_000
+        assert w % (slide_s * 1_000_000) == 0
+
+
+@given(st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=10))
+@settings(max_examples=30, deadline=None)
+def test_schema_conform_total(cols):
+    """conform() handles any target: missing columns null-filled, extras
+    dropped, order follows the target schema."""
+    src = pa.table({c: pa.array([1, 2], pa.int64()) for c in set(cols)}) \
+        if cols else pa.table({"q": pa.array([1, 2], pa.int64())})
+    target = pa.schema([("x", pa.int64()), ("y", pa.float64()), ("w", pa.string())])
+    out = conform(src, target)
+    assert out.schema == target
+    assert out.num_rows == src.num_rows
+
+
+def test_unify_widen_and_add():
+    s1 = pa.schema([("a", pa.int32()), ("b", pa.string())])
+    s2 = pa.schema([("a", pa.int64()), ("c", pa.timestamp("us"))])
+    u = unify(s1, s2)
+    assert u.field("a").type == pa.int64()
+    assert {f.name for f in u} == {"a", "b", "c"}
