@@ -278,3 +278,24 @@ def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]])
         return ds.groupby(keys).aggregate(*built)
 
     return apply
+
+
+@register_op("group_topk")
+def build_group_topk(*, keys: list[str], order_col: str, k: int,
+                     descending: bool = True, tiebreak: str | None = None):
+    """Top-k rows per key group (``group_by_value`` + sort + select_parts
+    composition in the reference).  Per-group pandas sort on the shuffled
+    groups; ``tiebreak`` column makes results deterministic under ties."""
+
+    def apply(ds):
+        import pandas as pd
+
+        by = [order_col] + ([tiebreak] if tiebreak else [])
+        asc = [not descending] + ([True] if tiebreak else [])
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(by, ascending=asc).head(k)
+
+        return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+    return apply

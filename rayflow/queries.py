@@ -747,3 +747,93 @@ def generate_synthetic(sf_dir: str):
     total = 1000 * 999 // 2
     ds = build_op({"op": "mapping", "cols": {"total": E.lit(total)}})(ds)
     return ds.select_columns(["id", "bucket", "total"])
+
+
+@query(
+    "anti_join_idle_customers",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_idle_customers(sf_dir: str):
+    """Anti join via broadcast key set (customers with no expensive
+    order)."""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    keys = keys.filter(pc.greater(keys["o_totalprice"], 300000.0))["o_custkey"].to_pylist()
+    ds = _rd().read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    ds = build_op({"op": "broadcast_semi", "keys_ref": keys, "on": "c_custkey",
+                   "anti": True})(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["c_mktsegment"], "aggs": [("count", None, "n")],
+    })(ds)
+
+
+@query(
+    "late_filter_recent_events",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAYS
+    GROUP BY event_type
+    """,
+)
+def late_filter_recent_events(sf_dir: str):
+    """Allowed-lateness watermark filter (``system_window`` lateness)."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ds = build_op({"op": "late_filter", "ts_col": "ts",
+                   "allowed_lateness_s": 7 * 86400.0})(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["event_type"], "aggs": [("count", None, "n")],
+    })(ds)
+
+
+@query(
+    "group_topk_events",
+    """
+    SELECT event_type, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def group_topk_events(sf_dir: str):
+    """Per-group top-k (top-3 events by value per type)."""
+    ds = _rd().read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+    return build_op({
+        "op": "group_topk", "keys": ["event_type"], "order_col": "value",
+        "k": 3, "descending": True, "tiebreak": "event_id",
+    })(ds)
+
+
+@query(
+    "count_distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct_users(sf_dir: str):
+    """Distinct count: two-stage (distinct pairs, then count) — the
+    pre-aggregated pattern that avoids shipping raw rows twice."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    # stage 1: distinct (event_type, user_id) pairs
+    ds = build_op({
+        "op": "group_agg", "keys": ["event_type", "user_id"],
+        "aggs": [("count", None, "_c")],
+    })(ds)
+    # stage 2: count pairs per type
+    return build_op({
+        "op": "group_agg", "keys": ["event_type"], "aggs": [("count", None, "n_users")],
+    })(ds).select_columns(["event_type", "n_users"])
