@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "window_tumbling_hour",
     "json_extract_props",
     "explode_token_topk",
+    "token_count_docs",
+    "minhash_near_dup",
+    "knn_bruteforce_cos",
+    "lang_id_docs",
 ]
 
 

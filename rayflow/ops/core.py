@@ -144,6 +144,9 @@ def build_dedupe(*, keys: list[str], order_col: str, keep: str = "max"):
     LWW merge).  ``order_col`` must be globally unique."""
 
     def apply(ds):
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
         ds = ds.map_batches(
             lambda t: argextreme_reduce(t, keys, order_col, keep), **_PA_KW
         )
@@ -176,6 +179,9 @@ def build_limit(*, n: int):
 @register_op("sort")
 def build_sort(*, keys: list[str], descending: bool | list[bool] = False):
     def apply(ds):
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
         return ds.sort(keys, descending=descending)
 
     return apply
@@ -274,6 +280,9 @@ def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]])
     This is a shuffle; Ray Data pre-combines per block internally."""
 
     def apply(ds):
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
         built = [_agg(f, c, alias) for f, c, alias in aggs]
         return ds.groupby(keys).aggregate(*built)
 
@@ -290,6 +299,9 @@ def build_group_topk(*, keys: list[str], order_col: str, k: int,
     def apply(ds):
         import pandas as pd
 
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
         by = [order_col] + ([tiebreak] if tiebreak else [])
         asc = [not descending] + ([True] if tiebreak else [])
 

@@ -160,3 +160,17 @@ def test_unify_widen_and_add():
     u = unify(s1, s2)
     assert u.field("a").type == pa.int64()
     assert {f.name for f in u} == {"a", "b", "c"}
+
+
+@given(st.lists(st.lists(st.integers(0, 2**40), max_size=8), min_size=0, max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_minhash_batch_equals_per_doc(shingle_lists):
+    from rayflow.ops.dedup import minhash_batch, minhash_signature
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(1, (1 << 61) - 1, 16, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, 16, dtype=np.uint64)
+    sets = [set(x) for x in shingle_lists]
+    batch = minhash_batch(sets, a, b)
+    for i, s in enumerate(sets):
+        assert (batch[i] == minhash_signature(s, a, b)).all()
