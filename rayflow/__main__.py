@@ -1,0 +1,82 @@
+"""CLI entry — the ``benthos -c config.yaml`` analogue.
+
+    python -m rayflow run pipeline.yaml          # run a declarative pipeline
+    python -m rayflow replay LOG_DIR LAKE_DIR    # CDC replay (resumable)
+    python -m rayflow ops                        # list registered operators
+    python -m rayflow functions                  # list scalar functions
+
+Owns its Ray session (library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="rayflow")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run a YAML pipeline")
+    runp.add_argument("config")
+    runp.add_argument("--num-cpus", type=int, default=None)
+    rep = sub.add_parser("replay", help="replay a CDC change log into a lake")
+    rep.add_argument("log_dir")
+    rep.add_argument("lake_dir")
+    rep.add_argument("--num-partitions", type=int, default=32)
+    rep.add_argument("--bands-per-commit", type=int, default=1)
+    rep.add_argument("--num-cpus", type=int, default=None)
+    sub.add_parser("ops", help="list registered operators")
+    sub.add_parser("functions", help="list scalar functions")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "ops":
+        from rayflow.ops import ops
+
+        print("\n".join(ops()))
+        return 0
+    if args.cmd == "functions":
+        from rayflow import expr
+
+        print("\n".join(expr.functions()))
+        return 0
+
+    import ray
+
+    init_kw = dict(address="local", include_dashboard=False,
+                   ignore_reinit_error=True, logging_level="ERROR")
+    if args.num_cpus:
+        init_kw["num_cpus"] = args.num_cpus
+    ray.init(**init_kw)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        if args.cmd == "run":
+            from rayflow.pipeline import from_yaml
+
+            result = from_yaml(args.config).run()
+            if result is not None:
+                n = result.count()
+                print(json.dumps({"rows": n, "schema": result.schema().names}))
+        elif args.cmd == "replay":
+            from rayflow.cdc import CdcEngine
+
+            engine = CdcEngine(args.lake_dir, num_partitions=args.num_partitions)
+            stats = engine.replay(args.log_dir,
+                                  bands_per_commit=args.bands_per_commit)
+            print(json.dumps({
+                "bands_applied": stats.bands_applied,
+                "n_events": stats.n_events,
+                "wall_s": round(stats.wall_s, 3),
+                "events_per_s": round(stats.events_per_s, 1),
+                "committed_lsn": engine.manifest.committed_lsn,
+            }))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -179,7 +179,10 @@ class CdcEngine:
             n_actors = self.merge_concurrency or max(
                 1, min(self.num_partitions, n_cpus // 2, 12)
             )
-            pool = MergePool(num_actors=n_actors)
+            pool = MergePool(
+                num_actors=n_actors,
+                fail_after_applies=getattr(self, "_test_fail_after_applies", None),
+            )
 
         groups = [
             bands[i : i + bands_per_commit]

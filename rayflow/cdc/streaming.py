@@ -50,12 +50,17 @@ class _MergeActorImpl:
     importing this module never touches Ray."""
 
     def __init__(self, actor_idx: int, num_actors: int,
-                 compact_rows: int = 500_000):
+                 compact_rows: int = 500_000,
+                 fail_after_applies: int | None = None):
         self.idx = actor_idx
         self.n = num_actors
         self.compact_rows = compact_rows
         self.buf: dict[int, list[pa.Table]] = {}
         self.rows: dict[int, int] = {}
+        # test-only fault injection: raise on the Nth apply (crash-
+        # atomicity tests kill the replay mid-band this way)
+        self._fail_after = fail_after_applies
+        self._n_applies = 0
 
     def apply(self, block: pa.Table, indices: np.ndarray) -> int:
         """Absorb this actor's rows of a routed block.
@@ -64,6 +69,9 @@ class _MergeActorImpl:
         ONCE and every actor's task references the same object — shipping
         per-actor sub-tables through the RPC cost 3x the whole stage,
         measured); ``indices`` selects the rows this actor owns."""
+        self._n_applies += 1
+        if self._fail_after is not None and self._n_applies > self._fail_after:
+            raise RuntimeError("injected merge-actor failure (test)")
         sub = block.take(pa.array(indices))
         if sub.num_rows == 0:
             return 0
@@ -118,13 +126,14 @@ class _MergeActorImpl:
 class MergePool:
     """Driver-side handle on the actor pool (one per replay session)."""
 
-    def __init__(self, num_actors: int, compact_rows: int = 500_000):
+    def __init__(self, num_actors: int, compact_rows: int = 500_000,
+                 fail_after_applies: int | None = None):
         import ray
 
         self.num_actors = num_actors
         actor_cls = ray.remote(num_cpus=1)(_MergeActorImpl)
         self.actors = [
-            actor_cls.remote(i, num_actors, compact_rows)
+            actor_cls.remote(i, num_actors, compact_rows, fail_after_applies)
             for i in range(num_actors)
         ]
 

@@ -153,7 +153,22 @@ class Pipeline:
     def from_dict(cls, conf: dict) -> "Pipeline":
         src = build_op(conf["input"]) if "input" in conf else None
         steps = [build_op(s) for s in conf.get("steps", [])]
-        out = build_op(conf["output"]) if "output" in conf else None
+        out_conf = conf.get("output")
+        if out_conf is None:
+            out = None
+        elif isinstance(out_conf, list):
+            # ``broker`` fan_out output: every child sink consumes the
+            # same materialized result (materialize once, write N times)
+            children = [build_op(o) for o in out_conf]
+
+            def out(ds):
+                ds = ds.materialize()
+                for child in children:
+                    child(ds)
+                return None
+
+        else:
+            out = build_op(out_conf)
         return cls(src, steps, out)
 
     def run(self, ds=None):

@@ -51,6 +51,17 @@ def _t(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _round_cols(ds, cols: list[str], ndigits: int = 4):
+    """Round float aggregate columns (both the engine and the SQL oracle
+    round identically): multi-row float sums differ in the last ulps
+    between engines purely from summation order, which an exact value
+    hash would flag as a mismatch."""
+    return build_op({
+        "op": "mapping",
+        "cols": {c: E.F("round", E.col(c), ndigits) for c in cols},
+    })(ds)
+
+
 # --------------------------------------------------------------------------
 # relational core: filter / project / mapping
 # --------------------------------------------------------------------------
@@ -92,11 +103,11 @@ def filter_project_revenue(sf_dir: str):
     "groupby_agg_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                         AS sum_qty,
-           sum(l_extendedprice)                    AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-           avg(l_quantity)                         AS avg_qty,
-           avg(l_extendedprice)                    AS avg_price,
+           round(sum(l_quantity), 4)                         AS sum_qty,
+           round(sum(l_extendedprice), 4)                    AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4)                         AS avg_qty,
+           round(avg(l_extendedprice), 4)                    AS avg_price,
            CAST(count(*) AS BIGINT)                AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -122,7 +133,7 @@ def groupby_agg_q1(sf_dir: str):
         "op": "mapping",
         "cols": {"disc_price": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount"))},
     })(ds)
-    return build_op({
+    ds = build_op({
         "op": "group_agg",
         "keys": ["l_returnflag", "l_linestatus"],
         "aggs": [
@@ -134,6 +145,8 @@ def groupby_agg_q1(sf_dir: str):
             ("count", None, "count_order"),
         ],
     })(ds)
+    return _round_cols(ds, ["sum_qty", "sum_base_price", "sum_disc_price",
+                            "avg_qty", "avg_price"])
 
 
 @query(
@@ -165,7 +178,7 @@ def sort_topk_orders(sf_dir: str):
     """
     SELECT r_name,
            CAST(count(*) AS BIGINT) AS n_cust,
-           sum(c_acctbal)           AS total_bal
+           round(sum(c_acctbal), 4) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -190,10 +203,11 @@ def broadcast_join_region(sf_dir: str):
         "op": "broadcast_join", "small": dim,
         "on": ["c_nationkey"], "right_on": ["n_nationkey"], "how": "inner",
     })(ds)
-    return build_op({
+    ds = build_op({
         "op": "group_agg", "keys": ["r_name"],
         "aggs": [("count", None, "n_cust"), ("sum", "c_acctbal", "total_bal")],
     })(ds)
+    return _round_cols(ds, ["total_bal"])
 
 
 @query(
@@ -201,7 +215,7 @@ def broadcast_join_region(sf_dir: str):
     """
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           sum(o_totalprice)        AS total_price
+           round(sum(o_totalprice), 4) AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -217,10 +231,11 @@ def sharded_join_mktsegment(sf_dir: str):
         "on": ["o_custkey"], "right_on": ["c_custkey"],
         "how": "inner", "num_partitions": 8,
     })(orders)
-    return build_op({
+    ds = build_op({
         "op": "group_agg", "keys": ["c_mktsegment"],
         "aggs": [("count", None, "n_orders"), ("sum", "o_totalprice", "total_price")],
     })(ds)
+    return _round_cols(ds, ["total_price"])
 
 
 @query(
@@ -309,7 +324,7 @@ def dedupe_latest_event(sf_dir: str):
                 WHEN value < 100 THEN 'mid'
                 ELSE 'high' END AS route,
            CAST(count(*) AS BIGINT) AS n,
-           sum(value)               AS sum_value
+           round(sum(value), 4)     AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -325,10 +340,11 @@ def switch_route_counts(sf_dir: str):
         ],
         "default": "high",
     })(ds)
-    return build_op({
+    ds = build_op({
         "op": "group_agg", "keys": ["route"],
         "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
     })(ds)
+    return _round_cols(ds, ["sum_value"])
 
 
 @query(
@@ -368,7 +384,7 @@ def union_fanin(sf_dir: str):
     SELECT time_bucket(INTERVAL 3600 SECONDS, ts) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           sum(value)               AS sum_value
+           round(sum(value), 4)     AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -376,11 +392,12 @@ def union_fanin(sf_dir: str):
 def window_tumbling_hour(sf_dir: str):
     """Tumbling event-time window (``system_window`` analogue)."""
     ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
-    return build_op({
+    ds = build_op({
         "op": "window_tumbling", "ts_col": "ts", "size_s": 3600,
         "keys": ["event_type"],
         "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
     })(ds)
+    return _round_cols(ds, ["sum_value"])
 
 
 @query(
@@ -393,7 +410,8 @@ def window_tumbling_hour(sf_dir: str):
       UNION ALL
       SELECT tb - INTERVAL 3600 SECONDS AS window_start, value FROM b
     )
-    SELECT window_start, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
     FROM u GROUP BY window_start
     """,
 )
@@ -401,10 +419,11 @@ def window_sliding_2h(sf_dir: str):
     """Sliding window size=2h slide=1h: vectorized row replication into
     every containing window, then the same keyed aggregate."""
     ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
-    return build_op({
+    ds = build_op({
         "op": "window_sliding", "ts_col": "ts", "size_s": 7200, "slide_s": 3600,
         "keys": [], "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
     })(ds)
+    return _round_cols(ds, ["sum_value"])
 
 
 # --------------------------------------------------------------------------
@@ -418,7 +437,7 @@ def window_sliding_2h(sf_dir: str):
     SELECT upper(lang) AS lang_up,
            CAST(count(*) AS BIGINT)      AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           avg(length(text))             AS avg_chars
+           round(avg(length(text)), 4)   AS avg_chars
     FROM documents
     GROUP BY upper(lang)
     """,
@@ -434,11 +453,12 @@ def string_ops_lang(sf_dir: str):
         },
         "select": ["lang_up", "text_len"],
     })(ds)
-    return build_op({
+    ds = build_op({
         "op": "group_agg", "keys": ["lang_up"],
         "aggs": [("count", None, "n_docs"), ("sum", "text_len", "total_chars"),
                  ("mean", "text_len", "avg_chars")],
     })(ds)
+    return _round_cols(ds, ["avg_chars"])
 
 
 @query(

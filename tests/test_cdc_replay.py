@@ -149,3 +149,21 @@ def test_compact_and_vacuum(changelog, tmp_path):
     # engine reopened from disk still reads the compacted lake
     e2 = CdcEngine(lake, num_partitions=8)
     pd.testing.assert_frame_equal(before, _engine_result(e2))
+
+
+def test_injected_failure_no_partial_commit(changelog, tmp_path):
+    """A merge actor dying mid-band fails the replay WITHOUT advancing
+    the manifest; a clean rerun then produces the exact oracle state
+    (crash atomicity of the exactly-once sink)."""
+    log_dir, _ = changelog
+    lake = str(tmp_path / "lake")
+    e = CdcEngine(lake, num_partitions=8)
+    e._test_fail_after_applies = 1  # every actor dies on its 2nd apply
+    with pytest.raises(Exception):
+        e.replay(log_dir)
+    m = CdcEngine(lake, num_partitions=8).manifest
+    assert m.committed_lsn == -1 and not m.state["partitions"]
+
+    e2 = CdcEngine(lake, num_partitions=8)  # no injection
+    e2.replay(log_dir)
+    _assert_equal(_engine_result(e2), _oracle_result(log_dir))
