@@ -217,7 +217,13 @@ class CdcEngine:
                         batch_size=1,
                         batch_format="pyarrow",
                         zero_copy_batch=True,
-                        concurrency=min(int(ray.cluster_resources().get("CPU", 8)), 20),
+                        # cap routing tasks only above the SMT cliff; an
+                        # explicit cap below it just constrains the scheduler
+                        **(
+                            {"concurrency": 20}
+                            if int(ray.cluster_resources().get("CPU", 8)) > 20
+                            else {}
+                        ),
                     )
                     routed.take_all()  # drive the stream through the pool
                     part_stats = pool.flush(

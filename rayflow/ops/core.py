@@ -311,3 +311,60 @@ def build_group_topk(*, keys: list[str], order_col: str, k: int,
         return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
 
     return apply
+
+
+@register_op("compress")
+def build_compress(*, column: str, codec: str = "gzip", out: str | None = None):
+    """Compress a string/binary column to binary (``compress``
+    processor; gzip/zlib).  Per-row Python over bytes — payload
+    transform, not a hot relational path."""
+    import gzip as _gz
+    import zlib as _zl
+
+    enc = {"gzip": _gz.compress, "zlib": _zl.compress}[codec]
+    target = out or column
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = t.column(column).to_pylist()
+            comp = [
+                None if v is None else enc(v.encode() if isinstance(v, str) else v)
+                for v in vals
+            ]
+            arr = pa.array(comp, pa.large_binary())
+            if target in t.column_names:
+                return t.set_column(t.column_names.index(target), target, arr)
+            return t.append_column(target, arr)
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("decompress")
+def build_decompress(*, column: str, codec: str = "gzip",
+                     out: str | None = None, as_text: bool = True):
+    """Inverse of ``compress``."""
+    import gzip as _gz
+    import zlib as _zl
+
+    dec = {"gzip": _gz.decompress, "zlib": _zl.decompress}[codec]
+    target = out or column
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = t.column(column).to_pylist()
+            raw = [None if v is None else dec(v) for v in vals]
+            if as_text:
+                arr = pa.array(
+                    [None if v is None else v.decode() for v in raw], pa.string()
+                )
+            else:
+                arr = pa.array(raw, pa.large_binary())
+            if target in t.column_names:
+                return t.set_column(t.column_names.index(target), target, arr)
+            return t.append_column(target, arr)
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply

@@ -232,3 +232,19 @@ def test_late_filter_per_key(ray_session):
     kept = sorted((r.k, r.ts.hour) for r in out.itertuples())
     # a: watermark 10 -> keep >= 8 -> only hour 10; b: watermark 1 -> keep >= -1 -> both
     assert kept == [("a", 10), ("b", 0), ("b", 1)]
+
+
+def test_compress_decompress_roundtrip(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "payload": pa.array(["hello world " * 50, None])})
+    ds = rd.from_arrow(tbl)
+    ds = build_op({"op": "compress", "column": "payload", "out": "gz"})(ds)
+    out = build_op({"op": "decompress", "column": "gz", "out": "back"})(ds).to_pandas()
+    assert out.sort_values("id")["back"].tolist()[0] == "hello world " * 50
+    assert out.sort_values("id")["back"].tolist()[1] is None
+    # compression actually shrank the repetitive payload
+    comp = build_op({"op": "compress", "column": "payload", "out": "gz"})(
+        rd.from_arrow(tbl)).to_pandas()
+    assert len(comp["gz"].iloc[0]) < len("hello world " * 50)
