@@ -258,6 +258,17 @@ class CdcEngine:
                     "n_events": n_raw,
                     "n_partitions_touched": len(part_stats),
                     "rows_after": int(sum(r["rows"] for r in part_stats)),
+                    # per-partition lineage: what this band did to each
+                    # partition (events applied, rows after, state file)
+                    "partitions": [
+                        {
+                            "part_id": int(r["part_id"]),
+                            "n_events": int(r["n_events"]),
+                            "rows": int(r["rows"]),
+                            "file": os.path.basename(r["file"]),
+                        }
+                        for r in sorted(part_stats, key=lambda x: x["part_id"])
+                    ],
                     "wall_s": round(wall, 4),
                     "events_per_s": round(n_raw / wall, 1) if wall > 0 else None,
                 }
