@@ -182,3 +182,52 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
         )
 
     return apply
+
+
+@register_op("embedding_near_dup")
+def build_embedding_near_dup(*, threshold: float = 0.9, dim: int = 64,
+                             n_planes: int = 10, seed: int = 42,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             concurrency: int = 2):
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus
+    (random hyperplanes, fixed seed), compute exact pairwise cosine only
+    WITHIN buckets, keep pairs with cosine ≥ threshold.
+
+    The blocking trick mirrors MinHash-LSH for text: the only all-to-all
+    movement is the bucket groupby over (id, bucket) pairs; the quadratic
+    verify runs per bucket.  High thresholds want more planes (smaller
+    buckets); near-identical vectors agree on all plane signs with high
+    probability, so recall stays high where it matters."""
+
+    def apply(ds):
+        import pandas as pd
+
+        indexed = ds.map_batches(
+            LshIndexStage,
+            fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
+                                       vec_col=vec_col),
+            concurrency=concurrency, batch_format="pyarrow",
+            zero_copy_batch=True, num_cpus=1,
+        )
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            ids = g[id_col].to_numpy()
+            m = _normalize_rows(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sims[ia, ib] >= threshold
+            a, b = ids[ia[mask]], ids[ib[mask]]
+            lo, hi_ = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({
+                "id_a": lo.astype(np.int64),
+                "id_b": hi_.astype(np.int64),
+                "cos": np.round(sims[ia[mask], ib[mask]], 6),
+            })
+
+        return indexed.groupby("lsh_bucket").map_groups(
+            per_bucket, batch_format="pandas"
+        )
+
+    return apply

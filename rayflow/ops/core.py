@@ -96,8 +96,14 @@ def build_drop(*, columns: list[str]):
 
 @register_op("rename")
 def build_rename(*, names: dict[str, str]):
+    """Column rename via an explicit Arrow map — ``Dataset.rename_columns``
+    breaks on pandas-formatted upstream blocks (e.g. after map_groups)."""
+
     def apply(ds):
-        return ds.rename_columns(names)
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([names.get(c, c) for c in t.column_names])
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
     return apply
 

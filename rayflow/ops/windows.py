@@ -169,3 +169,35 @@ def build_late_filter(*, ts_col: str, keys: list[str] | None = None,
         return ds.map_batches(gfn, **_PA_KW)
 
     return apply
+
+
+@register_op("window_session")
+def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
+                         aggs: list[tuple[str, str | None, str]] | None = None,
+                         out: str = "session_start"):
+    """Gap-based session windows: per key, sort by event time and start a
+    new session whenever the gap to the previous event exceeds ``gap_s``.
+    ``groupby(keys).map_groups`` — each key's events must fit one worker
+    (the session-window partitioning assumption; salt long-lived keys by
+    coarse time range if not)."""
+
+    def apply(ds):
+        import pandas as pd
+
+        def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(ts_col).reset_index(drop=True)
+            ts = pd.to_datetime(g[ts_col])
+            gaps = ts.diff().dt.total_seconds()
+            # first row: diff is NaN, and NaN > gap_s coerces to False —
+            # test isna() explicitly or the first session start is lost
+            new = gaps.isna() | (gaps > gap_s)
+            g[out] = ts.where(new).ffill()
+            return g
+
+        sessioned = ds.groupby(keys).map_groups(sessionize, batch_format="pandas")
+        if not aggs:
+            return sessioned
+        built = [_agg(f, c, alias) for f, c, alias in aggs]
+        return sessioned.groupby(keys + [out]).aggregate(*built)
+
+    return apply

@@ -205,3 +205,27 @@ def from_yaml(text_or_path: str) -> Pipeline:
     else:
         conf = yaml.safe_load(text_or_path)
     return Pipeline.from_dict(conf)
+
+
+@register_op("sql_query")
+def build_sql_query(*, sql: str, tables: dict[str, str] | None = None):
+    """SQL input (the ``sql_select`` input analogue): run a DuckDB query
+    over parquet files (``tables`` maps view name → parquet path) and
+    stream the result in as a Dataset.  For big results prefer native
+    reads + rayflow ops; this is the escape hatch for relational
+    bootstrap queries."""
+
+    def source(_=None):
+        import duckdb
+        import ray.data as rd
+
+        con = duckdb.connect()
+        for name, path in (tables or {}).items():
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+        tbl = con.sql(sql).arrow()
+        con.close()
+        return rd.from_arrow(tbl)
+
+    return source

@@ -857,3 +857,85 @@ def count_distinct_users(sf_dir: str):
     return build_op({
         "op": "group_agg", "keys": ["event_type"], "aggs": [("count", None, "n_users")],
     })(ds).select_columns(["event_type", "n_users"])
+
+
+@query(
+    "window_session_user",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 2 DAYS
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s2 AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS sum_value
+    FROM s2 GROUP BY user_id, sid
+    """,
+)
+def window_session_user(sf_dir: str):
+    """Gap-based session windows per user (2-day inactivity gap)."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = build_op({
+        "op": "window_session", "keys": ["user_id"], "ts_col": "ts",
+        "gap_s": 2 * 86400.0,
+        "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
+    })(ds)
+    ds = _round_cols(ds, ["sum_value"])
+    return ds.select_columns(["user_id", "session_start", "n", "sum_value"])
+
+
+@query(
+    "sql_source_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_source_priority(sf_dir: str):
+    """SQL input (``sql_select``): DuckDB bootstrap query feeding a
+    rayflow aggregate."""
+    from rayflow.pipeline import Pipeline
+
+    p = Pipeline.from_dict({
+        "input": {
+            "op": "sql_query",
+            "sql": "SELECT o_orderpriority, o_totalprice FROM orders "
+                   "WHERE o_totalprice > 200000",
+            "tables": {"orders": _t(sf_dir, "orders")},
+        },
+        "steps": [
+            {"op": "group_agg", "keys": ["o_orderpriority"],
+             "aggs": [["count", None, "n"], ["sum", "o_totalprice", "total"]]},
+        ],
+    })
+    return _round_cols(p.run(), ["total"])
+
+
+@query("embedding_near_dup_pairs")  # rows-only; recall tested in pytest
+def embedding_near_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup detection.  Driver embeddings are
+    random (no true near-dups), so the corpus is augmented with exact
+    copies of the first 50 vectors (ids +1_000_000) — every planted pair
+    must be found, deterministically."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    planted = emb.slice(0, 50).set_column(
+        0, "vec_id", pc.add(emb.slice(0, 50)["vec_id"], 1_000_000)
+    )
+    ds = _rd().from_arrow(pa.concat_tables([emb, planted]))
+    return build_op({
+        "op": "embedding_near_dup", "threshold": 0.98, "dim": 64, "n_planes": 8,
+    })(ds)

@@ -248,3 +248,18 @@ def test_compress_decompress_roundtrip(ray_session):
     comp = build_op({"op": "compress", "column": "payload", "out": "gz"})(
         rd.from_arrow(tbl)).to_pandas()
     assert len(comp["gz"].iloc[0]) < len("hello world " * 50)
+
+
+def test_rename_after_map_groups(ray_session):
+    """rename must survive pandas-formatted upstream blocks (Ray's
+    Dataset.rename_columns does not — found via a no-op rename after a
+    session-window aggregate)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]}))
+    grouped = ds.groupby("k").map_groups(
+        lambda g: g.assign(s=g["v"].cumsum()), batch_format="pandas"
+    )
+    out = build_op({"op": "rename", "names": {"s": "running"}})(grouped).to_pandas()
+    assert "running" in out.columns and "s" not in out.columns

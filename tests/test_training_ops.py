@@ -191,3 +191,46 @@ def test_fingerprint_rolling_min_stable(ray_session):
     out = build_op({"op": "fingerprint"})(rd.from_arrow(tbl)).to_pandas()
     assert out["fp_rolling_min"].iloc[0] == out["fp_rolling_min"].iloc[1]
     assert out["fp_md5"].iloc[0] == out["fp_md5"].iloc[1]
+
+
+def test_embedding_near_dup_finds_planted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    # plant: 100≈101 (tiny perturbation), 102 = exact copy of 100
+    vecs = np.concatenate([base, [base[0] + 0.01 * rng.standard_normal(16)],
+                           [base[0]]])
+    ids = np.concatenate([np.arange(40), [100], [101]])
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    out = build_op({"op": "embedding_near_dup", "threshold": 0.98, "dim": 16,
+                    "n_planes": 6})(rd.from_arrow(tbl)).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    assert (0, 101) in pairs      # exact copy always lands in same bucket
+    assert (0, 100) in pairs or (100, 101) in pairs  # near-copy found
+
+
+def test_session_windows(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    rows = [
+        ("u1", 0), ("u1", 1), ("u1", 50), ("u1", 51),   # two sessions (gap 49h > 24h)
+        ("u2", 5),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "ts": pa.array([datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=r[1])
+                        for r in rows], pa.timestamp("us")),
+        "v": pa.array([1.0] * len(rows)),
+    }))
+    out = build_op({
+        "op": "window_session", "keys": ["k"], "ts_col": "ts", "gap_s": 86400.0,
+        "aggs": [("count", None, "n")],
+    })(ds).to_pandas().sort_values(["k", "session_start"]).reset_index(drop=True)
+    assert len(out) == 3
+    assert out["n"].tolist() == [2, 2, 1]
