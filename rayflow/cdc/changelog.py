@@ -64,6 +64,8 @@ class ChangeLogSpec:
     n_bands: int = 4                  # replay micro-batches
     seed: int = 42
     evolve_at_lsn: int | None = None  # schema-evolution switch point
+    whale_turns: int = 0              # conv 0 gets this many turns (skew fixture:
+                                      # a long-running agent conversation)
 
 
 def _synth_events(spec: ChangeLogSpec) -> dict[str, np.ndarray]:
@@ -73,6 +75,8 @@ def _synth_events(spec: ChangeLogSpec) -> dict[str, np.ndarray]:
 
     # turns per conversation (>=1, Poisson around the mean)
     turns = rng.poisson(max(spec.turns_per_conv - 1.0, 0.0), n_convs) + 1
+    if spec.whale_turns:
+        turns[0] = spec.whale_turns
     n_ins = int(turns.sum())
 
     conv_i = np.repeat(np.arange(n_convs), turns)
