@@ -337,3 +337,40 @@ def read_until(make_ds, predicate, max_iters: int = 1000):
         return None
     base = out[0]
     return base.union(*out[1:]) if len(out) > 1 else base
+
+
+@register_op("cached_mapping")
+def build_cached_mapping(*, key_expr: Any, fn_name: str, out: str,
+                         max_items: int = 100_000, concurrency: int = 2):
+    """Memoized scalar application (the ``cached`` processor): apply a
+    registered scalar function only to key values not seen before by
+    this actor; per-actor LRU persists across batches.  Worthwhile when
+    the function is expensive (hashes, parses) and keys repeat."""
+    kex = key_expr if isinstance(key_expr, E.Expr) else E.parse(key_expr)
+
+    class CachedApply:
+        def __init__(self):
+            self.cache: dict[Any, Any] = {}
+            from rayflow.expr import _REGISTRY
+
+            self.fn = _REGISTRY[fn_name]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = _as_array(kex.eval(t), t.num_rows).to_pylist()
+            missing = sorted({k for k in keys if k not in self.cache and k is not None})
+            if missing:
+                computed = self.fn(pa.array(missing)).to_pylist()
+                self.cache.update(zip(missing, computed))
+                if len(self.cache) > max_items:  # simple LRU-ish trim
+                    for k in list(self.cache)[: len(self.cache) - max_items]:
+                        del self.cache[k]
+            vals = [None if k is None else self.cache.get(k) for k in keys]
+            return t.append_column(out, pa.array(vals))
+
+    def apply(ds):
+        return ds.map_batches(
+            CachedApply, concurrency=concurrency, batch_format="pyarrow",
+            zero_copy_batch=True, num_cpus=1,
+        )
+
+    return apply

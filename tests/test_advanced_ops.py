@@ -263,3 +263,18 @@ def test_rename_after_map_groups(ray_session):
     )
     out = build_op({"op": "rename", "names": {"s": "running"}})(grouped).to_pandas()
     assert "running" in out.columns and "s" not in out.columns
+
+
+def test_cached_mapping_memoizes(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"s": pa.array(["abc", "abc", "xyz", "abc", None])})
+    out = build_op({"op": "cached_mapping", "key_expr": E.col("s"),
+                    "fn_name": "hash_md5", "out": "h", "concurrency": 1})(
+        rd.from_arrow(tbl)).to_pandas()
+    import hashlib
+
+    want = hashlib.md5(b"abc").hexdigest()
+    got = out[out["s"] == "abc"]["h"].tolist()
+    assert got == [want] * 3
+    assert out[out["s"].isna()]["h"].isna().all()
