@@ -530,3 +530,49 @@ def _parse_int(a):
 @register_fn("parse_float")
 def _parse_float(a):
     return pc.cast(a, pa.float64(), safe=False)
+
+
+# -- list aggregation methods (Bloblang array folds: sum/min/max/contains) --
+def _list_segments(a):
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    flat = pc.list_flatten(arr)
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    return arr, flat, lens
+
+
+def _list_reduce(a, ufunc, empty_val):
+    arr, flat, lens = _list_segments(a)
+    vals = flat.to_numpy(zero_copy_only=False)
+    n = len(arr)
+    out = np.full(n, np.nan, dtype=np.float64)
+    valid = ~np.isnan(lens.astype(np.float64))
+    lens_i = np.nan_to_num(lens.astype(np.float64), nan=0).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens_i)))[:-1]
+    nonempty = valid & (lens_i > 0)
+    if nonempty.any():
+        red = ufunc.reduceat(vals.astype(np.float64), offsets[nonempty])
+        out[nonempty] = red
+    out[valid & (lens_i == 0)] = empty_val
+    return pa.array([None if np.isnan(v) else v for v in out], pa.float64())
+
+
+@register_fn("list_sum")
+def _list_sum(a):
+    return _list_reduce(a, np.add, 0.0)
+
+
+@register_fn("list_min")
+def _list_min(a):
+    return _list_reduce(a, np.minimum, np.nan)
+
+
+@register_fn("list_max")
+def _list_max(a):
+    return _list_reduce(a, np.maximum, np.nan)
+
+
+@register_fn("list_contains")
+def _list_contains(a, v):
+    val = v.as_py() if isinstance(v, pa.Scalar) else v
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return pa.array([None if x is None else (val in x) for x in arr.to_pylist()])

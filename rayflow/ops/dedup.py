@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from rayflow.ops import register_op
-from rayflow.ops.kernels import argextreme_reduce
+
 
 _PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
 
@@ -115,7 +115,7 @@ def explode_bands(t: pa.Table, num_bands: int, id_col: str = "doc_id") -> pa.Tab
         return pa.table({
             id_col: pa.array([], pa.int64()),
             "band_id": pa.array([], pa.int32()),
-            "band_hash": pa.array([], pa.int64()),
+            "band_key": pa.array([], pa.int64()),
         })
     sig_mat = np.asarray(sigs, dtype=np.uint64)  # (n_docs, num_perm)
     rows_per_band = sig_mat.shape[1] // num_bands

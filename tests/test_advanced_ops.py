@@ -278,3 +278,31 @@ def test_cached_mapping_memoizes(ray_session):
     got = out[out["s"] == "abc"]["h"].tolist()
     assert got == [want] * 3
     assert out[out["s"].isna()]["h"].isna().all()
+
+
+def test_stream_manager(ray_session):
+    from rayflow.manager import StreamManager
+
+    m = StreamManager()
+    m.add("counts", {
+        "input": {"op": "read_parquet",
+                  "paths": "/root/testdata/sf0.001/events.parquet",
+                  "columns": ["event_type"]},
+        "steps": [{"op": "group_agg", "keys": ["event_type"],
+                   "aggs": [["count", None, "n"]]}],
+    })
+    m.add("types", {
+        "input": {"op": "read_parquet",
+                  "paths": "/root/testdata/sf0.001/events.parquet",
+                  "columns": ["event_type"]},
+        "steps": [{"op": "dedupe", "keys": ["event_type"],
+                   "order_col": "event_type", "keep": "max"}],
+    })
+    assert m.names() == ["counts", "types"]
+    results = m.run_all()
+    assert len(results["counts"].to_pandas()) == 5
+    assert m.remove("types") and m.names() == ["counts"]
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        m.run("types")

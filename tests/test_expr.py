@@ -121,3 +121,11 @@ def test_function_count():
     # scalar surface should stay broad (Bloblang has ~200 members; we
     # target the deterministic, columnar-relevant core)
     assert len(E.functions()) >= 70
+
+
+def test_list_folds():
+    t = pa.table({"lst": pa.array([[1, 2, 3], [], [5], None], pa.list_(pa.int64()))})
+    assert E.F("list_sum", E.col("lst")).eval(t).to_pylist() == [6.0, 0.0, 5.0, None]
+    assert E.F("list_max", E.col("lst")).eval(t).to_pylist() == [3.0, None, 5.0, None]
+    assert E.F("list_min", E.col("lst")).eval(t).to_pylist() == [1.0, None, 5.0, None]
+    assert E.F("list_contains", E.col("lst"), 2).eval(t).to_pylist() == [True, False, False, None]
