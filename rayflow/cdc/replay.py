@@ -381,3 +381,42 @@ class CdcEngine:
         refs = ds.sort(["conv_id", "turn_idx"]).to_arrow_refs()
         tables = [t for t in ray.get(refs) if t.num_rows > 0]
         return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _point_lookup_parts(engine: "CdcEngine", conv_id: str) -> list[int]:
+    """Partitions that may hold a conversation (1 normally, s when salted)."""
+    import numpy as np
+
+    from rayflow.cdc.partitioner import compute_part_ids
+
+    salts = {k: int(v) for k, v in engine.manifest.state.get("salts", {}).items()}
+    s = salts.get(conv_id, 1)
+    turns = np.arange(max(s * 4, 4), dtype=np.int64)  # cover every salt residue
+    parts = compute_part_ids(
+        np.array([conv_id] * len(turns), dtype=object), turns,
+        engine.num_partitions, salts,
+    )
+    return sorted(set(int(p) for p in parts))
+
+
+def read_conversation(engine: "CdcEngine", conv_id: str) -> pa.Table:
+    """Point lookup: fetch one conversation's turns touching ONLY its
+    partition state file(s) — the payoff of stable hash placement (a
+    salted conversation reads its s partitions).  Returns turns sorted
+    by turn_idx."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = engine.manifest.partition_files()
+    tables = []
+    for pid in _point_lookup_parts(engine, conv_id):
+        path = files.get(pid)
+        if path is None:
+            continue
+        t = pq.read_table(path)
+        tables.append(t.filter(pc.equal(t["conv_id"], conv_id)))
+    if not tables:
+        sch = engine.manifest.schema
+        return (lake_schema_for(sch) if sch else pa.schema([])).empty_table()
+    out = pa.concat_tables(tables, promote_options="permissive")
+    return out.take(pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")]))

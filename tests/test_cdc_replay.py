@@ -167,3 +167,20 @@ def test_injected_failure_no_partial_commit(changelog, tmp_path):
     e2 = CdcEngine(lake, num_partitions=8)  # no injection
     e2.replay(log_dir)
     _assert_equal(_engine_result(e2), _oracle_result(log_dir))
+
+
+def test_read_conversation_point_lookup(changelog, tmp_path):
+    from rayflow.cdc.replay import read_conversation
+
+    log_dir, _ = changelog
+    e = CdcEngine(str(tmp_path / "lake"), num_partitions=8)
+    e.replay(log_dir)
+    full = _engine_result(e)
+    some_conv = full["conv_id"].iloc[0]
+    got = read_conversation(e, some_conv).to_pandas()
+    want = full[full["conv_id"] == some_conv].reset_index(drop=True)
+    assert got["turn_idx"].tolist() == sorted(want["turn_idx"].tolist())
+    assert sorted(got["text"]) == sorted(want["text"])
+    # unknown conversation -> empty, correct schema
+    empty = read_conversation(e, "convNOPE")
+    assert empty.num_rows == 0 and "conv_id" in empty.schema.names
