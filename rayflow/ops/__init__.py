@@ -69,3 +69,8 @@ from rayflow.ops import joins as _joins  # noqa: E402,F401
 from rayflow.ops import multimodal as _multimodal  # noqa: E402,F401
 from rayflow.ops import textops as _textops  # noqa: E402,F401
 from rayflow.ops import windows as _windows  # noqa: E402,F401
+
+# sources/sinks register on pipeline import; pull them in so the registry
+# is complete regardless of import order (pipeline imports only the
+# registry symbols from this module, which exist by this point)
+from rayflow import pipeline as _pipeline  # noqa: E402,F401
