@@ -374,3 +374,40 @@ def build_decompress(*, column: str, codec: str = "gzip",
         return ds.map_batches(fn, **_PA_KW)
 
     return apply
+
+
+@register_op("parse_json")
+def build_parse_json(*, column: str, out: str | None = None,
+                     drop_source: bool = False):
+    """Parse a JSON-string column into a struct column (``parse_json``
+    Bloblang method / payload JSON→struct from SURVEY §1.2).  Schema is
+    inferred per batch from the parsed documents; parse failures become
+    null structs plus an ``_error`` marker (route with ``catch``)."""
+    import json as _json
+
+    target = out or f"{column}_parsed"
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            docs, errs = [], []
+            for v in t.column(column).to_pylist():
+                if v is None:
+                    docs.append(None)
+                    errs.append(None)
+                    continue
+                try:
+                    d = _json.loads(v)
+                    docs.append(d if isinstance(d, dict) else {"value": d})
+                    errs.append(None)
+                except (ValueError, TypeError):
+                    docs.append(None)
+                    errs.append("parse_json: invalid")
+            t = t.append_column(target, pa.array(docs))
+            t = t.append_column("_error", pa.array(errs, pa.string()))
+            if drop_source:
+                t = t.drop_columns([column])
+            return t
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply

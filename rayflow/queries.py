@@ -939,3 +939,73 @@ def embedding_near_dup_pairs(sf_dir: str):
     return build_op({
         "op": "embedding_near_dup", "threshold": 0.98, "dim": 64, "n_planes": 8,
     })(ds)
+
+
+@query(
+    "multi_join_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def multi_join_q3(sf_dir: str):
+    """TPC-H Q3 shape: three-way join plan mixing both join strategies —
+    the filtered customer side broadcasts (small after the segment
+    filter), orders⋈lineitem shuffles on the order key — then a grouped
+    aggregate and top-k."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust_keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING")
+    )["c_custkey"].to_pylist()
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = build_op({
+        "op": "filter",
+        "predicate": E.col("o_orderdate") < E.lit(datetime.datetime(1998, 3, 15)),
+    })(orders)
+    orders = build_op({"op": "broadcast_semi", "keys_ref": cust_keys,
+                       "on": "o_custkey"})(orders)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    li = build_op({
+        "op": "filter",
+        "predicate": E.col("l_shipdate") > E.lit(datetime.datetime(1995, 3, 15)),
+    })(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"rev": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_orderkey", "rev"],
+    })(li)
+
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 8,
+    })(li)
+    agg = build_op({
+        "op": "group_agg", "keys": ["l_orderkey", "o_orderdate"],
+        "aggs": [("sum", "rev", "revenue")],
+    })(joined)
+    agg = _round_cols(agg, ["revenue"])
+    agg = build_op({"op": "sort", "keys": ["revenue", "l_orderkey"],
+                    "descending": [True, False]})(agg)
+    agg = build_op({"op": "limit", "n": 10})(agg)
+    return agg.select_columns(["l_orderkey", "revenue", "o_orderdate"])

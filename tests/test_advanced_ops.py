@@ -306,3 +306,20 @@ def test_stream_manager(ray_session):
 
     with _pt.raises(KeyError):
         m.run("types")
+
+
+def test_parse_json_struct(ray_session):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    tbl = pa.table({"j": pa.array(['{"k": 1, "s": "x"}', '{"k": 2}', "bad", None])})
+    out_ds = build_op({"op": "parse_json", "column": "j", "out": "doc"})(
+        rd.from_arrow(tbl))
+    import ray
+
+    out = pa.concat_tables(ray.get(out_ds.to_arrow_refs()))
+    assert pa.types.is_struct(out.schema.field("doc").type)
+    ks = pc.struct_field(out["doc"].combine_chunks(), "k").to_pylist()
+    assert ks == [1, 2, None, None]
+    errs = out["_error"].to_pylist()
+    assert errs[2] == "parse_json: invalid" and errs[0] is None
