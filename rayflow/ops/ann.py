@@ -231,3 +231,109 @@ def build_embedding_near_dup(*, threshold: float = 0.9, dim: int = 64,
         )
 
     return apply
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, seed: int = 42,
+               n_iter: int = 12) -> np.ndarray:
+    """Seeded Lloyd's k-means on normalized vectors (numpy only,
+    deterministic).  Used as the IVF coarse quantizer; a small sample is
+    plenty — centroids only need to partition the space."""
+    rng = np.random.default_rng(seed)
+    x = _normalize_rows(sample)
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize_rows(centroids)
+    return centroids
+
+
+class IvfAssignStage:
+    """Actor stage: centroids fetched once per actor (broadcast ref)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        self.centroids = _fetch(centroids_ref, lambda v: v)
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _normalize_rows(_mat(t.column(self.vec_col)))
+        lists = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
+        return t.append_column("ivf_list", pa.array(lists))
+
+
+@register_op("ann_ivf")
+def build_ann_ivf(*, queries, query_ids, k: int = 10, n_clusters: int = 32,
+                  nprobe: int = 4, seed: int = 42, train_sample: np.ndarray | None = None,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  concurrency: int = 2):
+    """IVF approximate top-k: k-means coarse quantizer assigns every
+    vector to an inverted list; each query probes its ``nprobe`` closest
+    lists with exact cosine.  The scale path writes lists as partitioned
+    Parquet so a query reads nprobe/n_clusters of the corpus.  Train
+    sample defaults to the query matrix ∪ whatever the caller passes —
+    at corpus scale, pass a seeded sample of the corpus."""
+    import ray
+
+    q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    train = q if train_sample is None else _normalize_rows(
+        np.asarray(train_sample, dtype=np.float64))
+    centroids = kmeans_fit(train, n_clusters, seed=seed)
+    # per-query probe set
+    q_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    cent_ref = ray.put(centroids)
+    q_ref = ray.put((q, qids, q_lists))
+
+    def probe_topk(t: pa.Table) -> pa.Table:
+        qm, qi, ql = _fetch(q_ref, lambda v: v)
+        m = _normalize_rows(_mat(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy()
+        lists = t.column("ivf_list").to_numpy()
+        rows_q, rows_v, rows_s = [], [], []
+        for j in range(len(qi)):
+            mask = np.isin(lists, ql[j])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qm[j]
+            sel = ids[mask]
+            kk = min(k + 1, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+            rows_q.append(np.full(len(top), qi[j], dtype=np.int64))
+            rows_v.append(sel[top].astype(np.int64))
+            rows_s.append(sims[top])
+        if not rows_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            id_col: pa.array(np.concatenate(rows_v)),
+            "cos": pa.array(np.concatenate(rows_s), pa.float64()),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        g = g[g[id_col] != qid]
+        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": qid,
+            id_col: g[id_col].astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    def apply(ds):
+        indexed = ds.map_batches(
+            IvfAssignStage,
+            fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+            concurrency=concurrency, batch_format="pyarrow",
+            zero_copy_batch=True, num_cpus=1,
+        )
+        partials = indexed.map_batches(probe_topk, **_PA_KW)
+        return partials.groupby("query_id").map_groups(
+            final_topk, batch_format="pandas"
+        )
+
+    return apply

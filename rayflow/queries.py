@@ -1009,3 +1009,23 @@ def multi_join_q3(sf_dir: str):
                     "descending": [True, False]})(agg)
     agg = build_op({"op": "limit", "n": 10})(agg)
     return agg.select_columns(["l_orderkey", "revenue", "o_orderdate"])
+
+
+@query("ann_ivf_topk")  # approximate; recall vs brute force in pytest
+def ann_ivf_topk(sf_dir: str):
+    """IVF similarity search over the embeddings table (k-means coarse
+    quantizer trained on a seeded corpus sample, multi-probe)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 5))
+    queries_m = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    sample = np.asarray(
+        emb.take(pa.array(range(0, emb.num_rows, max(1, emb.num_rows // 500))))
+        ["embedding"].to_pylist(), dtype=np.float64)
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return build_op({
+        "op": "ann_ivf", "queries": queries_m, "query_ids": qids, "k": 10,
+        "n_clusters": 16, "nprobe": 4, "train_sample": sample,
+    })(ds)

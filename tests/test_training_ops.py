@@ -234,3 +234,41 @@ def test_session_windows(ray_session):
     })(ds).to_pandas().sort_values(["k", "session_start"]).reset_index(drop=True)
     assert len(out) == 3
     assert out["n"].tolist() == [2, 2, 1]
+
+
+def test_ann_ivf_recall_beats_random(ray_session):
+    """IVF (k-means quantizer + multi-probe) recall vs brute force on
+    clustered data; trained on a corpus sample."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((6, 24)) * 4
+    pts = np.concatenate([c + rng.standard_normal((50, 24)) * 0.4 for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array([p.tolist() for p in pts], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    q = pts[:3]
+    train = pts[rng.choice(len(pts), 80, replace=False)]
+    brute = build_op({"op": "knn_bruteforce", "queries": q,
+                      "query_ids": np.arange(3), "k": 10})(ds).to_pandas()
+    ivf = build_op({"op": "ann_ivf", "queries": q, "query_ids": np.arange(3),
+                    "k": 10, "n_clusters": 12, "nprobe": 3,
+                    "train_sample": train})(ds).to_pandas()
+    recalls = []
+    for j in range(3):
+        b = set(brute[brute["query_id"] == j]["vec_id"])
+        a = set(ivf[ivf["query_id"] == j]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_kmeans_deterministic():
+    from rayflow.ops.ann import kmeans_fit
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((100, 8))
+    c1 = kmeans_fit(x, 5, seed=7)
+    c2 = kmeans_fit(x, 5, seed=7)
+    assert np.allclose(c1, c2)
