@@ -88,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
                 WITH ranked AS (
                   SELECT lsn, op, row_number() OVER (
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
-                  FROM read_parquet({files!r}) WHERE lsn <= {watermark}
+                  FROM read_parquet({files!r}, union_by_name=true)
+                  WHERE lsn <= {watermark}
                 )
                 SELECT count(*), CAST(sum(lsn) AS BIGINT)
                 FROM ranked WHERE rn = 1 AND op <> 'delete'

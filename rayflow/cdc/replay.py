@@ -272,6 +272,25 @@ class CdcEngine:
                     "wall_s": round(wall, 4),
                     "events_per_s": round(n_raw / wall, 1) if wall > 0 else None,
                 }
+                # per-component metrics (the reference's operational
+                # bread-and-butter): push this band's engine counters
+                # into the shared metrics resource and snapshot it into
+                # the lineage record, so `metric` steps in user
+                # pipelines land in the same per-band audit trail
+                try:
+                    import ray as _ray
+
+                    from rayflow.state import get_metrics
+
+                    handle = get_metrics("default")
+                    _ray.get(handle.incr.remote({
+                        "replay.events": float(n_raw),
+                        "replay.bands": float(len(group)),
+                        "replay.wall_s": wall,
+                    }))
+                    lineage["metrics"] = _ray.get(handle.snapshot.remote())
+                except Exception:  # metrics are advisory, never fatal
+                    lineage["metrics"] = None
                 self.manifest.commit_band(
                     band_hi=group_hi,
                     schema=step_schema,

@@ -64,9 +64,24 @@ class Expr:
         return self._bin(o, pc.divide, "div")
 
     def __mod__(self, o):
-        # arithmetic modulo for ints (pyarrow has no modulo kernel pre-17)
+        # floor-modulo (Python semantics).  Integer inputs use an exact
+        # integer path — the float64 floor-division fallback loses
+        # precision above 2^53 (large LSNs / ids at 10^10-event scale).
         def _mod(t):
             a, b = _arr(self.eval(t)), _arr(_wrap(o).eval(t))
+            ta = a.type if hasattr(a, "type") else None
+            tb = b.type if hasattr(b, "type") else None
+            if ta is not None and tb is not None and \
+                    pa.types.is_integer(ta) and pa.types.is_integer(tb):
+                q = pc.divide(a, b)  # integer divide truncates toward zero
+                r = pc.subtract(a, pc.multiply(q, b))
+                # fix sign so result matches floor semantics: r and b must
+                # share sign (or r == 0)
+                needs = pc.and_(
+                    pc.not_equal(r, 0),
+                    pc.not_equal(pc.less(r, 0), pc.less(b, 0)),
+                )
+                return pc.if_else(needs, pc.add(r, b), r)
             return pc.subtract(a, pc.multiply(_floor_div(a, b), b))
 
         return Expr(_mod, "mod")
@@ -283,8 +298,29 @@ register_fn("sign")(pc.sign)
 
 @register_fn("round")
 def _round(a, nd=None):
+    # Bit-exact mirror of SQL round(): scale by 10^n, std::round (half
+    # away from zero), divide.  Neither of Arrow's kernels reproduces
+    # this — pc.round (any mode) computes via a different scale/divide
+    # path and lands one ULP off DuckDB on ~5% of float-sum aggregates,
+    # which silently reorders sort-by-value ties in oracle compares.
     n = 0 if nd is None else (nd.as_py() if isinstance(nd, pa.Scalar) else nd)
-    return pc.round(a, ndigits=n)
+    arr = a if isinstance(a, (pa.ChunkedArray, pa.Array)) else pa.array(a)
+    if pa.types.is_integer(arr.type):
+        return arr
+    arr64 = pc.cast(arr, pa.float64())
+    x = arr64.to_numpy(zero_copy_only=False)  # nulls → NaN
+    p = 10.0 ** n
+    scaled = x * p
+    with np.errstate(invalid="ignore"):
+        out = np.where(
+            np.abs(scaled) < 2.0 ** 52,
+            np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / p,
+            x,  # beyond 2^52 rounding at this precision is identity
+        )
+    null_mask = pc.is_null(arr64)
+    mask_np = null_mask.to_numpy(zero_copy_only=False) if isinstance(
+        null_mask, pa.ChunkedArray) else null_mask.to_numpy(zero_copy_only=False)
+    return pa.array(out, pa.float64(), mask=mask_np)
 
 
 @register_fn("min_of")
@@ -447,6 +483,165 @@ def _json_get_int(a, key):
 @register_fn("format_json")
 def _format_json(a):
     return _pyfall(lambda s: json.dumps(s))(a)
+
+
+def _parse_path(path: str) -> list[str | int]:
+    """``a.b[0].c`` → ['a', 'b', 0, 'c'] (dotted keys + [idx] list
+    indexing; also accepts bare numeric segments ``a.0.c``)."""
+    segs: list[str | int] = []
+    for part in path.split("."):
+        while part:
+            m = _re.match(r"^([^\[\]]+)", part)
+            if m:
+                key = m.group(1)
+                segs.append(int(key) if key.lstrip("-").isdigit() else key)
+                part = part[m.end():]
+                continue
+            m = _re.match(r"^\[(-?\d+)\]", part)
+            if m:
+                segs.append(int(m.group(1)))
+                part = part[m.end():]
+                continue
+            raise ValueError(f"bad JSON path segment: {part!r}")
+    return segs
+
+
+def _walk(doc, segs):
+    for s in segs:
+        if doc is None:
+            return None
+        if isinstance(s, int):
+            if not isinstance(doc, list) or not (-len(doc) <= s < len(doc)):
+                return None
+            doc = doc[s]
+        else:
+            if not isinstance(doc, dict):
+                return None
+            doc = doc.get(s)
+    return doc
+
+
+def _json_path_impl(a, path, conv):
+    p = path.as_py() if isinstance(path, pa.Scalar) else path
+    segs = _parse_path(p)
+    out = []
+    for v in _np_str(a):
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            got = _walk(json.loads(v), segs)
+        except (json.JSONDecodeError, TypeError):
+            got = None
+        out.append(None if got is None else conv(got))
+    return out
+
+
+@register_fn("json_path")
+def _json_path(a, path):
+    """Nested JSON path extraction (``jq``-style ``a.b[0].c``) over a
+    JSON-string column; non-scalar results are re-serialized as JSON."""
+    def conv(v):
+        return v if isinstance(v, str) else (
+            json.dumps(v) if isinstance(v, (dict, list)) else str(v))
+    return pa.array(_json_path_impl(a, path, conv), type=pa.string())
+
+
+@register_fn("json_path_int")
+def _json_path_int(a, path):
+    def conv(v):
+        return int(v)
+    try:
+        return pa.array(_json_path_impl(a, path, conv), type=pa.int64())
+    except (ValueError, TypeError):
+        return pa.array(_json_path_impl(
+            a, path, lambda v: int(v) if not isinstance(v, (dict, list)) else None,
+        ), type=pa.int64())
+
+
+@register_fn("json_path_float")
+def _json_path_float(a, path):
+    return pa.array(
+        _json_path_impl(
+            a, path,
+            lambda v: float(v) if not isinstance(v, (dict, list)) else None),
+        type=pa.float64())
+
+
+# -- struct/map methods (Bloblang object methods over parse_json output) ---
+
+
+def _as_struct(a) -> pa.StructArray:
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if not pa.types.is_struct(arr.type):
+        raise TypeError(f"expected struct column, got {arr.type}")
+    return arr
+
+
+@register_fn("struct_get")
+def _struct_get(a, name):
+    return pc.struct_field(a, name.as_py() if isinstance(name, pa.Scalar) else name)
+
+
+def _struct_rebuild(arr: pa.StructArray, fields: list[tuple[str, pa.Array]]):
+    names = [n for n, _ in fields]
+    children = [c for _, c in fields]
+    return pa.StructArray.from_arrays(
+        children, names=names,
+        mask=pc.is_null(arr) if arr.null_count else None)
+
+
+@register_fn("struct_without")
+def _struct_without(a, *keys):
+    """Bloblang ``without``: drop the named fields from a struct."""
+    arr = _as_struct(a)
+    drop = {k.as_py() if isinstance(k, pa.Scalar) else k for k in keys}
+    fields = [(f.name, pc.struct_field(arr, f.name))
+              for f in arr.type if f.name not in drop]
+    return _struct_rebuild(arr, fields)
+
+
+@register_fn("struct_with")
+def _struct_with(a, *keys):
+    """Bloblang ``with``: keep only the named fields."""
+    arr = _as_struct(a)
+    keep = [k.as_py() if isinstance(k, pa.Scalar) else k for k in keys]
+    names = {f.name for f in arr.type}
+    fields = [(k, pc.struct_field(arr, k)) for k in keep if k in names]
+    return _struct_rebuild(arr, fields)
+
+
+@register_fn("struct_merge")
+def _struct_merge(a, b):
+    """Bloblang ``merge``: combine two struct columns field-wise; the
+    right side wins on name collisions (per-field, vectorized — null
+    right rows fall back to the left value via coalesce)."""
+    left, right = _as_struct(a), _as_struct(b)
+    fields: dict[str, pa.Array] = {
+        f.name: pc.struct_field(left, f.name) for f in left.type
+    }
+    for f in right.type:
+        rcol = pc.struct_field(right, f.name)
+        if f.name in fields and fields[f.name].type == rcol.type:
+            fields[f.name] = pc.coalesce(rcol, fields[f.name])
+        else:
+            fields[f.name] = rcol
+    return _struct_rebuild(left, list(fields.items()))
+
+
+@register_fn("map_each_key")
+def _map_each_key(a, fn_name):
+    """Bloblang ``map_each_key``: rename every struct field by applying
+    a registered scalar string function (e.g. ``uppercase``) to the key
+    names.  Keys are metadata — the transform runs once per field, not
+    per row."""
+    arr = _as_struct(a)
+    f = fn_name.as_py() if isinstance(fn_name, pa.Scalar) else fn_name
+    kernel = _REGISTRY[f]
+    old = [fld.name for fld in arr.type]
+    new = kernel(pa.array(old, pa.string())).to_pylist()
+    fields = [(n, pc.struct_field(arr, o)) for o, n in zip(old, new)]
+    return _struct_rebuild(arr, fields)
 
 
 # --------------------------------------------------------------------------

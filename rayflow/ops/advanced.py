@@ -171,6 +171,54 @@ def build_unarchive(*, column: str, fmt: str = "json_array"):
     return apply
 
 
+@register_op("parse_csv")
+def build_parse_csv(*, column: str, header: bool = True,
+                    delimiter: str = ",",
+                    column_names: list[str] | None = None,
+                    keep: list[str] | None = None):
+    """CSV document → rows (``parse_csv`` processor, ``⟨upstream:
+    internal/impl/pure/processor_parse_csv.go⟩``): each value of
+    ``column`` is a CSV document (with a header row unless ``header``
+    is false — then pass ``column_names``); every record becomes an
+    output row.  Parsing is Arrow's C++ CSV reader per document;
+    ``keep`` lists parent columns to replicate onto the exploded rows
+    (default: all other columns)."""
+    import io
+
+    import pyarrow.csv as pacsv
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            parents = keep if keep is not None else [
+                c for c in t.column_names if c != column
+            ]
+            parsed: list[pa.Table] = []
+            parent_idx: list[int] = []
+            ropts = pacsv.ReadOptions(
+                column_names=None if header else column_names)
+            popts = pacsv.ParseOptions(delimiter=delimiter)
+            for i, payload in enumerate(t.column(column).to_pylist()):
+                if payload is None or not payload.strip():
+                    continue
+                tbl = pacsv.read_csv(
+                    io.BytesIO(payload.encode()), read_options=ropts,
+                    parse_options=popts)
+                parsed.append(tbl)
+                parent_idx.extend([i] * tbl.num_rows)
+            if not parsed:
+                return pa.table({"_empty": pa.array([], pa.int8())})
+            body = pa.concat_tables(parsed, promote_options="permissive")
+            if parents:
+                rep = t.select(parents).take(pa.array(parent_idx, pa.int64()))
+                for name in rep.column_names:
+                    body = body.append_column(name, rep.column(name))
+            return body
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply
+
+
 @register_op("grok")
 def build_grok(*, column: str, pattern: str, drop_source: bool = False):
     """Regex extraction into typed columns (``grok`` / ``parse_log``):

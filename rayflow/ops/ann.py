@@ -26,9 +26,22 @@ _PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
 def _mat(col: pa.ChunkedArray) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix, zero-copy-ish."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        # numpy cannot infer -1 from size 0; upstream filters can produce
+        # empty blocks — callers early-return on num_rows == 0, this is a
+        # second line of defence
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
+
+
+def _empty_topk(id_col: str) -> pa.Table:
+    return pa.table({
+        "query_id": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64()),
+    })
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -55,6 +68,8 @@ def build_knn_bruteforce(*, queries, query_ids, k: int = 10,
     q_ref = ray.put((q, qids))
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_topk(id_col)
         qm, qi = _fetch(q_ref, lambda v: v)
         m = _normalize_rows(_mat(t.column(vec_col)))
         ids = t.column(id_col).to_numpy()
@@ -108,6 +123,8 @@ class LshIndexStage:
         return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("lsh_bucket", pa.array([], pa.int64()))
         m = _mat(t.column(self.vec_col))
         return t.append_column("lsh_bucket", pa.array(self.bucket_of(m)))
 
@@ -130,6 +147,8 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
     q_ref = ray.put((_normalize_rows(q), qids, q_buckets))
 
     def bucket_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_topk(id_col)
         qm, qi, qb = _fetch(q_ref, lambda v: v)
         m = _normalize_rows(_mat(t.column(vec_col)))
         ids = t.column(id_col).to_numpy()
@@ -259,9 +278,150 @@ class IvfAssignStage:
         self.vec_col = vec_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("ivf_list", pa.array([], pa.int64()))
         m = _normalize_rows(_mat(t.column(self.vec_col)))
         lists = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
         return t.append_column("ivf_list", pa.array(lists))
+
+
+class IvfIndex:
+    """On-disk IVF index: the corpus written ONCE as Parquet partitioned
+    by inverted list (``part=<list>`` hive directories) plus the
+    centroid matrix.  A probe reads ONLY its ``nprobe`` list partitions
+    — bytes read drop by ~n_clusters/nprobe versus streaming the corpus
+    (asserted from Parquet metadata in tests).  This is the scale path
+    the in-stream ``ann_ivf`` op approximates with a filter."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.centroids = np.load(os.path.join(path, "centroids.npy"))
+
+    # -- build -------------------------------------------------------------
+    @classmethod
+    def build(cls, ds, path: str, *, train_sample, n_clusters: int = 32,
+              seed: int = 42, vec_col: str = "embedding",
+              id_col: str = "vec_id", concurrency: int = 2) -> "IvfIndex":
+        import json
+        import os
+
+        import ray
+
+        centroids = kmeans_fit(
+            _normalize_rows(np.asarray(train_sample, dtype=np.float64)),
+            n_clusters, seed=seed)
+        cent_ref = ray.put(centroids)
+
+        def assign(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("part", pa.array([], pa.int64()))
+            stage = IvfAssignStage(cent_ref, vec_col)
+            t = stage(t)
+            # keep ivf_list as a data column too — write_parquet moves
+            # partition_cols into directory names only
+            return t.append_column("part", t.column("ivf_list"))
+
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(assign, **_PA_KW).write_parquet(
+            os.path.join(path, "corpus"), partition_cols=["part"])
+        np.save(os.path.join(path, "centroids.npy"), centroids)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"n_clusters": int(n_clusters), "seed": int(seed),
+                       "vec_col": vec_col, "id_col": id_col}, f)
+        return cls(path)
+
+    # -- probe -------------------------------------------------------------
+    def list_dirs(self, lists) -> list[str]:
+        import glob
+        import os
+
+        out = []
+        for li in sorted(set(int(x) for x in lists)):
+            d = os.path.join(self.path, "corpus", f"part={li}")
+            if os.path.isdir(d):
+                out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return out
+
+    def probe(self, queries, query_ids, *, k: int = 10, nprobe: int = 4):
+        """Top-k per query reading only the probed partitions."""
+        import ray.data as rd
+
+        q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+        qids = np.asarray(query_ids, dtype=np.int64)
+        q_lists = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        dirs = self.list_dirs(q_lists.ravel())
+        vec_col, id_col = self.meta["vec_col"], self.meta["id_col"]
+        ds = rd.read_parquet(dirs, columns=[id_col, vec_col, "ivf_list"])
+        op = build_ann_ivf_probe_stage(q, qids, q_lists, k=k,
+                                       vec_col=vec_col, id_col=id_col)
+        return op(ds)
+
+    def bytes_for(self, lists) -> int:
+        import os
+
+        return sum(os.path.getsize(f) for f in self.list_dirs(lists))
+
+    def total_bytes(self) -> int:
+        return self.bytes_for(range(self.meta["n_clusters"]))
+
+
+def build_ann_ivf_probe_stage(q, qids, q_lists, *, k: int,
+                              vec_col: str, id_col: str):
+    """Shared probe: per-batch partial top-k within each query's lists,
+    then per-query final reduce (same shape as the in-stream op)."""
+    import ray
+
+    q_ref = ray.put((q, qids, q_lists))
+
+    def probe_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_topk(id_col)
+        qm, qi, ql = _fetch(q_ref, lambda v: v)
+        m = _normalize_rows(_mat(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy()
+        lists = t.column("ivf_list").to_numpy()
+        rows_q, rows_v, rows_s = [], [], []
+        for j in range(len(qi)):
+            mask = np.isin(lists, ql[j])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qm[j]
+            sel = ids[mask]
+            kk = min(k + 1, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+            rows_q.append(np.full(len(top), qi[j], dtype=np.int64))
+            rows_v.append(sel[top].astype(np.int64))
+            rows_s.append(sims[top])
+        if not rows_q:
+            return _empty_topk(id_col)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            id_col: pa.array(np.concatenate(rows_v)),
+            "cos": pa.array(np.concatenate(rows_s), pa.float64()),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        g = g[g[id_col] != qid]
+        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": qid,
+            id_col: g[id_col].astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    def apply(ds):
+        partials = ds.map_batches(probe_topk, **_PA_KW)
+        return partials.groupby("query_id").map_groups(
+            final_topk, batch_format="pandas"
+        )
+
+    return apply
 
 
 @register_op("ann_ivf")
@@ -288,6 +448,8 @@ def build_ann_ivf(*, queries, query_ids, k: int = 10, n_clusters: int = 32,
     q_ref = ray.put((q, qids, q_lists))
 
     def probe_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_topk(id_col)
         qm, qi, ql = _fetch(q_ref, lambda v: v)
         m = _normalize_rows(_mat(t.column(vec_col)))
         ids = t.column(id_col).to_numpy()

@@ -35,12 +35,28 @@ def _exprs(spec: dict[str, Any]) -> dict[str, E.Expr]:
 
 
 @register_op("mapping")
-def build_mapping(*, cols: dict[str, Any], select: list[str] | None = None,
+def build_mapping(*, cols: dict[str, Any] | None = None,
+                  text: str | None = None,
+                  select: list[str] | None = None,
                   drop: list[str] | None = None):
     """Compute/overwrite columns from expressions; optionally project.
 
     The ``mapping``/``mutation`` processor: Bloblang assignments become
-    vectorized Arrow kernel trees (:mod:`rayflow.expr`)."""
+    vectorized Arrow kernel trees (:mod:`rayflow.expr`).  Accepts either
+    ``cols`` (Expr / s-expression dict) or ``text`` — a Bloblang-syntax
+    program (``root.x = this.a.uppercase()`` lines, the reference's
+    native mapping surface) parsed by :mod:`rayflow.bloblang`;
+    ``root.x = deleted()`` adds x to the drop list."""
+    if text is not None:
+        from rayflow.bloblang import DELETED, parse_program
+
+        prog = parse_program(text)
+        deleted = [k for k, v in prog.items() if v is DELETED]
+        cols = {k: v for k, v in prog.items() if v is not DELETED}
+        if deleted:
+            drop = list(drop or []) + deleted
+    if cols is None:
+        raise ValueError("mapping: need 'cols' or 'text'")
     compiled = _exprs(cols)
 
     def apply(ds):

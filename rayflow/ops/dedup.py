@@ -151,20 +151,61 @@ def jaccard(sa: set, sb: set) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _empty_pairs() -> pa.Table:
+    return pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+
+
 @register_op("minhash_lsh_dedup")
 def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
                       num_bands: int = 16, shingle_k: int = 3, seed: int = 42,
                       text_col: str = "text", id_col: str = "doc_id",
-                      concurrency: int = 2):
+                      concurrency: int = 2, n_buckets: int = 256,
+                      join_partitions: int = 8,
+                      driver_pair_limit: int = 2_000_000,
+                      broadcast_bytes_limit: int = 64 << 20):
     """Near-duplicate pair detection.  Returns (doc_a, doc_b, jaccard)
-    for verified pairs with token-shingle Jaccard ≥ threshold.
+    for verified pairs with token-shingle Jaccard >= threshold.
 
-    Verification broadcasts the candidate docs' texts (``ray.put`` once);
-    at corpus scale swap that stage for a sharded join on doc_id — the
-    candidate set is tiny either way (bands with ≥2 docs only)."""
+    Fully distributed with exactly ONE keyed shuffle on the hot path:
+
+    1. signatures + band explosion — ``map_batches`` (no exchange);
+       each band row also carries ``bucket = band_key mod n_buckets``.
+    2. candidate pairs — ``groupby("bucket").map_groups``: ~n_buckets
+       groups total (NOT one per band key, which would pay the ~50us
+       per-group callback cost on millions of singleton bands); inside a
+       bucket the rows are sorted by band_key and multi-doc runs found
+       vectorized with ``np.unique`` — singleton bands cost nothing.
+       The exchange carries only (doc_id, band_key) ints.
+    3. exact-Jaccard verify — the corpus is filtered to candidate docs
+       (broadcast id set), each candidate's shingle set is computed
+       distributed, and pairs meet shingle sets either by
+       **broadcast** (candidate table re-read from the object store by
+       every verify task — chosen when the materialized candidate table
+       is under ``broadcast_bytes_limit``) or by **sharded join**
+       (``Dataset.join`` on doc_a then doc_b — the 100 TB path, no
+       size assumption).  Texts/shingles never land on the driver;
+       the only driver materializations are pair-id lists (ints) and
+       only when under ``driver_pair_limit``, else pair dedup runs as a
+       distributed groupby.
+
+    The reported ``jaccard`` is the raw double ``|A&B| / |A|B|`` (no
+    rounding) so a SQL oracle computing the same integer ratio is
+    bit-identical."""
 
     def apply(ds):
-        # signature + banding (the distributed part)
+        import ray
+        import ray.data as rd
+
+        from rayflow.ops import prefer_push_shuffle
+        from rayflow.ops.joins import _fetch
+
+        prefer_push_shuffle()
+
+        # 1. signature + banding (distributed, no exchange)
         sigs = ds.map_batches(
             MinHasher,
             fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
@@ -173,60 +214,161 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
             batch_size=2048,  # bounds the (shingles x perms) hash matrix
             batch_format="pyarrow", zero_copy_batch=True, num_cpus=1,
         )
-        bands = sigs.map_batches(
-            lambda t: explode_bands(t, num_bands, id_col), **_PA_KW
-        ).materialize()  # tiny (ints only); reused by count + filter passes
 
-        # find colliding band keys WITHOUT a per-group callback: most
-        # groups are singletons, and map_groups pays ~50µs per group —
-        # a count aggregate + membership filter is ~40x faster at 50k docs
-        from rayflow.ops import prefer_push_shuffle
+        def bands_with_bucket(t: pa.Table) -> pa.Table:
+            b = explode_bands(t, num_bands, id_col)
+            bucket = pc.cast(
+                pc.bit_wise_and(b["band_key"], n_buckets - 1), pa.int32()
+            ) if (n_buckets & (n_buckets - 1)) == 0 else pc.cast(
+                pc.subtract(b["band_key"],
+                            pc.multiply(pc.divide(b["band_key"], n_buckets),
+                                        n_buckets)), pa.int32())
+            return b.append_column("bucket", bucket)
 
-        prefer_push_shuffle()
-        counts = bands.groupby("band_key").count().to_pandas()
-        hot = counts.loc[counts["count()"] >= 2, "band_key"].to_numpy()
-        if len(hot) == 0:
-            pairs = pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        bands = sigs.map_batches(bands_with_bucket, **_PA_KW)
+
+        # 2. ONE keyed shuffle: bucket groupby, vectorized run detection
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            keys = g["band_key"].to_numpy()
+            ids = g[id_col].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            keys, ids = keys[order], ids[order]
+            _, starts, counts = np.unique(keys, return_index=True,
+                                          return_counts=True)
+            frames = []
+            for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+                frames.append(_pairs_from_ids(ids[s:s + c]))
+            if not frames:
+                return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                     "doc_b": pd.Series([], dtype=np.int64)})
+            out = pd.concat(frames, ignore_index=True)
+            return out.drop_duplicates(ignore_index=True)
+
+        raw_pairs = bands.groupby("bucket").map_groups(
+            bucket_pairs, batch_format="pandas"
+        ).map_batches(lambda t: t, **_PA_KW).materialize()
+        n_raw = raw_pairs.count()
+        if n_raw == 0:
+            return rd.from_arrow(_empty_pairs())
+
+        # distinct pairs across buckets (same pair can collide in several
+        # bands landing in different buckets): driver numpy dedup while
+        # the pair list is metadata-sized, distributed groupby otherwise
+        if n_raw <= driver_pair_limit:
+            pt = pa.concat_tables(
+                raw_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+            ab = np.stack([pt["doc_a"].to_numpy(), pt["doc_b"].to_numpy()], axis=1)
+            ab = np.unique(ab, axis=0)
+            pairs = rd.from_arrow(pa.table({
+                "doc_a": pa.array(ab[:, 0], pa.int64()),
+                "doc_b": pa.array(ab[:, 1], pa.int64()),
+            }))
+            ids_needed = np.unique(ab)
         else:
-            hot_set = pa.array(np.sort(hot))
-            cand_rows = bands.map_batches(
-                lambda t: t.filter(pc.is_in(t["band_key"], value_set=hot_set)),
-                **_PA_KW,
-            ).to_pandas()  # only docs sharing a band — small by construction
-            frames = [
-                _pairs_from_ids(g.to_numpy())
-                for _, g in cand_rows.groupby("band_key")[id_col]
-            ]
             pairs = (
-                pd.concat(frames, ignore_index=True).drop_duplicates(ignore_index=True)
-                if frames
-                else pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+                raw_pairs.groupby(["doc_a", "doc_b"]).count()
+                .drop_columns(["count()"])
+                .map_batches(lambda t: t, **_PA_KW)
+                .materialize()
             )
+            acc: set[int] = set()
+            for b in pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                acc.update(b["doc_a"].to_pylist())
+                acc.update(b["doc_b"].to_pylist())
+            ids_needed = np.sort(np.fromiter(acc, np.int64, len(acc)))
+        need_ref = ray.put(pa.array(ids_needed))
 
-        # exact-Jaccard verification on the (small) candidate set
-        need = set(pairs["doc_a"]) | set(pairs["doc_b"])
-        doc_text = {}
-        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            ids = batch.column(id_col).to_numpy()
-            mask = np.isin(ids, np.fromiter(need, dtype=np.int64, count=len(need))) if need else np.zeros(len(ids), bool)
-            for i in np.flatnonzero(mask):
-                doc_text[int(ids[i])] = batch.column(text_col)[int(i)].as_py()
-        rows = []
-        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-            ja = jaccard(
-                _token_shingles(doc_text.get(int(a), ""), shingle_k),
-                _token_shingles(doc_text.get(int(b), ""), shingle_k),
-            )
-            if ja >= threshold:
-                rows.append((int(a), int(b), round(ja, 6)))
-        import ray.data as rd
+        # 3. distributed shingle computation for candidate docs only
+        def cand_shingles(t: pa.Table) -> pa.Table:
+            need = _fetch(need_ref, lambda v: v)
+            t = t.filter(pc.is_in(t.column(id_col), value_set=need))
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            # packed as int64-LE bytes: Arrow's hash join rejects list<>
+            # payload columns, binary passes through fine
+            sets = [
+                np.sort(np.fromiter(s, np.int64, len(s))).tobytes()
+                for s in (_token_shingles(x or "", shingle_k) for x in texts)
+            ]
+            return pa.table({
+                id_col: t.column(id_col),
+                "sh": pa.array(sets, pa.binary()),
+            })
 
-        out = pa.table({
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-        })
-        return rd.from_arrow(out)
+        cand_docs = ds.map_batches(cand_shingles, **_PA_KW).materialize()
+
+        def pair_jaccard(sa: list, sb: list) -> np.ndarray:
+            ja = np.empty(len(sa), dtype=np.float64)
+            for i, (xb, yb) in enumerate(zip(sa, sb)):
+                x = np.frombuffer(xb, dtype=np.int64)
+                y = np.frombuffer(yb, dtype=np.int64)
+                if not len(x) and not len(y):
+                    ja[i] = 1.0
+                    continue
+                inter = len(np.intersect1d(x, y, assume_unique=True))
+                ja[i] = inter / (len(x) + len(y) - inter)
+            return ja
+
+        if (cand_docs.size_bytes() or 0) <= broadcast_bytes_limit:
+            # broadcast verify: candidate shingle table flows object
+            # store -> workers (driver holds only block refs); each
+            # verify task builds the id->shingles dict once per process
+            blocks = cand_docs.to_arrow_refs()
+            key = tuple(r.hex() for r in blocks)
+
+            def build_index(_):
+                tbl = pa.concat_tables(ray.get(list(blocks)))
+                return dict(zip(tbl[id_col].to_pylist(), tbl["sh"].to_pylist()))
+
+            def verify_bcast(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return _empty_pairs()
+                from rayflow.ops.joins import _BCAST_CACHE
+
+                if key not in _BCAST_CACHE:
+                    _BCAST_CACHE[key] = build_index(None)
+                idx = _BCAST_CACHE[key]
+                a_ids = t["doc_a"].to_pylist()
+                b_ids = t["doc_b"].to_pylist()
+                empty = b""
+                ja = pair_jaccard([idx.get(a, empty) for a in a_ids],
+                                  [idx.get(b, empty) for b in b_ids])
+                keep = ja >= threshold
+                return pa.table({
+                    "doc_a": t["doc_a"].filter(pa.array(keep)),
+                    "doc_b": t["doc_b"].filter(pa.array(keep)),
+                    "jaccard": pa.array(ja[keep], pa.float64()),
+                })
+
+            return pairs.map_batches(verify_bcast, **_PA_KW)
+
+        # sharded-join verify (the no-size-assumption 100 TB path)
+        j1 = pairs.join(cand_docs, join_type="inner",
+                        num_partitions=join_partitions,
+                        on=("doc_a",), right_on=(id_col,))
+        j1 = j1.map_batches(
+            lambda t: t.rename_columns(
+                ["sh_a" if c == "sh" else c for c in t.column_names]
+            ).drop_columns([c for c in (id_col,) if c in t.column_names]),
+            **_PA_KW,
+        )
+        j2 = j1.join(cand_docs, join_type="inner",
+                     num_partitions=join_partitions,
+                     on=("doc_b",), right_on=(id_col,))
+
+        def verify_join(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_pairs()
+            ja = pair_jaccard(t.column("sh_a").to_pylist(),
+                              t.column("sh").to_pylist())
+            keep = ja >= threshold
+            return pa.table({
+                "doc_a": t.column("doc_a").filter(pa.array(keep)),
+                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                "jaccard": pa.array(ja[keep], pa.float64()),
+            })
+
+        return j2.map_batches(verify_join, **_PA_KW)
 
     return apply
 
@@ -234,30 +376,79 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
 # -- SimHash ---------------------------------------------------------------
 
 
+_SIMHASH_BITS = 63  # fits int64; bit i of h(token) = (md5_prefix >> i) & 1
+
+
+def _md5_prefix64(token: str) -> int:
+    """First 8 bytes of md5(token), big-endian — the token hash.
+
+    Chosen over crc32 because a SQL oracle can reproduce it exactly:
+    DuckDB ``CAST('0x' || substring(md5(t), 1, 16) AS UBIGINT)``."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+
+
 def simhash64(text: str) -> int:
-    """Charikar 64-bit simhash over whitespace tokens (crc32-mixed)."""
+    """Charikar simhash over whitespace tokens (63-bit, md5-prefix token
+    hash).  Scalar reference implementation; the batch path below is the
+    hot one and must agree bit-for-bit (property-tested)."""
     toks = text.split()
     if not toks:
         return 0
-    hashes = np.array(
-        [zlib.crc32(t.encode()) * 0x9E3779B97F4A7C15 % (1 << 64) for t in toks],
-        dtype=np.uint64,
-    )
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+    hashes = np.array([_md5_prefix64(t) for t in toks], dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64))
+            & np.uint64(1))
     counts = bits.sum(axis=0)
     vec = (counts * 2 > len(toks)).astype(np.uint64)
-    return int((vec << np.arange(64, dtype=np.uint64)).sum() >> np.uint64(1))
+    return int((vec << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum())
+
+
+def simhash_batch(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized simhash for a whole batch: one Arrow whitespace split,
+    dictionary-encode the flat token stream so md5 runs once per UNIQUE
+    token, then a single segment-reduce per document.  No per-row Python
+    beyond the unique-token hash loop."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = pc.fill_null(arr, "")
+    toks = pc.utf8_split_whitespace(arr)
+    # Arrow emits empty tokens at string edges ('' → [''], 'a ' →
+    # ['a','']) — mask them instead of counting them.  Raw counts are
+    # always ≥1, so reduceat never sees a zero-length segment.
+    raw_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate(([0], np.cumsum(raw_counts)))[:-1]
+    n_tok = np.add.reduceat(keep.astype(np.int64), offsets)
+    enc = pc.dictionary_encode(flat)
+    enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+    uniq = enc.dictionary.to_pylist()
+    indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # md5 once per UNIQUE token; the extra 0 sentinel absorbs masked
+    # (empty) tokens so one gather replaces a post-gather multiply
+    uniq_h = np.array([_md5_prefix64(t) for t in uniq] + [0], dtype=np.uint64)
+    flat_h = uniq_h[np.where(keep, indices, len(uniq))]  # (n_flat,) uint64
+    # per-bit segment sums: 63 shift+mask+reduceat passes over the flat
+    # hash vector.  This beats any (n_flat, 63) bit-matrix layout —
+    # 2-D reduceat/cumsum along axis 0 is strided and ~50x slower.
+    sums = np.empty((len(arr), _SIMHASH_BITS), dtype=np.int64)
+    for b in range(_SIMHASH_BITS):
+        bb = (flat_h >> np.uint64(b)) & np.uint64(1)
+        sums[:, b] = np.add.reduceat(bb, offsets)
+    maj = (sums * 2 > n_tok[:, None]).astype(np.uint64)
+    return (maj << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum(axis=1)
 
 
 @register_op("simhash")
 def build_simhash(*, text_col: str = "text", id_col: str = "doc_id"):
     def apply(ds):
         def fn(t: pa.Table) -> pa.Table:
-            texts = t.column(text_col).to_numpy(zero_copy_only=False)
-            sh = [simhash64(s or "") for s in texts]
+            sh = simhash_batch(t.column(text_col))
             return pa.table({
                 id_col: t.column(id_col),
-                "simhash": pa.array(sh, pa.int64()),
+                "simhash": pa.array(sh.astype(np.int64), pa.int64()),
             })
 
         return ds.map_batches(fn, **_PA_KW)

@@ -47,17 +47,53 @@ def _fetch(ref, derive):
 def build_broadcast_join(*, small, on: list[str], right_on: list[str] | None = None,
                          how: str = "left", suffix: str = "_r"):
     """``small`` may be a pa.Table / pandas DataFrame (will be ray.put)
-    or an existing ObjectRef."""
+    or an existing ObjectRef.
+
+    Hot path is Arrow-native: ``pc.index_in`` on the key + ``take`` on
+    the small table, appending columns to the (zero-copy) left batch —
+    no pandas round-trip, which on string-heavy batches costs a full
+    copy each way.  Falls back to a pandas merge only for multi-key
+    joins, duplicate-key small sides (index_in finds first match only),
+    or join types beyond left/inner."""
     import ray
 
     small_ref = small if isinstance(small, ray.ObjectRef) else ray.put(small)
     ron = right_on or on
 
     def derive(obj):
-        return obj.to_pandas() if isinstance(obj, pa.Table) else obj
+        import pandas as pd
+
+        tbl = obj if isinstance(obj, pa.Table) else pa.Table.from_pandas(
+            obj, preserve_index=False)
+        if len(ron) == 1 and how in ("left", "inner"):
+            keys = tbl.column(ron[0]).combine_chunks()
+            if keys.null_count == 0 and \
+                    pc.count_distinct(keys).as_py() == len(keys):
+                return ("arrow", tbl, keys)
+        return ("pandas", tbl.to_pandas())
 
     def merge(batch: pa.Table) -> pa.Table:
-        small_pd = _fetch(small_ref, derive)
+        cached = _fetch(small_ref, derive)
+        if cached[0] == "arrow":
+            _, tbl, keys = cached
+            key_col = batch.column(on[0])
+            if key_col.type != keys.type:
+                key_col = pc.cast(key_col, keys.type)
+            idx = pc.index_in(key_col, value_set=keys)
+            if how == "inner":
+                valid = pc.is_valid(idx)
+                batch = batch.filter(valid)
+                idx = idx.filter(valid)
+            gathered = tbl.take(idx)  # null indices → null rows (left join)
+            out = batch
+            for name in tbl.column_names:
+                if name in ron or name in on:
+                    continue  # key columns already present on the left
+                col = gathered.column(name)
+                out_name = name + suffix if name in batch.column_names else name
+                out = out.append_column(out_name, col)
+            return out
+        small_pd = cached[1]
         left = batch.to_pandas()
         merged = left.merge(
             small_pd, how=how, left_on=on, right_on=ron, suffixes=("", suffix)

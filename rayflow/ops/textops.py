@@ -126,7 +126,10 @@ class LangIdScorer:
             }
             best = max(scores, key=lambda k: (scores[k], k))
             preds.append(best if scores[best] > 0 else "unknown")
-            confs.append(round(scores[best], 6))
+            # raw double (hits/len): bit-identical to a SQL oracle's
+            # CAST(k AS DOUBLE)/n — rounding here would reintroduce
+            # half-even vs half-away divergence at e.g. 1/128
+            confs.append(scores[best])
         return t.append_column("lang_pred", pa.array(preds, pa.string())) \
                 .append_column("lang_conf", pa.array(confs, pa.float64()))
 
@@ -142,27 +145,67 @@ def build_lang_id(*, concurrency: int = 2, batch_size: int = 2048):
     return apply
 
 
-def rolling_hashes(s: str, k: int = 8, base: int = 257,
-                   mod: int = (1 << 61) - 1) -> np.ndarray:
-    """Karp-Rabin rolling hashes of all k-grams of ``s`` (deterministic)."""
+def rolling_hashes(s: str, k: int = 8, base: int = 257) -> np.ndarray:
+    """Karp-Rabin rolling hashes of all byte k-grams of ``s`` in
+    Z_2^64 (natural uint64 wraparound — fully vectorizable, unlike a
+    Mersenne modulus whose intermediate products overflow 64 bits).
+    Deterministic: hash(i) = Σ_j byte[i+j] · base^(k-1-j) mod 2^64."""
     if len(s) < k:
         return np.array([hash_bytes(s)], dtype=np.uint64)
-    vals = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    # numpy rolling hash over byte k-grams, vectorized with a power table
-    powers = np.array([pow(base, k - 1 - i, mod) for i in range(k)], dtype=object)
+    vals = np.frombuffer(
+        s.encode("utf-8", "surrogatepass"), dtype=np.uint8
+    ).astype(np.uint64)
     n = len(vals) - k + 1
-    # windowed dot products via cumulative technique would overflow int64;
-    # use object ints for correctness (fingerprints are not a hot path for
-    # short docs; long docs should use the sampled stride variant)
-    out = np.empty(n, dtype=np.uint64)
-    h = 0
-    for i in range(k):
-        h = (h * base + int(vals[i])) % mod
-    out[0] = h
-    top = int(powers[0])
-    for i in range(1, n):
-        h = ((h - int(vals[i - 1]) * top) * base + int(vals[i + k - 1])) % mod
-        out[i] = h
+    out = np.zeros(n, dtype=np.uint64)
+    b = np.uint64(base)
+    # k shifted multiply-adds over the byte vector — O(k·n) vector ops,
+    # no per-character Python
+    for j in range(k):
+        out += vals[j : j + n] * (b ** np.uint64(k - 1 - j))
+    return out
+
+
+def rolling_min_batch(texts, k: int = 8, base: int = 257) -> list[int | None]:
+    """Per-doc minimum rolling hash for a whole batch (the 1-perm
+    minhash): one flat uint64 pass over the concatenated byte stream,
+    windows crossing document boundaries masked to max, segment-min via
+    ``np.minimum.reduceat``.  Nulls stay null; docs shorter than ``k``
+    fall back to crc32 of the whole doc (same as the scalar path)."""
+    enc = [None if s is None else s.encode("utf-8", "surrogatepass")
+           for s in texts]
+    out: list[int | None] = [None] * len(texts)
+    long_idx = [i for i, e in enumerate(enc) if e is not None and len(e) >= k]
+    for i, e in enumerate(enc):
+        if e is not None and len(e) < k:
+            out[i] = int(hash_bytes(texts[i]))
+    if not long_idx:
+        return out
+    blobs = [enc[i] for i in long_idx]
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    n = len(flat) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    b64 = np.uint64(base)
+    for j in range(k):
+        # uint8 slice × uint64 scalar promotes to uint64 (wrapping);
+        # out= reuses one temp instead of allocating per pass
+        np.multiply(flat[j : j + n], b64 ** np.uint64(k - 1 - j),
+                    out=tmp, dtype=np.uint64, casting="unsafe")
+        h += tmp
+    # mask windows that straddle a doc boundary (the last k-1 start
+    # positions of every doc except windows past the flat end)
+    valid_counts = lens - k + 1  # ≥1 by construction (len ≥ k)
+    mask_max = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for d in range(len(blobs) - 1):
+        lo = starts[d] + valid_counts[d]
+        hi = min(starts[d + 1], n)
+        if lo < hi:
+            h[lo:hi] = mask_max
+    mins = np.minimum.reduceat(h, np.minimum(starts, n - 1))
+    for pos, i in enumerate(long_idx):
+        out[i] = int(mins[pos])
     return out
 
 
@@ -183,14 +226,10 @@ def build_fingerprint(*, column: str = "text", k: int = 8):
 
         def fn(t: pa.Table) -> pa.Table:
             texts = t.column(column).to_numpy(zero_copy_only=False)
-            mins, md5s = [], []
-            for s in texts:
-                if s is None:
-                    mins.append(None)
-                    md5s.append(None)
-                    continue
-                mins.append(int(rolling_hashes(s, k=k).min()))
-                md5s.append(hashlib.md5(s.encode()).hexdigest())
+            mins = [None if m is None else np.uint64(m).astype(np.int64).item()
+                    for m in rolling_min_batch(list(texts), k=k)]
+            md5s = [None if s is None else hashlib.md5(s.encode()).hexdigest()
+                    for s in texts]
             return t.append_column("fp_rolling_min", pa.array(mins, pa.int64())) \
                     .append_column("fp_md5", pa.array(md5s, pa.string()))
 

@@ -125,30 +125,45 @@ def build_late_filter(*, ts_col: str, keys: list[str] | None = None,
         if keys:
             from ray.data.aggregate import Max
 
+            # per-key watermark: tiny aggregate, broadcast as an Arrow
+            # table; the filter is a vectorized index_in + take + one
+            # comparison — no per-row Python
             maxes = ds.groupby(keys).aggregate(Max(ts_col, alias_name="__maxts"))
-            wm = maxes.to_pandas()
-            wm_ref = ray.put(
-                {tuple(r[k] for k in keys): r["__maxts"] for _, r in wm.iterrows()}
+            wm_tbl = pa.concat_tables(
+                maxes.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
             )
+            wm_ref = ray.put(wm_tbl)
+            late_us = int(allowed_lateness_s * 1e6)
 
             def fn(t: pa.Table) -> pa.Table:
                 from rayflow.ops.joins import _fetch
 
-                watermark = _fetch(wm_ref, lambda v: v)
-                import pandas as pd
+                def derive(tbl):
+                    cut = pc.subtract(
+                        pc.cast(pc.cast(tbl["__maxts"], pa.timestamp("us")),
+                                pa.int64()),
+                        late_us,
+                    )
+                    if len(keys) == 1:
+                        return (tbl.column(keys[0]).combine_chunks(), cut)
+                    # composite key → single dictionary-joined string key
+                    combo = pc.binary_join_element_wise(
+                        *[pc.cast(tbl[k], pa.string()) for k in keys], "\x1f"
+                    )
+                    return (combo.combine_chunks(), cut)
 
-                keyvals = list(zip(*[t.column(k).to_pylist() for k in keys]))
-                cutoff = pa.array(
-                    [
-                        pd.Timestamp(watermark[kv]).to_datetime64()
-                        - np.timedelta64(int(allowed_lateness_s * 1e6), "us")
-                        for kv in keyvals
-                    ],
-                    pa.timestamp("us"),
-                )
-                mask = pc.greater_equal(
-                    pc.cast(t.column(ts_col), pa.timestamp("us")), cutoff
-                )
+                wm_keys, cutoffs = _fetch(wm_ref, derive)
+                if len(keys) == 1:
+                    bk = t.column(keys[0])
+                else:
+                    bk = pc.binary_join_element_wise(
+                        *[pc.cast(t[k], pa.string()) for k in keys], "\x1f"
+                    )
+                idx = pc.index_in(bk, value_set=wm_keys)
+                cut = pc.take(cutoffs, idx)
+                ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                                pa.int64())
+                mask = pc.greater_equal(ts_us, cut)
                 return t.filter(mask)
 
             return ds.map_batches(fn, **_PA_KW)

@@ -530,19 +530,23 @@ def cdc_upsert_events(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_t(sf_dir, "events"))
 
-    _TURN = {"click": 0, "error": 1, "purchase": 2, "signup": 3}
+    _ETYPES = pa.array(["click", "error", "purchase", "signup"])
 
     def to_changes(t: pa.Table) -> pa.Table:
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        turn = np.array([_TURN.get(v, 4) for v in et], dtype=np.int32)
-        conv = np.char.add("u", t["user_id"].to_numpy(zero_copy_only=False).astype("U20"))
-        op = np.where(t["value"].to_numpy(zero_copy_only=False) < 10, "delete", "update")
+        # turn_idx: index_in against the ordered type list IS the
+        # mapping (null → 4) — no per-row dict lookup
+        turn = pc.cast(pc.fill_null(pc.index_in(t["event_type"], value_set=_ETYPES), 4),
+                       pa.int32())
+        conv = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(t["user_id"], pa.string()), "")
+        op = pc.if_else(pc.less(t["value"], 10.0),
+                        pa.scalar("delete"), pa.scalar("update"))
         out = pa.table({
             "lsn": t["event_id"],
-            "op": pa.array(op),
+            "op": op,
             "src_ts": t["ts"].cast(pa.timestamp("us")),
-            "conv_id": pa.array(conv.astype(object), type=pa.string()),
-            "turn_idx": pa.array(turn, type=pa.int32()),
+            "conv_id": conv,
+            "turn_idx": turn,
             "role": t["event_type"],
             "text": t["props"],
             "tool": pa.array(np.full(t.num_rows, ""), type=pa.string()),
@@ -576,7 +580,8 @@ def cdc_upsert_events(sf_dir: str):
 @query(
     "token_count_docs",
     """
-    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
     FROM documents
     """,
 )
@@ -592,7 +597,7 @@ def token_count_docs(sf_dir: str):
     """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_q,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
     FROM documents
@@ -672,10 +677,46 @@ def knn_bruteforce_cos(sf_dir: str):
     })(ds)
 
 
-@query("minhash_near_dup")  # not SQL-expressible → driver rows-only check
+@query(
+    "minhash_near_dup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        END AS s
+      FROM t
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), j AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN la + lb = 0 THEN 1.0
+                  ELSE CAST(inter AS DOUBLE) / (la + lb - inter) END AS jaccard
+      FROM p
+    )
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+    """,
+)
 def minhash_near_dup(sf_dir: str):
-    """MinHash+LSH near-duplicate pairs (Jaccard-verified); cross-checked
-    against blocked brute force in tests/test_training_ops.py."""
+    """MinHash+LSH near-duplicate pairs (Jaccard-verified); also
+    cross-checked against blocked brute force in
+    tests/test_training_ops.py.
+
+    The SQL oracle is the exact brute force (string 3-gram shingle sets,
+    all pairs): valid because (a) the verify stage reports the raw
+    double ``|A∩B|/|A∪B|`` which is bit-identical to the SQL ratio,
+    and (b) with the fixed seed the banding detects every fixture pair
+    with J ≥ 0.5 (the fixtures' near-dups sit at J ≳ 0.85 where the
+    16-band/4-row miss probability is < 1e-5, verified empirically at
+    sf0.001/0.01/0.1)."""
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return build_op({
         "op": "minhash_lsh_dedup", "threshold": 0.5, "num_perm": 64,
@@ -683,14 +724,91 @@ def minhash_near_dup(sf_dir: str):
     })(ds)
 
 
-@query("simhash_fingerprints")  # deterministic; rows-only driver check
+@query(
+    "simhash_fingerprints",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM t
+    ), h AS (
+      SELECT doc_id, n,
+             CAST('0x' || substring(md5(tk), 1, 16) AS UBIGINT) AS hv
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, n, i,
+             CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE 0 END AS b
+      FROM h CROSS JOIN (SELECT unnest(range(63)) AS i)
+    ), mj AS (
+      SELECT doc_id, i,
+             CASE WHEN 2 * sum(b) > any_value(n)
+                  THEN (1::UBIGINT << i) ELSE 0::UBIGINT END AS v
+      FROM bits GROUP BY doc_id, i
+    ), s AS (
+      SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash FROM mj GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+)
 def simhash_fingerprints(sf_dir: str):
+    """Charikar simhash fingerprints.  Token hash = first 8 bytes of
+    md5 (big-endian), 63 bits — chosen so DuckDB reproduces the exact
+    value (``CAST('0x'||substring(md5(t),1,16) AS UBIGINT)``), making
+    the sketch itself oracle-checkable, not just its collision
+    behavior."""
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return build_op({"op": "simhash"})(ds)
 
 
-@query("lang_id_docs")  # heuristic; rows-only driver check
+@query(
+    "lang_id_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_transform(
+               regexp_extract_all(coalesce(text, ''), '[a-zA-Zäöüéèàç]+'),
+               x -> lower(x)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, len(toks) AS n,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / len(toks) END AS s_en,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('der','die','und','das','ist','von','mit','den','nicht','ein'))) AS DOUBLE) / len(toks) END AS s_de,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('le','la','et','les','des','est','un','une','dans','que'))) AS DOUBLE) / len(toks) END AS s_fr,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('el','la','de','que','y','los','en','un','una','es'))) AS DOUBLE) / len(toks) END AS s_es
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN text IS NULL THEN NULL
+           WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+           WHEN n = 0 THEN 'unknown'
+           WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+           WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+           WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en >= s_de THEN 'en'
+           ELSE 'de' END AS lang_pred,
+      CASE WHEN text IS NULL THEN NULL
+           WHEN regexp_matches(text, '[一-鿿]') THEN 1.0
+           WHEN n = 0 THEN 0.0
+           ELSE greatest(s_en, s_de, s_fr, s_es) END AS lang_conf
+    FROM s
+    """,
+)
 def lang_id_docs(sf_dir: str):
+    """Language ID (stopword-ratio heuristic).  Deterministic pure
+    function of the text, so the whole scorer — CJK short-circuit, token
+    regex, per-language stopword ratios, (score, lang-name) argmax
+    tie-break — is reproduced in SQL.  ``lang_conf`` is the raw double
+    ratio in both engines (bit-identical IEEE division)."""
     ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = build_op({"op": "lang_id"})(ds)
     return ds.select_columns(["doc_id", "lang_pred", "lang_conf"])
@@ -709,6 +827,53 @@ def ann_lsh_topk(sf_dir: str):
         "op": "ann_lsh", "queries": queries, "query_ids": qids, "k": 10,
         "dim": queries.shape[1], "n_planes": 8,
     })(ds)
+
+
+def _ann_planted(sf_dir: str, op: str):
+    """Shared body for the planted-neighbor ANN oracles: augment the
+    corpus with exact copies of the query vectors (ids +1_000_000); the
+    copy provably lands in the query's own LSH bucket / IVF list
+    (identical vector ⇒ identical plane signs / nearest centroid) and
+    cosine 1.0 beats every non-copy (max natural cosine ≈0.6), so
+    rank 1 is deterministic — an exact oracle for an approximate
+    index."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 5))
+    queries_m = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    planted = qt.set_column(0, "vec_id", pc.add(qt["vec_id"], 1_000_000))
+    ds = _rd().from_arrow(pa.concat_tables([emb, planted]))
+    if op == "ann_lsh":
+        spec = {"op": "ann_lsh", "queries": queries_m, "query_ids": qids,
+                "k": 10, "dim": queries_m.shape[1], "n_planes": 8}
+    else:
+        sample = np.asarray(
+            emb.take(pa.array(range(0, emb.num_rows, max(1, emb.num_rows // 500))))
+            ["embedding"].to_pylist(), dtype=np.float64)
+        spec = {"op": "ann_ivf", "queries": queries_m, "query_ids": qids,
+                "k": 10, "n_clusters": 16, "nprobe": 4, "train_sample": sample}
+    out = build_op(spec)(ds)
+    return build_op({"op": "filter", "predicate": E.col("rank") == 1})(out)
+
+
+_ANN_PLANTED_SQL = """
+    SELECT vec_id AS query_id,
+           CAST(vec_id + 1000000 AS BIGINT) AS vec_id,
+           CAST(1 AS BIGINT) AS rank
+    FROM embeddings WHERE vec_id < 5
+    """
+
+
+@query("ann_lsh_planted", _ANN_PLANTED_SQL)
+def ann_lsh_planted(sf_dir: str):
+    return _ann_planted(sf_dir, "ann_lsh")
+
+
+@query("ann_ivf_planted", _ANN_PLANTED_SQL)
+def ann_ivf_planted(sf_dir: str):
+    return _ann_planted(sf_dir, "ann_ivf")
 
 
 @query(
@@ -923,12 +1088,30 @@ def sql_source_priority(sf_dir: str):
     return _round_cols(p.run(), ["total"])
 
 
-@query("embedding_near_dup_pairs")  # rows-only; recall tested in pytest
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id < 50
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.embedding, b.embedding) AS cos
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.98
+    """,
+)
 def embedding_near_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup detection.  Driver embeddings are
-    random (no true near-dups), so the corpus is augmented with exact
-    copies of the first 50 vectors (ids +1_000_000) — every planted pair
-    must be found, deterministically."""
+    random (no true near-dups; max natural pairwise cosine ≈0.6 across
+    all sf tiers), so the corpus is augmented with exact copies of the
+    first 50 vectors (ids +1_000_000) — every planted pair must be
+    found, deterministically, and the SQL cross-join oracle enumerates
+    exactly the same set (identical plane signs ⇒ LSH recall 1 on
+    exact copies)."""
     import pyarrow.parquet as pq
 
     emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -1009,6 +1192,41 @@ def multi_join_q3(sf_dir: str):
                     "descending": [True, False]})(agg)
     agg = build_op({"op": "limit", "n": 10})(agg)
     return agg.select_columns(["l_orderkey", "revenue", "o_orderdate"])
+
+
+@query("ann_ivf_pruned", _ANN_PLANTED_SQL)
+def ann_ivf_pruned(sf_dir: str):
+    """IVF search through the ON-DISK partition-pruned index: the
+    corpus (plus planted copies of the query vectors) is written once
+    as list-partitioned Parquet (``IvfIndex.build``) and the probe
+    reads only its ``nprobe`` partitions — bytes read drop by
+    ~n_clusters/nprobe vs streaming the corpus (asserted in pytest).
+    Cached under /tmp keyed by sf dir; content is deterministic
+    (seeded k-means)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayflow.ops.ann import IvfIndex
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 5))
+    queries_m = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    planted = qt.set_column(0, "vec_id", pc.add(qt["vec_id"], 1_000_000))
+    sample = np.asarray(
+        emb.take(pa.array(range(0, emb.num_rows, max(1, emb.num_rows // 500))))
+        ["embedding"].to_pylist(), dtype=np.float64)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    mtime = int(os.path.getmtime(_t(sf_dir, "embeddings")))
+    path = f"/tmp/rayflow-ann-cache/{tag}-ivf16-{mtime}"
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        ds = _rd().from_arrow(pa.concat_tables([emb, planted]))
+        IvfIndex.build(ds, path, train_sample=sample, n_clusters=16, seed=42)
+    idx = IvfIndex(path)
+    out = idx.probe(queries_m, qids, k=10, nprobe=4)
+    return build_op({"op": "filter", "predicate": E.col("rank") == 1})(out)
 
 
 @query("ann_ivf_topk")  # approximate; recall vs brute force in pytest

@@ -51,7 +51,8 @@ CASES = [
     (E.F("abs", E.col("i")), [1, 2, 3, None]),
     (E.F("ceil", E.col("f")), [2.0, -2.0, 0.0, None]),
     (E.F("floor", E.col("f")), [1.0, -3.0, 0.0, None]),
-    (E.F("round", E.col("f"), 1), [1.5, -2.2, 0.0, None]),
+    # SQL round: scale, half-away-from-zero, divide (bit-exact vs DuckDB)
+    (E.F("round", E.col("f"), 1), [1.5, -2.3, 0.0, None]),
     (E.F("sign", E.col("i")), [1, -1, 1, None]),
     # element-wise extremes skip nulls (Arrow semantics): null -> other arg
     (E.F("max_of", E.col("i"), E.lit(0)), [1, 0, 3, 0]),

@@ -1,0 +1,306 @@
+"""Round-2 additions: Bloblang text syntax, JSON paths, struct methods,
+parse_csv, vectorized simhash/fingerprint, Arrow broadcast join, keyed
+late filter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayflow import expr as E
+from rayflow.bloblang import DELETED, parse_expr, parse_program
+from rayflow.ops import build_op
+
+
+# -- bloblang text syntax (no Ray needed) ----------------------------------
+
+_T = pa.table({
+    "a": [1.0, 2.0, 3.0],
+    "s": ["x", "yy", None],
+    "price": [10.0, 20.0, 30.0],
+    "discount": [0.1, 0.2, 0.0],
+    "props": ['{"k": 5}', '{"k": -2}', 'bad'],
+})
+
+BLOBLANG_CASES = [
+    ("this.a * 2 + 1", [3.0, 5.0, 7.0]),
+    ("this.a + this.price / 10", [2.0, 4.0, 6.0]),
+    ("this.s.uppercase()", ["X", "YY", None]),
+    ("this.price * (1 - this.discount)", [9.0, 16.0, 30.0]),
+    ('this.s.length() | 0', [1, 2, 0]),
+    ("this.a >= 2 && this.a < 3", [False, True, False]),
+    ("this.a < 2 || this.a > 2", [True, False, True]),
+    ('if(this.a > 1, "big", "small")', ["small", "big", "big"]),
+    ('this.props.json("k")', ["5", "-2", None]),
+    ('this.props.json_int("k") | 0', [5, -2, 0]),
+    ("-this.a", [-1.0, -2.0, -3.0]),
+    ("!(this.a == 2)", [True, False, True]),
+    ('this.s.contains("y")', [False, True, None]),
+    ("this.a % 2", [1.0, 0.0, 1.0]),
+    ('concat(this.s, "!")', ["x!", "yy!", None]),
+    ('this.s.has_prefix("y")', [False, True, None]),
+    ('this.s.replace_all("y", "z")', ["x", "zz", None]),
+    ('this.a.round(0)', [1.0, 2.0, 3.0]),
+    ('this.a.string()', ["1", "2", "3"]),
+    ('this.s.catch("?")', ["x", "yy", "?"]),
+    ("this.a.number() * 1.5", [1.5, 3.0, 4.5]),
+    ('this.props.json_path("k")', ["5", "-2", None]),
+]
+
+
+@pytest.mark.parametrize("src,expected", BLOBLANG_CASES)
+def test_bloblang_expr(src, expected):
+    got = parse_expr(src).eval(_T)
+    vals = got.to_pylist() if hasattr(got, "to_pylist") else list(got)
+    assert vals == expected, src
+
+
+def test_bloblang_program():
+    prog = parse_program("""
+    # enrichment mapping
+    root.rev = this.price * (1 - this.discount)
+    root.up  = this.s.uppercase()
+    root.tmp = deleted()
+    """)
+    assert list(prog) == ["rev", "up", "tmp"]
+    assert prog["tmp"] is DELETED
+    assert prog["rev"].eval(_T).to_pylist() == [9.0, 16.0, 30.0]
+
+
+def test_bloblang_errors():
+    with pytest.raises(SyntaxError):
+        parse_expr("this.s.nosuchmethod()")
+    with pytest.raises(SyntaxError):
+        parse_expr("nosuchfn(1)")
+    with pytest.raises(SyntaxError):
+        parse_program("x = 1")
+
+
+def test_mapping_op_text(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_T)
+    out = build_op({
+        "op": "mapping",
+        "text": """
+        root.rev = this.price * (1 - this.discount)
+        root.discount = deleted()
+        """,
+    })(ds).to_pandas()
+    assert "discount" not in out.columns
+    assert list(out["rev"]) == [9.0, 16.0, 30.0]
+
+
+# -- JSON paths / struct methods -------------------------------------------
+
+
+def test_json_path_nested():
+    t = pa.table({"js": [
+        '{"a": {"b": [1, 2, {"c": "hit"}]}, "n": 7}',
+        '{"a": {"b": []}}', None, 'notjson',
+    ]})
+    assert E.F("json_path", E.col("js"), "a.b[2].c").eval(t).to_pylist() == \
+        ["hit", None, None, None]
+    assert E.F("json_path_int", E.col("js"), "n").eval(t).to_pylist() == \
+        [7, None, None, None]
+    assert E.F("json_path", E.col("js"), "a.b").eval(t).to_pylist() == \
+        ['[1, 2, {"c": "hit"}]', "[]", None, None]
+
+
+def test_struct_methods():
+    t = pa.table({
+        "s1": pa.array([{"x": 1, "y": "a"}, {"x": 2, "y": "b"}, None]),
+        "s2": pa.array([{"y": "Z", "z": 9.5}, {"y": None, "z": 8.0}, {"y": "c", "z": 1.0}]),
+    })
+    assert E.F("struct_get", E.col("s1"), "x").eval(t).to_pylist() == [1, 2, None]
+    assert E.F("struct_without", E.col("s1"), "y").eval(t).to_pylist() == \
+        [{"x": 1}, {"x": 2}, None]
+    assert E.F("struct_with", E.col("s1"), "y").eval(t).to_pylist() == \
+        [{"y": "a"}, {"y": "b"}, None]
+    merged = E.F("struct_merge", E.col("s1"), E.col("s2")).eval(t).to_pylist()
+    assert merged[0] == {"x": 1, "y": "Z", "z": 9.5}
+    assert merged[1] == {"x": 2, "y": "b", "z": 8.0}  # null right y → left
+    keys = E.F("map_each_key", E.col("s1"), "uppercase").eval(t).to_pylist()
+    assert keys[0] == {"X": 1, "Y": "a"}
+
+
+# -- parse_csv --------------------------------------------------------------
+
+
+def test_parse_csv(ray_session):
+    import ray.data as rd
+
+    docs = pa.table({
+        "doc": ["a,b\n1,x\n2,y", None, "a,b\n3,z"],
+        "src": ["f1", "f2", "f3"],
+    })
+    out = build_op({"op": "parse_csv", "column": "doc"})(
+        rd.from_arrow(docs)).to_pandas().sort_values("a")
+    assert list(out["a"]) == [1, 2, 3]
+    assert list(out["b"]) == ["x", "y", "z"]
+    assert list(out["src"]) == ["f1", "f1", "f3"]
+
+
+def test_parse_csv_no_header(ray_session):
+    import ray.data as rd
+
+    docs = pa.table({"doc": ["1,x\n2,y"]})
+    out = build_op({
+        "op": "parse_csv", "column": "doc", "header": False,
+        "column_names": ["n", "ch"],
+    })(rd.from_arrow(docs)).to_pandas()
+    assert list(out["n"]) == [1, 2]
+
+
+# -- vectorized sketches ----------------------------------------------------
+
+
+def test_simhash_batch_matches_scalar():
+    from rayflow.ops.dedup import simhash64, simhash_batch
+
+    texts = ["the quick brown fox", "", "hello  world\ttab", "x", None,
+             "  lead", "trail  ", " ", "a b c", "ünïcode tökens here"]
+    batch = list(simhash_batch(pa.array(texts, pa.string())).astype(np.int64))
+    assert batch == [simhash64(t or "") for t in texts]
+
+
+def test_simhash_fits_int64():
+    from rayflow.ops.dedup import simhash_batch
+
+    vals = simhash_batch(pa.array(["word" + str(i) for i in range(50)]))
+    assert (vals < np.uint64(1 << 63)).all()
+
+
+def test_rolling_min_batch_matches_scalar():
+    from rayflow.ops.textops import rolling_hashes, rolling_min_batch
+
+    texts = ["hello world document", "short", "", None, "exactly8", "x" * 7]
+    batch = rolling_min_batch(texts)
+    expect = [None if s is None else int(rolling_hashes(s).min()) for s in texts]
+    assert batch == expect
+
+
+def test_rolling_hash_shift_property():
+    from rayflow.ops.textops import rolling_hashes
+
+    # k-grams shared between two strings hash identically regardless of
+    # position (the point of a rolling fingerprint)
+    a = rolling_hashes("abcdefghijk")
+    b = rolling_hashes("XYZabcdefghijk")
+    assert set(a.tolist()) <= set(b.tolist())
+
+
+# -- Arrow broadcast join / keyed late filter -------------------------------
+
+
+def test_broadcast_join_arrow_path(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"k": [1, 2, 3, 2, None], "v": [10.0, 20.0, 30.0, 21.0, 0.0]})
+    small = pa.table({"k": [1, 2], "name": ["one", "two"], "v": [0.5, 0.7]})
+    out = build_op({
+        "op": "broadcast_join", "small": small, "on": ["k"], "how": "left",
+    })(rd.from_arrow(left)).to_pandas()
+    assert list(out["name"]) == ["one", "two", None, "two", None]
+    assert "v_r" in out.columns  # collision suffixed, left v intact
+    assert list(out["v"]) == [10.0, 20.0, 30.0, 21.0, 0.0]
+
+    inner = build_op({
+        "op": "broadcast_join", "small": small, "on": ["k"], "how": "inner",
+    })(rd.from_arrow(left)).to_pandas()
+    assert len(inner) == 3
+
+
+def test_broadcast_join_dup_keys_fallback(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"k": [1, 2], "v": [1.0, 2.0]})
+    small = pa.table({"k": [1, 1], "tag": ["a", "b"]})  # dup keys → pandas path
+    out = build_op({
+        "op": "broadcast_join", "small": small, "on": ["k"], "how": "inner",
+    })(rd.from_arrow(left)).to_pandas()
+    assert sorted(out["tag"]) == ["a", "b"]
+
+
+def test_late_filter_keyed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": pa.array(pd.to_datetime([
+            "2024-01-01", "2024-01-05", "2024-01-10",
+            "2024-03-01", "2024-03-20",
+        ]), pa.timestamp("us")),
+    })
+    out = build_op({
+        "op": "late_filter", "ts_col": "ts", "keys": ["k"],
+        "allowed_lateness_s": 6 * 86400.0,
+    })(rd.from_arrow(t)).to_pandas()
+    # per-key watermark: a→01-10 (keep ≥01-04), b→03-20 (keep ≥03-14)
+    got = sorted(out["ts"].astype(str))
+    assert got == ["2024-01-05", "2024-01-10", "2024-03-20"]
+
+
+# -- partition-pruned IVF index --------------------------------------------
+
+
+def test_ivf_index_prunes_and_matches(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayflow.ops.ann import IvfIndex
+
+    rng = np.random.default_rng(11)
+    n, d = 2000, 32
+    m = rng.standard_normal((n, d))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    sample = m[::4]
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(ds, path, train_sample=sample, n_clusters=16,
+                         seed=42, vec_col="embedding", id_col="vec_id")
+
+    q = m[:3]
+    qids = np.arange(3)
+    out = idx.probe(q, qids, k=5, nprobe=4).to_pandas()
+    # pruning: probe reads ≤ nprobe partitions per query (union ≤ 12 of 16)
+    q_lists = np.argsort(-( (q / np.linalg.norm(q, axis=1, keepdims=True))
+                           @ idx.centroids.T), axis=1)[:, :4]
+    probed = idx.bytes_for(q_lists.ravel())
+    total = idx.total_bytes()
+    assert probed < total * 0.85, (probed, total)
+
+    # result equals the in-stream ann_ivf op with identical parameters
+    stream = build_op({
+        "op": "ann_ivf", "queries": q, "query_ids": qids, "k": 5,
+        "n_clusters": 16, "nprobe": 4, "train_sample": sample,
+    })(ds).to_pandas()
+    a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = stream.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b), (a.head(), b.head())
+
+
+# -- metric counters land in replay lineage ---------------------------------
+
+
+def test_replay_lineage_has_metrics(ray_session, tmp_path):
+    from rayflow.cdc import CdcEngine, ChangeLogSpec, generate_changelog
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(
+        n_convs=40, turns_per_conv=4.0, update_ratio=0.5, delete_ratio=0.05,
+        zipf_s=1.2, n_source_partitions=2, n_bands=2, seed=7))
+    engine = CdcEngine(str(tmp_path / "lake"), num_partitions=4, auto_salt=False)
+    stats = engine.replay(log)
+    assert stats.lineage, "no lineage records"
+    for rec in stats.lineage:
+        assert rec.get("metrics"), rec
+        assert rec["metrics"].get("replay.events", 0) > 0
+    # counters accumulate monotonically across bands
+    evs = [r["metrics"]["replay.events"] for r in stats.lineage]
+    assert evs == sorted(evs)
