@@ -74,6 +74,15 @@ _METHOD_ALIASES: dict[str, str] = {
     "re_find_all_matches": "re_match",
     "json": "json_get",
     "json_int": "json_get_int",
+    "parse_timestamp": "ts_parse",
+    "format_timestamp": "ts_format",
+    "ts_unix_seconds": "ts_unix",
+    "parse_int": "int64",
+    "parse_float": "float64",
+    "merge": "struct_merge",
+    "without": "struct_without",
+    "with": "struct_with",
+    "get": "struct_get",
 }
 
 

@@ -41,23 +41,40 @@ def compute_part_ids(
     num_partitions: int,
     salts: dict[str, int] | None = None,
 ) -> np.ndarray:
-    """Vectorized ``part_id`` for a batch (see module docstring)."""
-    conv_np = (
-        conv_id.to_numpy(zero_copy_only=False)
-        if isinstance(conv_id, (pa.ChunkedArray, pa.Array))
-        else np.asarray(conv_id)
-    )
-    h = hash_strings(conv_np)
-    if salts:
-        s = pd.Series(conv_np).map(salts).fillna(1).to_numpy(dtype=np.uint64)
-        if (s > 1).any():
-            turn_np = (
-                turn_idx.to_numpy(zero_copy_only=False)
-                if isinstance(turn_idx, (pa.ChunkedArray, pa.Array))
-                else np.asarray(turn_idx)
-            ).astype(np.uint64)
-            salt = turn_np % np.maximum(s, 1)
-            h = np.where(s > 1, (h + (salt + np.uint64(1)) * _MIX), h)
+    """Vectorized ``part_id`` for a batch (see module docstring).
+
+    Arrow inputs are dictionary-encoded first so the per-string SipHash
+    and the salt-map lookup run once per UNIQUE conversation (a CDC
+    block holds ~dozens of events per conversation — hashing every row
+    as a Python object was the normalize stage's hottest line)."""
+    if isinstance(conv_id, (pa.ChunkedArray, pa.Array)):
+        arr = conv_id.combine_chunks() if isinstance(conv_id, pa.ChunkedArray) else conv_id
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(arr)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hu = pd.util.hash_array(np.asarray(uniq, dtype=object))
+        h = hu[idx]
+        if salts:
+            su = np.fromiter((salts.get(c, 1) for c in uniq), np.uint64, len(uniq))
+            s = su[idx]
+        else:
+            s = None
+    else:
+        conv_np = np.asarray(conv_id)
+        h = hash_strings(conv_np)
+        s = (pd.Series(conv_np).map(salts).fillna(1).to_numpy(dtype=np.uint64)
+             if salts else None)
+    if s is not None and (s > 1).any():
+        turn_np = (
+            turn_idx.to_numpy(zero_copy_only=False)
+            if isinstance(turn_idx, (pa.ChunkedArray, pa.Array))
+            else np.asarray(turn_idx)
+        ).astype(np.uint64)
+        salt = turn_np % np.maximum(s, 1)
+        h = np.where(s > 1, (h + (salt + np.uint64(1)) * _MIX), h)
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 

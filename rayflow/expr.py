@@ -568,6 +568,56 @@ def _json_path_float(a, path):
         type=pa.float64())
 
 
+# -- URL / misc parse methods (Bloblang parse_url / parse_query_string) ----
+
+
+@register_fn("url_host")
+def _url_host(a):
+    from urllib.parse import urlparse
+
+    return _pyfall(lambda s: urlparse(s).netloc or None)(a)
+
+
+@register_fn("url_path")
+def _url_path(a):
+    from urllib.parse import urlparse
+
+    return _pyfall(lambda s: urlparse(s).path or None)(a)
+
+
+@register_fn("url_scheme")
+def _url_scheme(a):
+    from urllib.parse import urlparse
+
+    return _pyfall(lambda s: urlparse(s).scheme or None)(a)
+
+
+@register_fn("url_query_param")
+def _url_query_param(a, key):
+    from urllib.parse import parse_qs, urlparse
+
+    k = key.as_py() if isinstance(key, pa.Scalar) else key
+
+    def one(s):
+        vals = parse_qs(urlparse(s).query).get(k)
+        return vals[0] if vals else None
+
+    return _pyfall(one)(a)
+
+
+@register_fn("uuid_v5")
+def _uuid_v5(a, namespace=None):
+    """Deterministic name-based UUID (the one UUID variant compatible
+    with the engine's determinism rule — v4 is excluded by design)."""
+    import uuid as _uuid
+
+    ns = _uuid.NAMESPACE_URL
+    if namespace is not None:
+        ns_s = namespace.as_py() if isinstance(namespace, pa.Scalar) else namespace
+        ns = _uuid.uuid5(_uuid.NAMESPACE_URL, ns_s)
+    return _pyfall(lambda s: str(_uuid.uuid5(ns, s)))(a)
+
+
 # -- struct/map methods (Bloblang object methods over parse_json output) ---
 
 

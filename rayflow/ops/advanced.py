@@ -219,6 +219,105 @@ def build_parse_csv(*, column: str, header: bool = True,
     return apply
 
 
+@register_op("parse_xml")
+def build_parse_xml(*, column: str, out_prefix: str = "",
+                    drop_source: bool = False):
+    """XML document → columns (``xml`` processor ``to_json`` operator,
+    ``⟨upstream: internal/impl/pure/processor_xml.go⟩``): each value of
+    ``column`` is parsed with the stdlib ElementTree; direct child
+    element tags become columns (text content, as strings) and root
+    attributes become ``@attr`` columns.  Repeated child tags are
+    JSON-array-encoded.  Parse failures set ``_error``."""
+    import xml.etree.ElementTree as ET
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            rows: list[dict] = []
+            errs: list[str | None] = []
+            for payload in t.column(column).to_pylist():
+                if payload is None:
+                    rows.append({})
+                    errs.append(None)
+                    continue
+                try:
+                    root = ET.fromstring(payload)
+                except ET.ParseError as e:
+                    rows.append({})
+                    errs.append(f"parse_xml: {e}")
+                    continue
+                rec: dict = {f"@{k}": v for k, v in root.attrib.items()}
+                multi: dict[str, list] = {}
+                for child in root:
+                    multi.setdefault(child.tag, []).append(
+                        (child.text or "").strip())
+                for tag, vals in multi.items():
+                    rec[out_prefix + tag] = (
+                        vals[0] if len(vals) == 1 else json.dumps(vals))
+                rows.append(rec)
+                errs.append(None)
+            keys = sorted({k for r in rows for k in r})
+            for k in keys:
+                t = t.append_column(
+                    k, pa.array([r.get(k) for r in rows], pa.string()))
+            t = t.append_column("_error", pa.array(errs, pa.string()))
+            if drop_source:
+                t = t.drop_columns([column])
+            return t
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply
+
+
+def _absent_serde(op_name: str, lib: str):
+    @register_op(op_name)
+    def build(**kw):
+        raise ImportError(
+            f"{op_name}: requires the '{lib}' library, which is not in "
+            f"this container. The Arrow/Parquet/JSON/CSV/XML serde "
+            f"surface is native; install {lib} to enable this processor.")
+    return build
+
+
+# registered so `ops()` shows the full reference serde surface with an
+# honest unavailability error instead of silently missing names
+_absent_serde("parse_msgpack", "msgpack")
+_absent_serde("parse_avro", "fastavro")
+_absent_serde("parse_protobuf", "protobuf")
+
+
+@register_op("batch_policy")
+def build_batch_policy(*, count: int | None = None,
+                       bytes_budget: int | None = None,
+                       sample_rows: int = 1024):
+    """Batching policy (``⟨upstream: internal/batch/policy/⟩``): re-batch
+    the stream by row COUNT or by an approximate BYTE budget.  The byte
+    path estimates bytes/row from the first ``sample_rows`` rows of the
+    stream and converts the budget to a row count — the wide-``text``
+    lake tables need byte budgets, not row counts, to keep
+    batch × concurrency inside a worker's heap.  ``period``/``check``
+    policies are time/content-triggered flushes that only make sense on
+    an unbounded stream; on bounded replay they are documented no-ops."""
+
+    def apply(ds):
+        n = count
+        if n is None and bytes_budget is not None:
+            import ray
+
+            sample = ds.limit(sample_rows).to_arrow_refs()
+            tbls = [t for t in ray.get(sample)]
+            tot_rows = sum(t.num_rows for t in tbls)
+            tot_bytes = sum(t.nbytes for t in tbls)
+            per_row = max(1, tot_bytes // max(1, tot_rows))
+            n = max(1, int(bytes_budget // per_row))
+        if n is None:
+            raise ValueError("batch_policy: need count or bytes_budget")
+        return ds.map_batches(lambda t: t, batch_size=n,
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+    return apply
+
+
 @register_op("grok")
 def build_grok(*, column: str, pattern: str, drop_source: bool = False):
     """Regex extraction into typed columns (``grok`` / ``parse_log``):

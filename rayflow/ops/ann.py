@@ -203,11 +203,133 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
     return apply
 
 
+class LshIndex:
+    """On-disk LSH index: the corpus written once as Parquet partitioned
+    by hyperplane-sign bucket; a probe reads only its queries' bucket
+    partitions (2^n_planes total buckets — bytes read drop by the
+    bucket-count factor).  Mirror of :class:`IvfIndex` for the LSH
+    family; the in-stream ``ann_lsh`` op approximates this with a
+    filter."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.planes = np.load(os.path.join(path, "planes.npy"))
+
+    @classmethod
+    def build(cls, ds, path: str, *, dim: int, n_planes: int = 8,
+              seed: int = 42, vec_col: str = "embedding",
+              id_col: str = "vec_id", concurrency: int = 2) -> "LshIndex":
+        import json
+        import os
+
+        def assign(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("part", pa.array([], pa.int64()))
+            stage = LshIndexStage(dim, n_planes, seed, vec_col)
+            t = stage(t)
+            return t.append_column("part", t.column("lsh_bucket"))
+
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(assign, **_PA_KW).write_parquet(
+            os.path.join(path, "corpus"), partition_cols=["part"])
+        rng = np.random.default_rng(seed)
+        np.save(os.path.join(path, "planes.npy"),
+                rng.standard_normal((dim, n_planes)))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"dim": int(dim), "n_planes": int(n_planes),
+                       "seed": int(seed), "vec_col": vec_col,
+                       "id_col": id_col}, f)
+        return cls(path)
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+
+    def list_files(self, buckets) -> list[str]:
+        import glob
+        import os
+
+        out = []
+        for b in sorted(set(int(x) for x in buckets)):
+            d = os.path.join(self.path, "corpus", f"part={b}")
+            if os.path.isdir(d):
+                out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return out
+
+    def probe(self, queries, query_ids, *, k: int = 10):
+        import ray
+        import ray.data as rd
+
+        q = np.asarray(queries, dtype=np.float64)
+        qids = np.asarray(query_ids, dtype=np.int64)
+        qb = self.bucket_of(q)
+        files = self.list_files(qb)
+        vec_col, id_col = self.meta["vec_col"], self.meta["id_col"]
+        ds = rd.read_parquet(files, columns=[id_col, vec_col, "lsh_bucket"])
+        qn = _normalize_rows(q)
+        q_ref = ray.put((qn, qids, qb))
+
+        def bucket_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_topk(id_col)
+            qm, qi, qbs = _fetch(q_ref, lambda v: v)
+            m = _normalize_rows(_mat(t.column(vec_col)))
+            ids = t.column(id_col).to_numpy()
+            buckets = t.column("lsh_bucket").to_numpy()
+            rows_q, rows_v, rows_s = [], [], []
+            for j in range(len(qi)):
+                mask = buckets == qbs[j]
+                if not mask.any():
+                    continue
+                sims = m[mask] @ qm[j]
+                sel = ids[mask]
+                kk = min(k + 1, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+                rows_q.append(np.full(len(top), qi[j], dtype=np.int64))
+                rows_v.append(sel[top].astype(np.int64))
+                rows_s.append(sims[top])
+            if not rows_q:
+                return _empty_topk(id_col)
+            return pa.table({
+                "query_id": pa.array(np.concatenate(rows_q)),
+                id_col: pa.array(np.concatenate(rows_v)),
+                "cos": pa.array(np.concatenate(rows_s), pa.float64()),
+            })
+
+        def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+            qid = int(g["query_id"].iloc[0])
+            g = g[g[id_col] != qid]
+            g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+            return pd.DataFrame({
+                "query_id": qid,
+                id_col: g[id_col].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            })
+
+        partials = ds.map_batches(bucket_topk, **_PA_KW)
+        return partials.groupby("query_id").map_groups(
+            final_topk, batch_format="pandas")
+
+    def bytes_for(self, buckets) -> int:
+        import os
+
+        return sum(os.path.getsize(f) for f in self.list_files(buckets))
+
+    def total_bytes(self) -> int:
+        return self.bytes_for(range(1 << self.meta["n_planes"]))
+
+
 @register_op("embedding_near_dup")
 def build_embedding_near_dup(*, threshold: float = 0.9, dim: int = 64,
                              n_planes: int = 10, seed: int = 42,
                              vec_col: str = "embedding", id_col: str = "vec_id",
-                             concurrency: int = 2):
+                             concurrency: int = 2, max_bucket: int = 4096,
+                             max_split_depth: int = 16):
     """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus
     (random hyperplanes, fixed seed), compute exact pairwise cosine only
     WITHIN buckets, keep pairs with cosine ≥ threshold.
@@ -229,21 +351,41 @@ def build_embedding_near_dup(*, threshold: float = 0.9, dim: int = 64,
             zero_copy_batch=True, num_cpus=1,
         )
 
-        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            if len(g) < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-            ids = g[id_col].to_numpy()
-            m = _normalize_rows(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        def pairs_of(ids: np.ndarray, m: np.ndarray, depth: int) -> list:
+            """Quadratic verify, but buckets above ``max_bucket`` are
+            recursively split by an extra seeded hyperplane first — the
+            cap that keeps the per-bucket O(n²) bounded when a hot
+            bucket swallows a large slice of the corpus.  Vectors on
+            identical rays always share every plane sign, so exact-dup
+            recall survives arbitrary splitting; at the depth limit the
+            quadratic runs regardless (correctness over cost)."""
+            if len(ids) > max_bucket and depth < max_split_depth:
+                rng = np.random.default_rng(seed + 1000 + depth)
+                plane = rng.standard_normal(m.shape[1])
+                side = (m @ plane) > 0
+                out = []
+                for sel in (side, ~side):
+                    if sel.sum() >= 2:
+                        out.extend(pairs_of(ids[sel], m[sel], depth + 1))
+                return out
             sims = m @ m.T
             ia, ib = np.triu_indices(len(ids), k=1)
             mask = sims[ia, ib] >= threshold
             a, b = ids[ia[mask]], ids[ib[mask]]
             lo, hi_ = np.minimum(a, b), np.maximum(a, b)
-            return pd.DataFrame({
-                "id_a": lo.astype(np.int64),
-                "id_b": hi_.astype(np.int64),
-                "cos": np.round(sims[ia[mask], ib[mask]], 6),
-            })
+            return list(zip(lo.astype(np.int64), hi_.astype(np.int64),
+                            np.round(sims[ia[mask], ib[mask]], 6)))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            ids = g[id_col].to_numpy()
+            m = _normalize_rows(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+            rows = pairs_of(ids, m, 0)
+            if not rows:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            return pd.DataFrame(rows, columns=["id_a", "id_b", "cos"]).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64})
 
         return indexed.groupby("lsh_bucket").map_groups(
             per_bucket, batch_format="pandas"

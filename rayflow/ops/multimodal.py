@@ -103,6 +103,113 @@ def build_media_decode(*, feature_dim: int = 32, fake: bool = True,
     return apply
 
 
+def probe_media_header(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL (non-stub) media introspection: parse container headers with
+    stdlib byte arithmetic only — PNG, GIF, BMP, baseline/progressive
+    JPEG, and WAV (returns sample-rate as "width", channels as
+    "height").  Returns (format, width, height) or None if unknown.
+    This is the honest subset of "decode" that needs no codec library:
+    it reads the same bytes a real decoder would, so the schema and
+    batching around it transfer unchanged when Pillow/ffmpeg plug in."""
+    import struct
+
+    if len(payload) < 10:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h))
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # find the fmt chunk: channels @+2, sample rate @+4
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if cid == b"fmt " and pos + 16 <= len(payload):
+                (ch,) = struct.unpack("<H", payload[pos + 10:pos + 12])
+                (rate,) = struct.unpack("<I", payload[pos + 12:pos + 16])
+                return ("wav", rate, ch)
+            pos += 8 + size + (size & 1)
+        return ("wav", 0, 0)
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOFn marker
+        pos = 2
+        while pos + 9 <= len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (size,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return ("jpeg", w, h)
+            pos += 2 + size
+        return ("jpeg", 0, 0)
+    return None
+
+
+@register_op("media_probe")
+def build_media_probe(*, payload_col: str = "payload",
+                      batch_size: int = 256):
+    """Parse real container headers out of the binary payload column →
+    ``probe_format``/``probe_width``/``probe_height`` columns (null for
+    unrecognized payloads).  Pure stdlib; per-row by necessity (variable
+    binary headers), but each probe touches only the first bytes of the
+    buffer — no full-payload scan, no codec."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            fmts, ws, hs = [], [], []
+            for p in t.column(payload_col).to_pylist():
+                got = probe_media_header(p) if p is not None else None
+                if got is None:
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    fmts.append(got[0])
+                    ws.append(got[1])
+                    hs.append(got[2])
+            return (t.append_column("probe_format", pa.array(fmts, pa.string()))
+                     .append_column("probe_width", pa.array(ws, pa.int32()))
+                     .append_column("probe_height", pa.array(hs, pa.int32())))
+
+        return ds.map_batches(fn, batch_size=batch_size,
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+    return apply
+
+
+def synth_png(width: int, height: int) -> bytes:
+    """Minimal REAL PNG byte stream (header + IHDR; no pixel data) —
+    enough for any header parser, ours or Pillow's, to read dimensions."""
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", _z.crc32(chunk) & 0xFFFFFFFF))
+
+
+def synth_wav(rate: int = 16000, channels: int = 1) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+
+
 @register_op("media_frame_sample")
 def build_media_frame_sample(*, every_ms: int = 1000):
     """Video → frame rows (stubbed): one output row per sampled frame

@@ -1194,6 +1194,35 @@ def multi_join_q3(sf_dir: str):
     return agg.select_columns(["l_orderkey", "revenue", "o_orderdate"])
 
 
+@query("ann_lsh_pruned", _ANN_PLANTED_SQL)
+def ann_lsh_pruned(sf_dir: str):
+    """LSH search through the ON-DISK bucket-partitioned index — the
+    probe reads only the query buckets' partitions (bytes-pruning
+    asserted in pytest).  Planted-copy oracle as for the other ANN
+    entries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayflow.ops.ann import LshIndex
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 5))
+    queries_m = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    planted = qt.set_column(0, "vec_id", pc.add(qt["vec_id"], 1_000_000))
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    mtime = int(os.path.getmtime(_t(sf_dir, "embeddings")))
+    path = f"/tmp/rayflow-ann-cache/{tag}-lsh8-{mtime}"
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        ds = _rd().from_arrow(pa.concat_tables([emb, planted]))
+        LshIndex.build(ds, path, dim=queries_m.shape[1], n_planes=8, seed=42)
+    idx = LshIndex(path)
+    out = idx.probe(queries_m, qids, k=10)
+    return build_op({"op": "filter", "predicate": E.col("rank") == 1})(out)
+
+
 @query("ann_ivf_pruned", _ANN_PLANTED_SQL)
 def ann_ivf_pruned(sf_dir: str):
     """IVF search through the ON-DISK partition-pruned index: the

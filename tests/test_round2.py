@@ -304,3 +304,131 @@ def test_replay_lineage_has_metrics(ray_session, tmp_path):
     # counters accumulate monotonically across bands
     evs = [r["metrics"]["replay.events"] for r in stats.lineage]
     assert evs == sorted(evs)
+
+
+# -- XML / serde stubs / batch policy ---------------------------------------
+
+
+def test_parse_xml(ray_session):
+    import ray.data as rd
+
+    docs = pa.table({"doc": [
+        '<msg id="1"><user>ann</user><score>5</score></msg>',
+        '<msg><user>bob</user><tag>a</tag><tag>b</tag></msg>',
+        'not xml',
+        None,
+    ]})
+    out = build_op({"op": "parse_xml", "column": "doc"})(
+        rd.from_arrow(docs)).to_pandas()
+    assert list(out["user"]) == ["ann", "bob", None, None]
+    assert out["@id"][0] == "1"
+    assert out["tag"][1] == '["a", "b"]'
+    assert out["_error"][2].startswith("parse_xml:")
+
+
+def test_absent_serde_ops_error_clearly():
+    import pytest as _pytest
+
+    for op in ("parse_msgpack", "parse_avro", "parse_protobuf"):
+        with _pytest.raises(ImportError, match="not in"):
+            build_op({"op": op, "column": "x"})
+
+
+def test_batch_policy_bytes(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"x": list(range(1000)), "s": ["y" * 100] * 1000})
+    ds = rd.from_arrow(t)
+    out = build_op({"op": "batch_policy", "bytes_budget": 20_000})(ds)
+    sizes = [b.num_rows for b in out.iter_batches(batch_format="pyarrow")]
+    assert sum(sizes) == 1000
+    assert max(sizes) < 1000  # actually re-batched into byte-bounded chunks
+
+
+def test_bloblang_timestamp_aliases():
+    t = pa.table({"d": ["2024-03-01 10:00:00", "2024-12-25 00:30:00"]})
+    got = parse_expr('this.d.parse_timestamp("%Y-%m-%d %H:%M:%S").format_timestamp("%Y/%m/%d")').eval(t)
+    assert got.to_pylist() == ["2024/03/01", "2024/12/25"]
+
+
+# -- real media header probing ----------------------------------------------
+
+
+def test_media_probe_headers(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_png, synth_wav
+
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array(
+            [synth_png(640, 480), synth_wav(44100, 2), b"junkjunkjunkjunk"],
+            pa.large_binary()),
+    })
+    out = build_op({"op": "media_probe"})(rd.from_arrow(t)).to_pandas()
+    out = out.sort_values("media_id")
+    assert list(out["probe_format"]) == ["png", "wav", None]
+    assert list(out["probe_width"])[:2] == [640, 44100]
+    assert list(out["probe_height"])[:2] == [480, 2]
+
+
+def test_lsh_index_prunes_and_recalls(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayflow.ops.ann import LshIndex
+
+    rng = np.random.default_rng(5)
+    n, d = 1500, 32
+    m = rng.standard_normal((n, d))
+    # plant exact copies of the 3 query vectors
+    qids = np.arange(3)
+    planted = np.vstack([m, m[:3]])
+    ids = np.concatenate([np.arange(n), np.arange(3) + 1_000_000])
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in planted],
+                              pa.list_(pa.float32())),
+    })
+    path = str(tmp_path / "lsh")
+    idx = LshIndex.build(rd.from_arrow(tbl), path, dim=d, n_planes=6, seed=42)
+    out = idx.probe(m[:3], qids, k=5).to_pandas()
+    top1 = out[out["rank"] == 1].sort_values("query_id")
+    assert list(top1["vec_id"]) == [1_000_000, 1_000_001, 1_000_002]
+    # pruning: the probed buckets are a strict subset of the corpus bytes
+    probed = idx.bytes_for(idx.bucket_of(m[:3]))
+    assert probed < idx.total_bytes() * 0.5
+
+
+def test_embedding_near_dup_bucket_cap(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n, d = 400, 16
+    m = rng.standard_normal((n, d))
+    planted = np.vstack([m, m[:10]])  # 10 exact dups
+    ids = np.concatenate([np.arange(n), np.arange(10) + 1_000_000])
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in planted],
+                              pa.list_(pa.float64())),
+    })
+    # n_planes=0-ish blocking: 2 planes → 4 buckets, each ~100 rows;
+    # max_bucket=32 forces recursive splitting, dups must still be found
+    out = build_op({
+        "op": "embedding_near_dup", "threshold": 0.99, "dim": d,
+        "n_planes": 2, "max_bucket": 32,
+    })(rd.from_arrow(tbl)).to_pandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    for i in range(10):
+        assert (i, i + 1_000_000) in found
+
+
+def test_url_and_uuid_functions():
+    t = pa.table({"u": ["https://ex.com/a/b?x=1&y=2", "http://h.io", None]})
+    assert E.F("url_host", E.col("u")).eval(t).to_pylist() == \
+        ["ex.com", "h.io", None]
+    assert E.F("url_query_param", E.col("u"), "x").eval(t).to_pylist() == \
+        ["1", None, None]
+    ids = E.F("uuid_v5", E.col("u")).eval(t).to_pylist()
+    assert ids == E.F("uuid_v5", E.col("u")).eval(t).to_pylist()  # deterministic
+    assert ids[2] is None and len(ids[0]) == 36
