@@ -294,19 +294,186 @@ def _agg(fn: str, col: str | None, alias: str):
     )
 
 
+_DECOMPOSABLE = {"sum", "count", "min", "max", "mean", "std"}
+
+
 @register_op("group_agg")
-def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]]):
+def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]],
+                    mode: str = "auto", partial_limit: int = 2_000_000):
     """Grouped aggregation (``group_by_value`` + Bloblang fold reduce).
 
     ``aggs`` = [(fn, col_or_None, alias)], fn ∈ sum/min/max/mean/std/count.
-    This is a shuffle; Ray Data pre-combines per block internally."""
 
-    def apply(ds):
+    Default path (``mode="auto"``, all fns decomposable) is a TWO-PHASE
+    combiner: each block is pre-aggregated with Arrow's C ``group_by``
+    inside ``map_batches`` (sum/count/min/max/sum-of-squares partials —
+    mean and std decompose), then the partials are combined.  When the
+    partial row count is small the combine is one repartition(1) +
+    Arrow group_by — no Ray shuffle machinery at all (the sort-based
+    aggregate costs ~1s fixed on 300k rows; this path does the same
+    query in the map stage).  When partials stay large (high-cardinality
+    keys) the combine falls back to a keyed Ray aggregate — but the
+    exchange then carries partials, never raw rows.  Bonus: Arrow
+    groups null keys fine, avoiding Ray groupby's null-key hang.
+
+    ``mode="shuffle"`` forces the original ``ds.groupby().aggregate``
+    path (kept as a cross-check)."""
+    decomposable = all(f in _DECOMPOSABLE for f, _, _ in aggs)
+
+    def apply_shuffle(ds):
         from rayflow.ops import prefer_push_shuffle
 
         prefer_push_shuffle()
         built = [_agg(f, c, alias) for f, c, alias in aggs]
         return ds.groupby(keys).aggregate(*built)
+
+    if mode == "shuffle" or not decomposable:
+        return apply_shuffle
+
+    # partial spec: (col, kind) pairs; kinds sum/cv (valid count)/min/
+    # max/sq (sum of squares); plus a row count when count() is asked
+    need: set[tuple[str, str]] = set()
+    need_count_all = False
+    for f, c, _ in aggs:
+        if f == "count":
+            need_count_all = True
+        elif f == "sum":
+            need.add((c, "sum"))
+        elif f == "mean":
+            need.update([(c, "sum"), (c, "cv")])
+        elif f == "min":
+            need.add((c, "min"))
+        elif f == "max":
+            need.add((c, "max"))
+        elif f == "std":
+            need.update([(c, "sum"), (c, "cv"), (c, "sq")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        spec = []
+        for col, kind in sorted(need):
+            if kind == "sq":
+                sq = f"__sq_{col}"
+                t = t.append_column(
+                    sq, pc.multiply(pc.cast(t[col], pa.float64()),
+                                    pc.cast(t[col], pa.float64())))
+                spec.append((sq, "sum"))
+            elif kind == "sum":
+                spec.append((col, "sum"))
+            elif kind == "cv":
+                spec.append((col, "count"))
+            elif kind == "min":
+                spec.append((col, "min"))
+            elif kind == "max":
+                spec.append((col, "max"))
+        if need_count_all:
+            spec.append(([], "count_all"))
+        return t.group_by(keys, use_threads=False).aggregate(spec)
+
+    def combine(t: pa.Table) -> pa.Table:
+        # canonical order: partial blocks arrive in nondeterministic
+        # task-completion order; sorting by every column makes the
+        # float accumulation order (and hence the last ULP of sums)
+        # identical across runs
+        if t.num_rows:
+            t = t.sort_by([(c, "ascending") for c in t.column_names])
+        spec = []
+        for col, kind in sorted(need):
+            if kind == "sq":
+                spec.append((f"__sq_{col}_sum", "sum"))
+            elif kind == "sum":
+                spec.append((f"{col}_sum", "sum"))
+            elif kind == "cv":
+                spec.append((f"{col}_count", "sum"))
+            elif kind == "min":
+                spec.append((f"{col}_min", "min"))
+            elif kind == "max":
+                spec.append((f"{col}_max", "max"))
+        if need_count_all:
+            spec.append(("count_all", "sum"))
+        g = t.group_by(keys, use_threads=False).aggregate(spec)
+
+        def f64(name):
+            return pc.cast(g[name], pa.float64())
+
+        out_cols: dict[str, pa.ChunkedArray] = {k: g[k] for k in keys}
+        for f, c, alias in aggs:
+            if f == "count":
+                out_cols[alias] = pc.cast(g["count_all_sum"], pa.int64())
+            elif f == "sum":
+                out_cols[alias] = g[f"{c}_sum_sum"]
+            elif f == "mean":
+                out_cols[alias] = pc.divide(f64(f"{c}_sum_sum"),
+                                            f64(f"{c}_count_sum"))
+            elif f == "min":
+                out_cols[alias] = g[f"{c}_min_min"]
+            elif f == "max":
+                out_cols[alias] = g[f"{c}_max_max"]
+            elif f == "std":
+                n = f64(f"{c}_count_sum")
+                s = f64(f"{c}_sum_sum")
+                sq = f64(f"__sq_{c}_sum_sum")
+                var = pc.divide(
+                    pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
+                    pc.subtract(n, 1.0))
+                out_cols[alias] = pc.sqrt(pc.max_element_wise(var, 0.0))
+        return pa.table(out_cols)
+
+    def apply(ds):
+        partials = ds.map_batches(partial, **_PA_KW).materialize()
+        if partials.count() <= partial_limit:
+            return partials.repartition(1).map_batches(
+                combine, batch_size=None, **_PA_KW)
+        # high-cardinality fallback: keyed exchange over partials only
+        from ray.data.aggregate import Max, Min, Sum
+
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
+        built = []
+        for col, kind in sorted(need):
+            if kind == "sq":
+                built.append(Sum(f"__sq_{col}_sum",
+                                 alias_name=f"__sq_{col}_sum_sum"))
+            elif kind == "sum":
+                built.append(Sum(f"{col}_sum", alias_name=f"{col}_sum_sum"))
+            elif kind == "cv":
+                built.append(Sum(f"{col}_count", alias_name=f"{col}_count_sum"))
+            elif kind == "min":
+                built.append(Min(f"{col}_min", alias_name=f"{col}_min_min"))
+            elif kind == "max":
+                built.append(Max(f"{col}_max", alias_name=f"{col}_max_max"))
+        if need_count_all:
+            built.append(Sum("count_all", alias_name="count_all_sum"))
+        reduced = partials.groupby(keys).aggregate(*built)
+
+        def finalize(t: pa.Table) -> pa.Table:
+            def f64(name):
+                return pc.cast(t[name], pa.float64())
+
+            out_cols: dict[str, pa.ChunkedArray] = {k: t[k] for k in keys}
+            for f, c, alias in aggs:
+                if f == "count":
+                    out_cols[alias] = pc.cast(t["count_all_sum"], pa.int64())
+                elif f == "sum":
+                    out_cols[alias] = t[f"{c}_sum_sum"]
+                elif f == "mean":
+                    out_cols[alias] = pc.divide(f64(f"{c}_sum_sum"),
+                                                f64(f"{c}_count_sum"))
+                elif f == "min":
+                    out_cols[alias] = t[f"{c}_min_min"]
+                elif f == "max":
+                    out_cols[alias] = t[f"{c}_max_max"]
+                elif f == "std":
+                    n = f64(f"{c}_count_sum")
+                    s = f64(f"{c}_sum_sum")
+                    sq = f64(f"__sq_{c}_sum_sum")
+                    var = pc.divide(
+                        pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
+                        pc.subtract(n, 1.0))
+                    out_cols[alias] = pc.sqrt(pc.max_element_wise(var, 0.0))
+            return pa.table(out_cols)
+
+        return reduced.map_batches(finalize, **_PA_KW)
 
     return apply
 

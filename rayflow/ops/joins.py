@@ -134,15 +134,33 @@ def build_broadcast_semi(*, keys_ref, on: str, anti: bool = False):
 
 @register_op("sharded_join")
 def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = None,
-                       how: str = "inner", num_partitions: int = 16):
+                       how: str = "inner", num_partitions: int = 16,
+                       strategy: str = "shuffle",
+                       broadcast_bytes_limit: int = 64 << 20):
     """Large-large hash join (the ``sharded_join`` sequence input):
     both sides shuffled on the key into ``num_partitions`` shards, merged
     shard-wise.  Uses ``Dataset.join``; sizing rule at scale: shard count
-    ≥ build-side bytes / worker heap budget."""
+    ≥ build-side bytes / worker heap budget.
+
+    ``strategy="auto"`` sizes the right side first (materialize +
+    ``size_bytes``) and, when it fits ``broadcast_bytes_limit`` and the
+    join is inner/left, switches to the broadcast path — the planner
+    decision every engine makes for a dim-table join; the exchange is
+    avoided entirely.  Default stays ``"shuffle"`` (explicit is better
+    for a bench surface)."""
 
     def apply(ds):
+        r = right
+        if strategy == "auto" and how in ("inner", "left"):
+            r = r.materialize()
+            if (r.size_bytes() or 0) <= broadcast_bytes_limit:
+                small = pa.concat_tables(
+                    r.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+                )
+                return build_broadcast_join(
+                    small=small, on=on, right_on=right_on, how=how)(ds)
         return ds.join(
-            right,
+            r,
             join_type=how,
             num_partitions=num_partitions,
             on=tuple(on),

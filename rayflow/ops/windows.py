@@ -59,8 +59,9 @@ def build_window_tumbling(*, ts_col: str, size_s: float,
         )
         if not aggs:
             return ds
-        built = [_agg(f, c, alias) for f, c, alias in aggs]
-        return ds.groupby([out] + keys).aggregate(*built)
+        from rayflow.ops.core import build_group_agg
+
+        return build_group_agg(keys=[out] + keys, aggs=aggs)(ds)
 
     return apply
 
@@ -102,8 +103,9 @@ def build_window_sliding(*, ts_col: str, size_s: float, slide_s: float,
         )
         if not aggs:
             return ds
-        built = [_agg(f, c, alias) for f, c, alias in aggs]
-        return ds.groupby([out] + keys).aggregate(*built)
+        from rayflow.ops.core import build_group_agg
+
+        return build_group_agg(keys=[out] + keys, aggs=aggs)(ds)
 
     return apply
 
@@ -212,7 +214,8 @@ def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
         sessioned = ds.groupby(keys).map_groups(sessionize, batch_format="pandas")
         if not aggs:
             return sessioned
-        built = [_agg(f, c, alias) for f, c, alias in aggs]
-        return sessioned.groupby(keys + [out]).aggregate(*built)
+        from rayflow.ops.core import build_group_agg
+
+        return build_group_agg(keys=keys + [out], aggs=aggs)(sessioned)
 
     return apply

@@ -432,3 +432,81 @@ def test_url_and_uuid_functions():
     ids = E.F("uuid_v5", E.col("u")).eval(t).to_pylist()
     assert ids == E.F("uuid_v5", E.col("u")).eval(t).to_pylist()  # deterministic
     assert ids[2] is None and len(ids[0]) == 36
+
+
+# -- two-phase group_agg combiner -------------------------------------------
+
+
+def _agg_fixture():
+    rng = np.random.default_rng(3)
+    n = 5000
+    return pa.table({
+        "k": pa.array((rng.integers(0, 7, n)).astype("int64")),
+        "v": pa.array(rng.normal(10, 3, n)),
+        "w": pa.array(rng.integers(0, 100, n).astype("int64")),
+    })
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},                              # combiner, single-block combine
+    {"partial_limit": 1},            # combiner, keyed-fallback combine
+    {"mode": "shuffle"},             # original Ray aggregate
+])
+def test_group_agg_paths_agree(ray_session, kwargs):
+    import ray.data as rd
+
+    t = _agg_fixture()
+    spec = {
+        "op": "group_agg", "keys": ["k"],
+        "aggs": [("sum", "v", "sv"), ("mean", "v", "mv"), ("count", None, "n"),
+                 ("min", "w", "minw"), ("max", "w", "maxw"), ("std", "v", "sdv")],
+        **kwargs,
+    }
+    got = build_op(spec)(rd.from_arrow(t)).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (t.to_pandas().groupby("k")
+           .agg(sv=("v", "sum"), mv=("v", "mean"), n=("v", "size"),
+                minw=("w", "min"), maxw=("w", "max"), sdv=("v", "std"))
+           .reset_index())
+    assert list(got["n"]) == list(exp["n"])
+    assert np.allclose(got["sv"], exp["sv"])
+    assert np.allclose(got["mv"], exp["mv"])
+    assert np.allclose(got["sdv"], exp["sdv"])
+    assert list(got["minw"]) == list(exp["minw"])
+    assert list(got["maxw"]) == list(exp["maxw"])
+
+
+def test_group_agg_null_keys(ray_session):
+    # Arrow group_by handles null keys (Ray's groupby hangs on them) —
+    # the combiner path must aggregate them as their own group
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array(["a", None, "a", None, "b"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    got = build_op({
+        "op": "group_agg", "keys": ["k"],
+        "aggs": [("sum", "v", "sv"), ("count", None, "n")],
+    })(rd.from_arrow(t)).to_pandas()
+    bykey = {k if k is not None and k == k else None: (s, n)
+             for k, s, n in zip(got["k"], got["sv"], got["n"])}
+    assert bykey["a"] == (4.0, 2)
+    assert bykey["b"] == (5.0, 1)
+    assert bykey[None] == (6.0, 2)
+
+
+def test_sharded_join_auto_broadcast(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"k": [1, 2, 3, 2], "v": [1.0, 2.0, 3.0, 4.0]})
+    right = pa.table({"k": [1, 2], "tag": ["a", "b"]})
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    auto = build_op({
+        "op": "sharded_join", "right": rds, "on": ["k"], "strategy": "auto",
+    })(lds).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    shuf = build_op({
+        "op": "sharded_join", "right": rd.from_arrow(right), "on": ["k"],
+        "num_partitions": 2,
+    })(lds).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert list(auto["tag"]) == list(shuf["tag"])
+    assert len(auto) == 3
