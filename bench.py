@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "knn_bruteforce_cos",
     "lang_id_docs",
+    # round-2 additions: vectorized sketches + distinct-count
+    "simhash_fingerprints",
+    "doc_fingerprint",
+    "count_distinct_users",
+    "multi_join_q3",
 ]
 
 

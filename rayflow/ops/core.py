@@ -156,23 +156,34 @@ def build_split_text(*, column: str, pattern: str = r"\s+", out: str = "token",
 
 
 @register_op("dedupe")
-def build_dedupe(*, keys: list[str], order_col: str, keep: str = "max"):
+def build_dedupe(*, keys: list[str], order_col: str, keep: str = "max",
+                 partial_limit: int = 2_000_000):
     """Global exact dedupe: keep the min/max-``order_col`` row per key.
 
     The ``dedupe`` processor's cache-backed seen-set becomes a two-phase
     reduce: per-block partial (collapses duplicates before the exchange)
-    then a keyed shuffle reduce — no shared mutable cache needed, and
-    deterministic regardless of arrival order (same philosophy as the CDC
-    LWW merge).  ``order_col`` must be globally unique."""
+    then a combine — no shared mutable cache needed, and deterministic
+    regardless of arrival order (same philosophy as the CDC LWW merge).
+    ``order_col`` must be globally unique.
+
+    Like ``group_agg``, the combine is size-adaptive: when the partial
+    survivors are few, one repartition(1) + Arrow reduce replaces the
+    keyed shuffle entirely; otherwise a keyed exchange over the
+    (already collapsed) partials runs — never over raw rows."""
 
     def apply(ds):
+        partials = ds.map_batches(
+            lambda t: argextreme_reduce(t, keys, order_col, keep), **_PA_KW
+        ).materialize()
+        if partials.count() <= partial_limit:
+            return partials.repartition(1).map_batches(
+                lambda t: argextreme_reduce(t, keys, order_col, keep),
+                batch_size=None, **_PA_KW,
+            )
         from rayflow.ops import prefer_push_shuffle
 
         prefer_push_shuffle()
-        ds = ds.map_batches(
-            lambda t: argextreme_reduce(t, keys, order_col, keep), **_PA_KW
-        )
-        return ds.groupby(keys).map_groups(
+        return partials.groupby(keys).map_groups(
             lambda t: argextreme_reduce(t, keys, order_col, keep),
             batch_format="pyarrow",
         )

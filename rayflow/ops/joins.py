@@ -60,13 +60,24 @@ def build_broadcast_join(*, small, on: list[str], right_on: list[str] | None = N
     small_ref = small if isinstance(small, ray.ObjectRef) else ray.put(small)
     ron = right_on or on
 
-    def derive(obj):
-        import pandas as pd
+    def _joinable(t: pa.DataType) -> bool:
+        return pa.types.is_integer(t) or pa.types.is_string(t) or \
+            pa.types.is_large_string(t)
 
+    def _composite(tbl: pa.Table, cols: list[str]):
+        # multi-key → one separator-joined string key (types restricted
+        # to int/string so the textual form is side-independent)
+        return pc.binary_join_element_wise(
+            *[pc.cast(tbl[c], pa.string()) for c in cols], "\x1f"
+        ).combine_chunks()
+
+    def derive(obj):
         tbl = obj if isinstance(obj, pa.Table) else pa.Table.from_pandas(
             obj, preserve_index=False)
-        if len(ron) == 1 and how in ("left", "inner"):
-            keys = tbl.column(ron[0]).combine_chunks()
+        if how in ("left", "inner") and \
+                all(_joinable(tbl.schema.field(c).type) for c in ron):
+            keys = (tbl.column(ron[0]).combine_chunks()
+                    if len(ron) == 1 else _composite(tbl, ron))
             if keys.null_count == 0 and \
                     pc.count_distinct(keys).as_py() == len(keys):
                 return ("arrow", tbl, keys)
@@ -74,11 +85,17 @@ def build_broadcast_join(*, small, on: list[str], right_on: list[str] | None = N
 
     def merge(batch: pa.Table) -> pa.Table:
         cached = _fetch(small_ref, derive)
-        if cached[0] == "arrow":
+        if cached[0] == "arrow" and (
+            len(on) > 1
+            or all(_joinable(batch.schema.field(c).type) for c in on)
+        ):
             _, tbl, keys = cached
-            key_col = batch.column(on[0])
-            if key_col.type != keys.type:
-                key_col = pc.cast(key_col, keys.type)
+            if len(on) == 1:
+                key_col = batch.column(on[0])
+                if key_col.type != keys.type:
+                    key_col = pc.cast(key_col, keys.type)
+            else:
+                key_col = _composite(batch, on)
             idx = pc.index_in(key_col, value_set=keys)
             if how == "inner":
                 valid = pc.is_valid(idx)
@@ -93,7 +110,9 @@ def build_broadcast_join(*, small, on: list[str], right_on: list[str] | None = N
                 out_name = name + suffix if name in batch.column_names else name
                 out = out.append_column(out_name, col)
             return out
-        small_pd = cached[1]
+        # pandas fallback; a cached arrow-form small side converts here
+        # (only hit when the LEFT key types are non-joinable)
+        small_pd = cached[1].to_pandas() if cached[0] == "arrow" else cached[1]
         left = batch.to_pandas()
         merged = left.merge(
             small_pd, how=how, left_on=on, right_on=ron, suffixes=("", suffix)

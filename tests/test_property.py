@@ -174,3 +174,62 @@ def test_minhash_batch_equals_per_doc(shingle_lists):
     batch = minhash_batch(sets, a, b)
     for i, s in enumerate(sets):
         assert (batch[i] == minhash_signature(s, a, b)).all()
+
+
+# -- bloblang parser round-trip (the reference's parser fuzz analogue) ------
+
+import pyarrow.compute as pc  # noqa: E402
+
+from rayflow.bloblang import parse_expr  # noqa: E402
+
+_BL_T = pa.table({
+    "a": pa.array([1.0, -2.5, 0.0, 7.25], pa.float64()),
+    "b": pa.array([3.0, 4.0, -1.0, 0.5], pa.float64()),
+    "s": pa.array(["x", "Yz", "", "abC"], pa.string()),
+})
+
+# grammar: generate (source_text, reference_evaluator) pairs recursively
+_num = st.sampled_from(["1", "2.5", "0", "10"])
+_col = st.sampled_from(["this.a", "this.b"])
+
+
+def _num_expr(depth):
+    if depth <= 0:
+        return st.one_of(_num, _col)
+    sub = _num_expr(depth - 1)
+    return st.one_of(
+        _num, _col,
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    )
+
+
+@given(_num_expr(3))
+@settings(max_examples=60, deadline=None)
+def test_bloblang_arith_matches_python(src):
+    got = parse_expr(src).eval(_BL_T)
+    vals = got.to_pylist() if hasattr(got, "to_pylist") else None
+    ref_rows = []
+    for i in range(4):
+        env = {"this_a": _BL_T["a"][i].as_py(), "this_b": _BL_T["b"][i].as_py()}
+        py = src.replace("this.a", "this_a").replace("this.b", "this_b")
+        ref_rows.append(float(eval(py, {}, env)))
+    if vals is None:  # pure-literal expression evaluates to a scalar
+        scalar = got.as_py() if hasattr(got, "as_py") else got
+        vals = [float(scalar)] * 4
+    assert np.allclose(vals, ref_rows), src
+
+
+@given(st.sampled_from([
+    ("this.s.uppercase()", lambda s: s.upper()),
+    ("this.s.lowercase()", lambda s: s.lower()),
+    ("this.s.reverse()", lambda s: s[::-1]),
+    ('this.s.has_prefix("a")', lambda s: s.startswith("a")),
+    ('this.s.contains("z")', lambda s: "z" in s),
+    ("this.s.length()", lambda s: len(s)),
+]))
+@settings(max_examples=20, deadline=None)
+def test_bloblang_string_methods_match_python(case):
+    src, ref = case
+    got = parse_expr(src).eval(_BL_T).to_pylist()
+    assert got == [ref(s) for s in _BL_T["s"].to_pylist()], src
