@@ -219,6 +219,88 @@ def build_parse_csv(*, column: str, header: bool = True,
     return apply
 
 
+@register_op("select_parts")
+def build_select_parts(*, indices: list[int]):
+    """Positional batch edit (``select_parts``, ``⟨upstream:
+    internal/impl/pure/processor_select_parts.go⟩``): keep only the rows
+    at the given positions OF EACH BLOCK.  The reference's "batch" maps
+    to the Ray Data block here — the only ordered unit in the engine;
+    negative indices count from the block's end.  Positional semantics
+    are inherently block-relative (documented; pair with
+    ``batch_policy`` to control block composition)."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            sel = [i if i >= 0 else n + i for i in indices]
+            sel = [i for i in sel if 0 <= i < n]
+            return t.take(pa.array(sel, pa.int64()))
+
+        return ds.map_batches(fn, batch_size=None, **_PA_KW)
+
+    return apply
+
+
+@register_op("insert_part")
+def build_insert_part(*, index: int, row: dict):
+    """Positional insert (``insert_part``): splice a literal row into
+    each block at ``index`` (negative = from the end; out-of-range =
+    append).  Missing columns are null; the row's extra keys are
+    ignored.  Same block-relative caveat as ``select_parts``."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            i = index if index >= 0 else max(0, n + index + 1)
+            i = min(i, n)
+            one = pa.table({
+                name: pa.array([row.get(name)]).cast(t.schema.field(name).type)
+                for name in t.column_names
+            })
+            return pa.concat_tables([t.slice(0, i), one, t.slice(i)])
+
+        return ds.map_batches(fn, batch_size=None, **_PA_KW)
+
+    return apply
+
+
+@register_op("subprocess_map")
+def build_subprocess_map(*, argv: list[str], column: str, out: str,
+                         timeout_s: float = 60.0):
+    """``subprocess`` processor (``⟨upstream:
+    internal/impl/pure/processor_subprocess.go⟩``, lines codec): pipe
+    each row's ``column`` value to a child process (one line per row,
+    ONE child per block — not per row) and read one output line per row
+    into ``out``.  A child that fails or emits the wrong line count
+    marks every row of the block with ``_error`` instead of crashing
+    the pipeline (dead-letter with ``catch``)."""
+    import subprocess as sp
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = ["" if v is None else str(v)
+                    for v in t.column(column).to_pylist()]
+            try:
+                res = sp.run(argv, input="\n".join(vals) + "\n",
+                             capture_output=True, text=True,
+                             timeout=timeout_s, check=True)
+                lines = res.stdout.splitlines()
+                if len(lines) != len(vals):
+                    raise ValueError(
+                        f"subprocess emitted {len(lines)} lines for "
+                        f"{len(vals)} rows")
+                return t.append_column(out, pa.array(lines, pa.string())) \
+                        .append_column("_error", pa.nulls(t.num_rows, pa.string()))
+            except (sp.SubprocessError, ValueError, OSError) as e:
+                err = pa.array([f"subprocess: {e}"] * t.num_rows, pa.string())
+                return t.append_column(out, pa.nulls(t.num_rows, pa.string())) \
+                        .append_column("_error", err)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply
+
+
 @register_op("parse_xml")
 def build_parse_xml(*, column: str, out_prefix: str = "",
                     drop_source: bool = False):

@@ -510,3 +510,53 @@ def test_sharded_join_auto_broadcast(ray_session):
     })(lds).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     assert list(auto["tag"]) == list(shuf["tag"])
     assert len(auto) == 3
+
+
+# -- positional batch ops + subprocess --------------------------------------
+
+
+def test_select_parts_block_relative(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"x": list(range(10))})
+    out = build_op({"op": "select_parts", "indices": [0, 2, -1]})(
+        rd.from_arrow(t)).to_pandas()
+    assert sorted(out["x"]) == [0, 2, 9]
+
+
+def test_insert_part(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"x": [1, 2, 3], "s": ["a", "b", "c"]})
+    out = build_op({"op": "insert_part", "index": 1,
+                    "row": {"x": 99, "s": "Z"}})(rd.from_arrow(t)).to_pandas()
+    assert list(out["x"]) == [1, 99, 2, 3]
+    assert list(out["s"]) == ["a", "Z", "b", "c"]
+    # negative / overflow indices
+    out2 = build_op({"op": "insert_part", "index": -1,
+                     "row": {"x": 7}})(rd.from_arrow(t)).to_pandas()
+    assert list(out2["x"]) == [1, 2, 3, 7]
+    assert out2["s"].iloc[3] is None
+
+
+def test_subprocess_map(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"w": ["hello", "world", "ray"]})
+    out = build_op({
+        "op": "subprocess_map", "argv": ["tr", "a-z", "A-Z"],
+        "column": "w", "out": "up",
+    })(rd.from_arrow(t)).to_pandas()
+    assert list(out["up"]) == ["HELLO", "WORLD", "RAY"]
+    assert out["_error"].isna().all()
+
+
+def test_subprocess_map_failure_marks_error(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"w": ["a", "b"]})
+    out = build_op({
+        "op": "subprocess_map", "argv": ["false"], "column": "w", "out": "o",
+    })(rd.from_arrow(t)).to_pandas()
+    assert out["o"].isna().all()
+    assert out["_error"].str.startswith("subprocess:").all()
