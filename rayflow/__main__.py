@@ -36,7 +36,48 @@ def main(argv: list[str] | None = None) -> int:
     ver.add_argument("--num-cpus", type=int, default=None)
     sub.add_parser("ops", help="list registered operators")
     sub.add_parser("functions", help="list scalar functions")
+    bl = sub.add_parser(
+        "blobl",
+        help="one-shot Bloblang evaluator (the `benthos blobl` analogue): "
+             "apply a mapping program to JSON lines from stdin, print JSON "
+             "lines; pure Arrow, no Ray session")
+    bl.add_argument("program", help="mapping program or single expression")
     args = ap.parse_args(argv)
+
+    if args.cmd == "blobl":
+        import pyarrow as pa
+
+        from rayflow.bloblang import DELETED, parse_expr, parse_program
+
+        rows = [json.loads(line) for line in sys.stdin if line.strip()]
+        if not rows:
+            return 0
+        t = pa.Table.from_pylist(rows)
+        if "=" in args.program and "root." in args.program:
+            prog = parse_program(args.program)
+            for name, node in prog.items():
+                if node is DELETED:
+                    if name in t.column_names:
+                        t = t.drop_columns([name])
+                    continue
+                val = node.eval(t)
+                if isinstance(val, pa.Scalar):
+                    val = pa.nulls(t.num_rows, val.type).fill_null(val)
+                if isinstance(val, pa.ChunkedArray):
+                    val = val.combine_chunks()
+                if name in t.column_names:
+                    t = t.set_column(t.column_names.index(name), name, val)
+                else:
+                    t = t.append_column(name, val)
+            for row in t.to_pylist():
+                print(json.dumps(row, default=str))
+        else:
+            val = parse_expr(args.program).eval(t)
+            vals = (val.to_pylist() if hasattr(val, "to_pylist")
+                    else [val.as_py()] * t.num_rows)
+            for v in vals:
+                print(json.dumps(v, default=str))
+        return 0
 
     if args.cmd == "ops":
         from rayflow.ops import ops

@@ -821,3 +821,143 @@ def _list_contains(a, v):
     val = v.as_py() if isinstance(v, pa.Scalar) else v
     arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
     return pa.array([None if x is None else (val in x) for x in arr.to_pylist()])
+
+
+def _list_arr(a) -> pa.ListArray:
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return arr
+
+
+def _rebuild_list(arr: pa.ListArray, flat: pa.Array) -> pa.ListArray:
+    """Re-wrap a transformed flat child under the original offsets."""
+    offsets = pc.list_value_length(arr)
+    lens = pc.fill_null(offsets, 0).to_numpy(zero_copy_only=False)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), flat,
+        mask=pc.is_null(arr) if arr.null_count else None)
+
+
+@register_fn("list_map")
+def _list_map(a, fn_name, *extra):
+    """Bloblang ``map_each`` with a REGISTERED scalar function as the
+    lambda: flatten once, run the vectorized kernel over the flat child,
+    re-wrap under the original offsets — no per-row Python."""
+    arr = _list_arr(a)
+    f = fn_name.as_py() if isinstance(fn_name, pa.Scalar) else fn_name
+    flat = pc.list_flatten(arr)
+    out = _REGISTRY[f](flat, *extra)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return _rebuild_list(arr, out)
+
+
+@register_fn("list_filter")
+def _list_filter(a, fn_name, *extra):
+    """Bloblang ``filter`` with a registered boolean scalar function:
+    flatten, evaluate the mask vectorized, rebuild with per-row kept
+    counts (cumulative-sum offsets)."""
+    arr = _list_arr(a)
+    f = fn_name.as_py() if isinstance(fn_name, pa.Scalar) else fn_name
+    flat = pc.list_flatten(arr)
+    mask = _REGISTRY[f](flat, *extra)
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    if not pa.types.is_boolean(mask.type):
+        # value-returning predicates (e.g. ``not_empty``): non-null = keep
+        mask = pc.is_valid(mask)
+    mask = pc.fill_null(mask, False)
+    kept = flat.filter(mask)
+    # per-row kept counts: segment-sum the mask under the original offsets
+    lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    m = mask.to_numpy(zero_copy_only=False).astype(np.int64)
+    kept_lens = (np.add.reduceat(m, starts) if len(m) else
+                 np.zeros(len(lens), np.int64))
+    kept_lens[lens == 0] = 0  # reduceat artifacts on empty segments
+    offs = np.concatenate(([0], np.cumsum(kept_lens))).astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), kept,
+        mask=pc.is_null(arr) if arr.null_count else None)
+
+
+@register_fn("list_unique")
+def _list_unique(a):
+    arr = _list_arr(a)
+    out = [None if x is None else sorted(set(x), key=lambda v: (v is None, v))
+           for x in arr.to_pylist()]
+    return pa.array(out, type=arr.type)
+
+
+@register_fn("list_sort")
+def _list_sort(a, descending=False):
+    d = descending.as_py() if isinstance(descending, pa.Scalar) else descending
+    arr = _list_arr(a)
+    out = [None if x is None else
+           sorted((v for v in x if v is not None), reverse=bool(d))
+           + [None] * sum(v is None for v in x)
+           for x in arr.to_pylist()]
+    return pa.array(out, type=arr.type)
+
+
+@register_fn("list_slice")
+def _list_slice(a, start, stop):
+    s = start.as_py() if isinstance(start, pa.Scalar) else start
+    e = stop.as_py() if isinstance(stop, pa.Scalar) else stop
+    return pc.list_slice(a, s, e)
+
+
+# -- extra hashes / encodings ----------------------------------------------
+register_fn("hash_sha512")(_pyfall(lambda s: _hl.sha512(s.encode()).hexdigest()))
+register_fn("encode_base64url")(
+    _pyfall(lambda s: _b64.urlsafe_b64encode(s.encode()).decode()))
+register_fn("decode_base64url")(
+    _pyfall(lambda s: _b64.urlsafe_b64decode(s).decode()))
+
+
+@register_fn("hash_hmac_sha256")
+def _hmac_sha256(a, key):
+    import hmac as _hmac
+
+    k = (key.as_py() if isinstance(key, pa.Scalar) else key).encode()
+    return _pyfall(
+        lambda s: _hmac.new(k, s.encode(), _hl.sha256).hexdigest())(a)
+
+
+@register_fn("escape_url_query")
+def _escape_url_query(a):
+    from urllib.parse import quote_plus
+
+    return _pyfall(quote_plus)(a)
+
+
+@register_fn("unescape_url_query")
+def _unescape_url_query(a):
+    from urllib.parse import unquote_plus
+
+    return _pyfall(unquote_plus)(a)
+
+
+# -- type/flow helpers ------------------------------------------------------
+
+
+@register_fn("type_name")
+def _type_name(a):
+    """Bloblang ``type()``: per-column Arrow type as a constant string
+    column (columnar model: every row of a column shares one type)."""
+    arr = a if isinstance(a, (pa.ChunkedArray, pa.Array)) else pa.array(a)
+    return pa.array([str(arr.type)] * len(arr), pa.string())
+
+
+@register_fn("not_empty")
+def _not_empty(a):
+    """Null out empty strings/lists (Bloblang ``not_empty`` feeding a
+    ``| fallback`` coalesce)."""
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        empty = pc.equal(pc.utf8_length(arr), 0)
+    elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        empty = pc.equal(pc.list_value_length(arr), 0)
+    else:
+        return arr
+    return pc.if_else(pc.fill_null(empty, False), pa.nulls(len(arr), arr.type), arr)

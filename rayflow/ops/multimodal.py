@@ -35,17 +35,28 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media fixture (no external data)."""
+    """Deterministic fake media fixture (no external data).
+
+    Payloads carry REAL container headers (PNG IHDR / WAV fmt chunk —
+    see :func:`synth_png` / :func:`synth_wav`) followed by seeded random
+    body bytes, so header-level ops (``media_probe``) exercise genuine
+    parsing while decode stays stubbed."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
-                for _ in range(n)]
     types = np.array(["image/png", "audio/wav"])[rng.integers(0, 2, n)]
+    widths = rng.integers(16, 256, n, dtype=np.int32)
+    heights = rng.integers(16, 256, n, dtype=np.int32)
+    payloads = []
+    for i in range(n):
+        head = (synth_png(int(widths[i]), int(heights[i]))
+                if types[i] == "image/png" else synth_wav(16000, 1))
+        body = rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
+        payloads.append(head + body)
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "media_type": pa.array(types),
         "payload": pa.array(payloads, pa.large_binary()),
-        "width": pa.array(rng.integers(16, 256, n, dtype=np.int32)),
-        "height": pa.array(rng.integers(16, 256, n, dtype=np.int32)),
+        "width": pa.array(widths),
+        "height": pa.array(heights),
         "duration_ms": pa.array(rng.integers(0, 10_000, n, dtype=np.int32)),
     })
 

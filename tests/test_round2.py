@@ -560,3 +560,56 @@ def test_subprocess_map_failure_marks_error(ray_session):
     })(rd.from_arrow(t)).to_pandas()
     assert out["o"].isna().all()
     assert out["_error"].str.startswith("subprocess:").all()
+
+
+def test_media_probe_on_synth_fixture(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_media_table
+
+    t = synth_media_table(40, seed=7)
+    out = build_op({"op": "media_probe"})(rd.from_arrow(t)).to_pandas()
+    png = out[out["media_type"] == "image/png"]
+    # probed dimensions equal the metadata columns — real header parsing
+    assert (png["probe_format"] == "png").all()
+    assert (png["probe_width"] == png["width"]).all()
+    assert (png["probe_height"] == png["height"]).all()
+    wav = out[out["media_type"] == "audio/wav"]
+    assert (wav["probe_format"] == "wav").all()
+
+
+# -- list methods / blobl CLI -----------------------------------------------
+
+
+def test_list_methods():
+    t = pa.table({
+        "ls": pa.array([["a", "BB", ""], [], None, ["x", "", None]],
+                       pa.list_(pa.string())),
+        "ln": pa.array([[3, 1, 2], [5], [None, 2], None], pa.list_(pa.int64())),
+    })
+    assert E.F("list_map", E.col("ls"), "uppercase").eval(t).to_pylist() == \
+        [["A", "BB", ""], [], None, ["X", "", None]]
+    assert E.F("list_filter", E.col("ls"), "not_empty").eval(t).to_pylist() == \
+        [["a", "BB"], [], None, ["x"]]
+    assert E.F("list_unique", E.col("ln")).eval(t).to_pylist() == \
+        [[1, 2, 3], [5], [2, None], None]
+    assert E.F("list_sort", E.col("ln"), True).eval(t).to_pylist() == \
+        [[3, 2, 1], [5], [2, None], None]
+
+
+def test_blobl_cli_oneshot():
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "-m", "rayflow", "blobl",
+         "root.d = this.a * 2\nroot.u = this.s.uppercase()"],
+        input='{"a": 2, "s": "hi"}\n{"a": 5, "s": "yo"}\n',
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo",
+    ).stdout.strip().splitlines()
+    import json as _json
+
+    rows = [_json.loads(x) for x in out]
+    assert rows[0]["d"] == 4 and rows[0]["u"] == "HI"
+    assert rows[1]["d"] == 10 and rows[1]["u"] == "YO"
