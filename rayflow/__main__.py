@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 
@@ -109,39 +108,11 @@ def main(argv: list[str] | None = None) -> int:
                 n = result.count()
                 print(json.dumps({"rows": n, "schema": result.schema().names}))
         elif args.cmd == "verify-lake":
-            import glob
+            from rayflow.cdc.oracle import audit_lake
 
-            import duckdb
-            import pyarrow.compute as pc
-
-            from rayflow.cdc import CdcEngine
-
-            engine = CdcEngine(args.lake_dir)
-            ds = engine.final_dataset(include_meta=True)
-            n_rows, lsn_sum = 0, 0
-            for b in ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
-                n_rows += b.num_rows
-                lsn_sum += pc.sum(b["_lsn"]).as_py() or 0
-            files = sorted(glob.glob(os.path.join(args.log_dir, "band-*", "part-*.parquet")))
-            watermark = engine.manifest.committed_lsn
-            con = duckdb.connect()
-            n_ora, lsn_ora = con.sql(f"""
-                WITH ranked AS (
-                  SELECT lsn, op, row_number() OVER (
-                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
-                  FROM read_parquet({files!r}, union_by_name=true)
-                  WHERE lsn <= {watermark}
-                )
-                SELECT count(*), CAST(sum(lsn) AS BIGINT)
-                FROM ranked WHERE rn = 1 AND op <> 'delete'
-            """).fetchall()[0]
-            ok = (n_rows == n_ora) and (lsn_sum == (lsn_ora or 0))
-            print(json.dumps({
-                "lake_rows": n_rows, "oracle_rows": n_ora,
-                "lake_lsn_sum": lsn_sum, "oracle_lsn_sum": lsn_ora,
-                "watermark": watermark, "match": ok,
-            }))
-            return 0 if ok else 1
+            report = audit_lake(args.log_dir, args.lake_dir)
+            print(json.dumps(report))
+            return 0 if report["match"] else 1
         elif args.cmd == "replay":
             from rayflow.cdc import CdcEngine
 

@@ -30,6 +30,46 @@ def read_changelog_pandas(log_dir: str, max_lsn: int | None = None) -> pd.DataFr
     return df
 
 
+def audit_lake(log_dir: str, lake_dir: str) -> dict:
+    """DuckDB LWW audit of a lake's final state against the raw change
+    log (the ``verify-lake`` CLI body, factored out so tests can drive
+    it inside an existing Ray session).  ``union_by_name`` unifies
+    mixed-schema bands (v1 files lack evolved columns and may carry
+    narrower types — exactly what ``evolve_at_lsn`` produces)."""
+    import os
+
+    import duckdb
+    import pyarrow.compute as pc
+
+    from rayflow.cdc.replay import CdcEngine
+
+    engine = CdcEngine(lake_dir)
+    ds = engine.final_dataset(include_meta=True)
+    n_rows, lsn_sum = 0, 0
+    for b in ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        n_rows += b.num_rows
+        lsn_sum += pc.sum(b["_lsn"]).as_py() or 0
+    files = sorted(glob.glob(os.path.join(log_dir, "band-*", "part-*.parquet")))
+    watermark = engine.manifest.committed_lsn
+    con = duckdb.connect()
+    n_ora, lsn_ora = con.sql(f"""
+        WITH ranked AS (
+          SELECT lsn, op, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+          FROM read_parquet({files!r}, union_by_name=true)
+          WHERE lsn <= {watermark}
+        )
+        SELECT count(*), CAST(sum(lsn) AS BIGINT)
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """).fetchall()[0]
+    ok = (n_rows == n_ora) and (lsn_sum == (lsn_ora or 0))
+    return {
+        "lake_rows": n_rows, "oracle_rows": n_ora,
+        "lake_lsn_sum": lsn_sum, "oracle_lsn_sum": lsn_ora,
+        "watermark": watermark, "match": ok,
+    }
+
+
 def lww_oracle(changes: pd.DataFrame) -> pd.DataFrame:
     """Expected final lake table for a change-event DataFrame."""
     winners = (

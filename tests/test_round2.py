@@ -613,3 +613,23 @@ def test_blobl_cli_oneshot():
     rows = [_json.loads(x) for x in out]
     assert rows[0]["d"] == 4 and rows[0]["u"] == "HI"
     assert rows[1]["d"] == 10 and rows[1]["u"] == "YO"
+
+
+def test_audit_lake_on_evolved_log(ray_session, tmp_path):
+    """ADVICE r1: the verify-lake audit must survive a schema-evolved
+    log (v1 bands lack evolved columns / carry narrower types) — the
+    DuckDB read needs union_by_name."""
+    from rayflow.cdc import CdcEngine, ChangeLogSpec, generate_changelog
+    from rayflow.cdc.oracle import audit_lake
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(
+        n_convs=60, turns_per_conv=5.0, update_ratio=0.8, delete_ratio=0.05,
+        zipf_s=1.2, n_source_partitions=2, n_bands=3, seed=11,
+        evolve_at_lsn=300))
+    engine = CdcEngine(str(tmp_path / "lake"), num_partitions=4,
+                       auto_salt=False)
+    engine.replay(log)
+    report = audit_lake(log, str(tmp_path / "lake"))
+    assert report["match"], report
+    assert report["lake_rows"] > 0
