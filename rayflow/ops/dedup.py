@@ -75,10 +75,15 @@ def minhash_batch(shingle_sets: list[set[int]], a: np.ndarray,
         np.fromiter(s, dtype=np.uint64, count=len(s))
         for s, c in zip(shingle_sets, counts) if c > 0
     ])
-    # (total, perm) hash matrix in chunks to bound memory
     offsets = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
-    hashes = (flat[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-    mins = np.minimum.reduceat(hashes, offsets, axis=0)
+    # one pass per permutation over the flat shingle vector: identical
+    # values to the (total, perm) matrix formulation, but no multi-
+    # hundred-MB intermediate and no 2-D axis-0 reduceat (which runs a
+    # strided inner loop ~50x slower than these 1-D passes)
+    mins = np.empty((nz.sum(), n_perm), dtype=np.uint64)
+    for i in range(n_perm):
+        h = (flat * a[i] + b[i]) % np.uint64(_MERSENNE)
+        mins[:, i] = np.minimum.reduceat(h, offsets)
     out[nz] = mins
     return out
 
