@@ -23,7 +23,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from rayflow.ops import register_op
-from rayflow.ops.core import _agg
 
 _PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
 
