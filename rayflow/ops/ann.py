@@ -44,6 +44,59 @@ def _empty_topk(id_col: str) -> pa.Table:
     })
 
 
+def finalize_topk(partials, *, id_col: str, k: int,
+                  exclude_self: bool = True,
+                  partial_limit: int = 2_000_000):
+    """Per-query global top-k over per-batch partials, size-adaptive:
+    the partial set is tiny by construction (num_blocks × queries ×
+    (k+1) rows), so the normal path is repartition(1) + one in-task
+    reduce — no keyed shuffle (Ray's groupby costs ~1s fixed, pure
+    overhead at this size).  A keyed fallback remains for gigantic
+    partial sets (cloud-scale block counts)."""
+
+    def reduce_all(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            })
+        df = t.to_pandas()
+        qs, vs, rs = [], [], []
+        for qid, g in df.groupby("query_id"):
+            if exclude_self:
+                g = g[g[id_col] != qid]
+            g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+            n = len(g)
+            qs.append(np.full(n, int(qid), dtype=np.int64))
+            vs.append(g[id_col].to_numpy(dtype=np.int64))
+            rs.append(np.arange(1, n + 1, dtype=np.int64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs) if qs else []),
+            id_col: pa.array(np.concatenate(vs) if vs else []),
+            "rank": pa.array(np.concatenate(rs) if rs else []),
+        })
+
+    p = partials.materialize()
+    if p.count() <= partial_limit:
+        return p.repartition(1).map_batches(
+            reduce_all, batch_size=None,
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g[id_col] != qid]
+        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": qid,
+            id_col: g[id_col].astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return p.groupby("query_id").map_groups(per_group, batch_format="pandas")
+
+
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -88,23 +141,10 @@ def build_knn_bruteforce(*, queries, query_ids, k: int = 10,
             "cos": pa.array(np.concatenate(rows_s), pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qid = int(g["query_id"].iloc[0])
-        if exclude_self:
-            g = g[g[id_col] != qid]
-        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame({
-            "query_id": qid,
-            id_col: g[id_col].astype(np.int64),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        })
-
     def apply(ds):
         partials = ds.map_batches(partial_topk, **_PA_KW)
-        return partials.groupby("query_id").map_groups(
-            final_topk, batch_format="pandas"
-        )
+        return finalize_topk(partials, id_col=id_col, k=k,
+                             exclude_self=exclude_self)
 
     return apply
 
@@ -177,16 +217,6 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
             "cos": pa.array(np.concatenate(rows_s), pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qid = int(g["query_id"].iloc[0])
-        g = g[g[id_col] != qid]
-        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "query_id": qid,
-            id_col: g[id_col].astype(np.int64),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        })
-
     def apply(ds):
         indexed = ds.map_batches(
             LshIndexStage,
@@ -196,9 +226,7 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
             zero_copy_batch=True, num_cpus=1,
         )
         partials = indexed.map_batches(bucket_topk, **_PA_KW)
-        return partials.groupby("query_id").map_groups(
-            final_topk, batch_format="pandas"
-        )
+        return finalize_topk(partials, id_col=id_col, k=k)
 
     return apply
 
@@ -301,19 +329,8 @@ class LshIndex:
                 "cos": pa.array(np.concatenate(rows_s), pa.float64()),
             })
 
-        def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-            qid = int(g["query_id"].iloc[0])
-            g = g[g[id_col] != qid]
-            g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
-            return pd.DataFrame({
-                "query_id": qid,
-                id_col: g[id_col].astype(np.int64),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            })
-
         partials = ds.map_batches(bucket_topk, **_PA_KW)
-        return partials.groupby("query_id").map_groups(
-            final_topk, batch_format="pandas")
+        return finalize_topk(partials, id_col=id_col, k=k)
 
     def bytes_for(self, buckets) -> int:
         import os
@@ -547,21 +564,9 @@ def build_ann_ivf_probe_stage(q, qids, q_lists, *, k: int,
             "cos": pa.array(np.concatenate(rows_s), pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qid = int(g["query_id"].iloc[0])
-        g = g[g[id_col] != qid]
-        g = g.sort_values(["cos", id_col], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "query_id": qid,
-            id_col: g[id_col].astype(np.int64),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        })
-
     def apply(ds):
         partials = ds.map_batches(probe_topk, **_PA_KW)
-        return partials.groupby("query_id").map_groups(
-            final_topk, batch_format="pandas"
-        )
+        return finalize_topk(partials, id_col=id_col, k=k)
 
     return apply
 
