@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayflow.ops import register_op
 from rayflow.ops.joins import _fetch
@@ -427,6 +428,115 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, seed: int = 42,
                 centroids[c] = members.mean(axis=0)
         centroids = _normalize_rows(centroids)
     return centroids
+
+
+@register_op("kmeans")
+def build_kmeans(*, n_clusters: int = 8, n_iter: int = 0,
+                 init_ids: list | None = None, seed: int = 42,
+                 sample_n: int = 4096, vec_col: str = "embedding",
+                 id_col: str = "vec_id", out: str = "cluster"):
+    """Distributed Lloyd's k-means over an embedding column (cosine).
+
+    Fit: each iteration is ONE streaming pass — every batch emits a
+    k×(d+1) partial (per-cluster vector sums + counts, a few KB), the
+    driver reduces the tiny partials and re-broadcasts the centroids
+    (``ray.put`` per iteration).  The corpus itself never leaves the
+    workers, so the shape holds at 100 TB: bytes exchanged per
+    iteration = O(batches × k × d), independent of corpus size.
+
+    Init: ``init_ids`` pins the initial centroids to specific rows
+    (deterministic and SQL-expressible — the ``kmeans_assign_seeded``
+    oracle uses ``init_ids=range(k), n_iter=0``); otherwise a seeded
+    choice from the first ``sample_n`` rows.
+
+    Ties in the final assignment resolve to the LOWEST cluster index
+    (np.argmax keeps the first max), mirroring the oracle's
+    ``ORDER BY cos DESC, cid``.
+    """
+    import ray
+
+    def apply(ds):
+        if init_ids is not None:
+            wanted = pa.array(sorted(int(i) for i in init_ids), pa.int64())
+            small = ds.map_batches(
+                lambda t: t.filter(
+                    pc.is_in(t.column(id_col), value_set=wanted)),
+                **_PA_KW,
+            ).take_all()
+            small.sort(key=lambda r: int(r[id_col]))
+            cent = _normalize_rows(np.asarray(
+                [r[vec_col] for r in small], dtype=np.float64))
+        else:
+            # k-means++ init on a driver-side sample (sample_n rows, not
+            # the corpus): D²-weighted picks avoid the two-centroids-in-
+            # one-blob local minimum plain random choice falls into
+            rows = ds.limit(sample_n).take_all()
+            sample = _normalize_rows(np.asarray(
+                [r[vec_col] for r in rows], dtype=np.float64))
+            rng = np.random.default_rng(seed)
+            kk = min(n_clusters, len(sample))
+            picks = [int(rng.integers(len(sample)))]
+            for _ in range(1, kk):
+                d2 = 1.0 - np.max(sample @ sample[picks].T, axis=1)
+                d2 = np.clip(d2, 0.0, None)
+                tot = d2.sum()
+                if tot <= 0:
+                    cand = int(rng.integers(len(sample)))
+                else:
+                    cand = int(rng.choice(len(sample), p=d2 / tot))
+                picks.append(cand)
+            cent = sample[picks]
+
+        k, d = cent.shape
+
+        for _ in range(n_iter):
+            ref = ray.put(cent)
+
+            def partial(t: pa.Table, _ref=ref) -> pa.Table:
+                c = _fetch(_ref, lambda v: v)
+                if t.num_rows == 0:
+                    return pa.table({
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    })
+                m = _normalize_rows(_mat(t.column(vec_col)))
+                a = np.argmax(m @ c.T, axis=1)
+                n_c = np.bincount(a, minlength=len(c))
+                sums = np.zeros_like(c)
+                np.add.at(sums, a, m)
+                return pa.table({
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "n": pa.array(n_c.astype(np.int64)),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                })
+
+            # partials are k rows per block — materializing them is the
+            # tiny-result exception, not a corpus materialization
+            pt = ds.map_batches(partial, **_PA_KW).take_all()
+            tot_n = np.zeros(k, dtype=np.int64)
+            tot_s = np.zeros((k, d), dtype=np.float64)
+            for r in pt:
+                tot_n[r["cluster"]] += r["n"]
+                tot_s[r["cluster"]] += np.asarray(r["vsum"])
+            nz = tot_n > 0
+            cent = cent.copy()
+            cent[nz] = tot_s[nz] / tot_n[nz, None]
+            cent = _normalize_rows(cent)
+
+        final_ref = ray.put(cent)
+
+        def assign(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column(out, pa.array([], pa.int64()))
+            c = _fetch(final_ref, lambda v: v)
+            m = _normalize_rows(_mat(t.column(vec_col)))
+            a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+            return t.append_column(out, pa.array(a))
+
+        return ds.map_batches(assign, **_PA_KW)
+
+    return apply
 
 
 class IvfAssignStage:

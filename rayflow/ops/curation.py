@@ -1,0 +1,310 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The filters a 100 TB pre-training corpus actually runs beyond dedup /
+language-ID (rayflow.ops.textops, rayflow.ops.dedup):
+
+- :func:`build_pii_redact` — vectorized regex redaction of emails / IP
+  addresses / phone numbers (``pc.replace_substring_regex``; RE2, the
+  same regex engine DuckDB uses, so the SQL oracle is exact).
+- :func:`build_gopher_quality` — Gopher-style repetition metrics per
+  document (duplicate-word fraction, top-word fraction, stopword
+  fraction, top-bigram fraction) — one flat dictionary-encoded pass per
+  batch, no Python per-row loop.
+- :func:`build_decontaminate` — benchmark-overlap flagging (the
+  test-set decontamination step): the benchmark set is tiny relative to
+  the corpus, so it is broadcast once (``ray.put``) and every batch is
+  checked vectorized.  ``mode="substring"`` matches exact benchmark
+  snippets (SQL-oracle-able); ``mode="ngram"`` is the GPT-3-style
+  n-gram-collision path (flat token-hash windows, ``np.isin`` against
+  the sorted benchmark hash set) that scales to long documents.
+- :func:`build_ngram_topk` — corpus-wide top-k word n-grams: per-batch
+  partial counts (np.unique over code windows) → one small keyed
+  combine → top-k.  The exchange carries only (ngram, partial_count)
+  rows, never the token stream.
+
+All stages stream; nothing materializes the corpus driver-side.
+Reference anchor: upstream Benthos has no corpus-curation plane — these
+re-express the published Gopher/C4/GPT-3 data-pipeline stages
+(SURVEY.md "beyond the reference" table) Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayflow.ops import register_op
+from rayflow.ops.joins import _fetch
+
+_PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
+
+#: redaction patterns, applied in order.  RE2 syntax only (works
+#: identically in pyarrow and DuckDB's regexp_replace).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
+@register_op("pii_redact")
+def build_pii_redact(*, column: str = "text", out: str | None = None,
+                     kinds: tuple = ("email", "ipv4", "phone")):
+    """Replace PII spans with typed placeholders, fully vectorized."""
+    pats = [(p, r) for name, p, r in PII_PATTERNS if name in kinds]
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            col = t.column(column)
+            for pat, repl in pats:
+                col = pc.replace_substring_regex(col, pat, repl)
+            name = out or column
+            if name in t.column_names:
+                return t.set_column(t.column_names.index(name), name, col)
+            return t.append_column(name, col)
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+#: English stopword seed list (public common-word list, truncated) —
+#: shared with the SQL oracle, so keep in sync with queries.py.
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+
+def _tokenize_codes(t: pa.Table, column: str):
+    """Lowercase space-split a string column into a flat
+    dictionary-encoded token stream.
+
+    Returns (codes int64 flat array, doc_idx int64 per token,
+    dict_values StringArray, n_docs).  Empty tokens (consecutive /
+    edge spaces) are dropped — mirrors the SQL oracle's
+    ``list_filter(string_split(lower(text),' '), x -> x <> '')``.
+    """
+    toks = pc.split_pattern(pc.utf8_lower(t.column(column)), " ")
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    counts = pc.list_value_length(la).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = la.flatten()
+    denc = pc.dictionary_encode(flat)
+    denc = denc.combine_chunks() if isinstance(denc, pa.ChunkedArray) else denc
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = denc.dictionary
+    doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    keep = nonempty[codes]
+    return codes[keep], doc_idx[keep], values, t.num_rows
+
+
+@register_op("gopher_quality")
+def build_gopher_quality(*, column: str = "text",
+                         stopwords: tuple = STOPWORDS_EN):
+    """Gopher-style repetition/quality metrics per document.
+
+    Emits: n_words, n_unique_words, dup_word_frac, top_word_frac,
+    stopword_frac (all SQL-oracle-checked) and top_bigram_frac
+    (engine-only; the published filter thresholds it at ~0.2).
+    Ratios are raw IEEE doubles — bit-identical to the oracle's
+    CAST(x AS DOUBLE)/CAST(y AS DOUBLE).
+    """
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return t
+            codes, doc_idx, values, _ = _tokenize_codes(t, column)
+            n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            # per-(doc, word) counts via one sort-free np.unique pass on
+            # a combined 64-bit key: doc * V + code (V = dict size)
+            V = np.int64(len(values) + 1)
+            combined = doc_idx * V + codes
+            uniq, cnts = np.unique(combined, return_counts=True)
+            udoc = uniq // V
+            n_unique = np.bincount(udoc, minlength=n).astype(np.int64)
+            # per-doc max word count: uniq is sorted so doc segments are
+            # contiguous — reduceat at each doc's first position
+            max_c = np.zeros(n, dtype=np.int64)
+            if len(uniq):
+                starts = np.flatnonzero(np.diff(udoc, prepend=udoc[0] - 1))
+                max_c[udoc[starts]] = np.maximum.reduceat(cnts, starts)
+            # stopword hits: membership computed once on the DICTIONARY
+            # (unique strings), then gathered per token
+            stop_mask = pc.is_in(
+                values, value_set=pa.array(list(stopwords))
+            ).to_numpy(zero_copy_only=False)
+            stop_tok = stop_mask[codes]
+            stop_c = np.bincount(doc_idx[stop_tok], minlength=n).astype(np.int64)
+            # top bigram fraction (engine-only): windows pairing token i
+            # with i+1, masked where the pair crosses a doc boundary
+            top_bg = np.zeros(n, dtype=np.int64)
+            if len(codes) > 1:
+                same = doc_idx[:-1] == doc_idx[1:]
+                bg = (codes[:-1] * V + codes[1:])[same]
+                bdoc = doc_idx[:-1][same]
+                bu, bc = np.unique(bdoc * (V * V) + bg, return_counts=True)
+                bud = bu // (V * V)
+                if len(bu):
+                    bs = np.flatnonzero(np.diff(bud, prepend=bud[0] - 1))
+                    top_bg[bud[bs]] = np.maximum.reduceat(bc, bs)
+            nw = n_words.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dup_frac = 1.0 - n_unique.astype(np.float64) / nw
+                top_frac = max_c.astype(np.float64) / nw
+                stop_frac = stop_c.astype(np.float64) / nw
+                n_bigrams = np.maximum(n_words - 1, 1).astype(np.float64)
+                top_bg_frac = top_bg.astype(np.float64) / n_bigrams
+            for name, col, typ in [
+                ("n_words", n_words, pa.int64()),
+                ("n_unique_words", n_unique, pa.int64()),
+                ("dup_word_frac", dup_frac, pa.float64()),
+                ("top_word_frac", top_frac, pa.float64()),
+                ("stopword_frac", stop_frac, pa.float64()),
+                ("top_bigram_frac", top_bg_frac, pa.float64()),
+            ]:
+                t = t.append_column(name, pa.array(col, typ))
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+def _ngram_hashes(codes: np.ndarray, doc_idx: np.ndarray, n: int,
+                  n_docs: int, values) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram hashes over a flat token-code stream.
+
+    Token hash = crc32 of the token string (computed once per DICTIONARY
+    entry, gathered per token); n-gram hash = polynomial combine of the
+    n token hashes in Z_2^64 — n shifted vectorized passes, the same
+    flat-window trick as textops.rolling_min_batch.  Windows crossing a
+    document boundary are dropped.  Returns (hashes, window_doc_idx).
+    """
+    import zlib
+
+    tok_hash = np.array(
+        [zlib.crc32(v.encode("utf-8", "surrogatepass")) for v in values.to_pylist()],
+        dtype=np.uint64,
+    )
+    h_tok = tok_hash[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+    m = len(h_tok) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    out = np.zeros(m, dtype=np.uint64)
+    base = np.uint64(1099511628211)  # FNV prime
+    for j in range(n):
+        out += h_tok[j : j + m] * base ** np.uint64(n - 1 - j)
+    same_doc = doc_idx[: m] == doc_idx[n - 1 :]
+    return out[same_doc], doc_idx[:m][same_doc]
+
+
+@register_op("decontaminate")
+def build_decontaminate(*, bench, column: str = "text",
+                        mode: str = "substring", n: int = 13,
+                        snip_len: int = 40, out: str = "contaminated"):
+    """Flag documents that overlap a benchmark/eval set.
+
+    ``bench``: list of benchmark texts (tiny vs the corpus — the whole
+    point of decontamination; broadcast once via ``ray.put``).
+
+    - ``mode="substring"``: contaminated if any benchmark snippet
+      (first ``snip_len`` chars) occurs verbatim — one vectorized
+      ``pc.match_substring`` pass per snippet.  Exactly mirrors the
+      DuckDB ``contains()`` oracle.
+    - ``mode="ngram"``: contaminated if any word ``n``-gram hash
+      collides with the benchmark n-gram hash set (GPT-3-style
+      13-gram decontamination) — flat vectorized windows + ``np.isin``
+      against the sorted broadcast set.
+    """
+    import ray
+
+    if mode == "substring":
+        snips = sorted({b[:snip_len] for b in bench if len(b) >= snip_len})
+        payload = ray.put(tuple(snips))
+    elif mode == "ngram":
+        hashes: set = set()
+        bt = pa.table({"text": pa.array(list(bench), pa.string())})
+        codes, didx, values, nd = _tokenize_codes(bt, "text")
+        h, _ = _ngram_hashes(codes, didx, n, nd, values)
+        hashes.update(h.tolist())
+        payload = ray.put(np.sort(np.array(sorted(hashes), dtype=np.uint64)))
+    else:
+        raise ValueError(f"decontaminate: unknown mode {mode!r}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        flag = np.zeros(t.num_rows, dtype=bool)
+        if mode == "substring":
+            snips_l = _fetch(payload, lambda v: v)
+            text = t.column(column)
+            for s in snips_l:
+                hit = pc.match_substring(text, s).fill_null(False)
+                flag |= hit.to_numpy(zero_copy_only=False)
+        else:
+            bench_h = _fetch(payload, lambda v: v)
+            codes, didx, values, nd = _tokenize_codes(t, column)
+            h, hdoc = _ngram_hashes(codes, didx, n, nd, values)
+            if len(h):
+                hit = np.isin(h, bench_h, assume_unique=False)
+                np.logical_or.at(flag, hdoc[hit], True)
+        return t.append_column(out, pa.array(flag, pa.bool_()))
+
+    def apply(ds):
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("ngram_topk")
+def build_ngram_topk(*, column: str = "text", n: int = 2, k: int = 20):
+    """Corpus-wide top-k word n-grams by occurrence count.
+
+    Per-batch partial counts (the exchange carries (ngram, count) rows,
+    never tokens) → keyed combine via group_agg → global top-k.  The
+    dataset-analysis stat every corpus report starts with.
+    """
+    from rayflow.ops import build_op
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, doc_idx, values, nd = _tokenize_codes(t, column)
+        if len(codes) < n:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n_occurrences": pa.array([], pa.int64())})
+        m = len(codes) - n + 1
+        same = doc_idx[:m] == doc_idx[n - 1 :]
+        # combined key over n code positions (V^n fits int64 for the
+        # dictionary sizes a batch produces; fall back to strings after)
+        V = np.int64(len(values) + 1)
+        key = codes[:m].copy()
+        for j in range(1, n):
+            key = key * V + codes[j : j + m]
+        key = key[same]
+        uniq, cnts = np.unique(key, return_counts=True)
+        # decode keys back to the n-gram string via the dictionary:
+        # parts come out least-significant-first = last token first
+        parts = []
+        rem = uniq.copy()
+        for _ in range(n):
+            parts.append(rem % V)
+            rem = rem // V
+        tok_cols = [values.take(pa.array(p, pa.int64()))
+                    for p in reversed(parts)]
+        grams = pc.binary_join_element_wise(*tok_cols, " ")
+        return pa.table({
+            "ngram": grams,
+            "n_occurrences": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    def apply(ds):
+        partials = ds.map_batches(partial, **_PA_KW)
+        combined = build_op({
+            "op": "group_agg", "keys": ["ngram"],
+            "aggs": [("sum", "n_occurrences", "n_occurrences")],
+        })(partials)
+        ranked = build_op({
+            "op": "sort", "keys": ["n_occurrences", "ngram"],
+            "descending": [True, False],
+        })(combined)
+        return ranked.limit(k)
+
+    return apply

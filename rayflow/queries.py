@@ -1276,3 +1276,179 @@ def ann_ivf_topk(sf_dir: str):
         "op": "ann_ivf", "queries": queries_m, "query_ids": qids, "k": 10,
         "n_clusters": 16, "nprobe": 4, "train_sample": sample,
     })(ds)
+
+
+# --------------------------------------------------------------------------
+# corpus curation (rayflow/ops/curation.py): PII redaction, repetition
+# quality, decontamination, n-gram stats, k-means assignment
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pii_redact_docs",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             'contact u' || CAST(doc_id AS VARCHAR) ||
+             '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.0.1 tel +1202555' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+             ' -- ' || text AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{7,15}', '<PHONE>', 'g') AS redacted
+    FROM p
+    """,
+)
+def pii_redact_docs(sf_dir: str):
+    """PII redaction (emails/IPs/phones → typed placeholders).  The
+    fixture text carries no PII, so the pipeline first PLANTS
+    deterministic PII derived from doc_id — both sides construct the
+    identical string, then redact with the identical RE2 patterns
+    (pyarrow and DuckDB share the regex engine)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"raw": E.F(
+            "concat",
+            E.lit("contact u"), E.F("string", E.col("doc_id")),
+            E.lit("@mail.example.com from 10."),
+            E.F("string", E.col("doc_id") % 256),
+            E.lit(".0.1 tel +1202555"),
+            E.F("string", (E.col("doc_id") % 9000) + 1000),
+            E.lit(" -- "), E.col("text"),
+        )},
+    })(ds)
+    ds = build_op({"op": "pii_redact", "column": "raw", "out": "redacted"})(ds)
+    return ds.select_columns(["doc_id", "redacted"])
+
+
+@query(
+    "gopher_quality_docs",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY doc_id, w
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_words,
+             CAST(count(*) AS BIGINT) AS n_unique_words,
+             CAST(max(c) AS BIGINT)   AS max_c,
+             CAST(coalesce(sum(c) FILTER (WHERE w IN
+               ('the','and','of','to','a','in','is','that','it','for')), 0)
+               AS BIGINT) AS stop_c
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_words, n_unique_words,
+           1.0 - CAST(n_unique_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS dup_word_frac,
+           CAST(max_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+           CAST(stop_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_frac
+    FROM agg
+    """,
+)
+def gopher_quality_docs(sf_dir: str):
+    """Gopher-style repetition/quality metrics (duplicate-word fraction,
+    top-word fraction, stopword fraction) — the published pre-training
+    quality filters, one dictionary-encoded flat pass per batch.
+    Ratios are raw IEEE doubles; the SQL mirrors each division."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({"op": "gopher_quality"})(ds)
+    ds = build_op({"op": "filter", "predicate": E.col("n_words") > 0})(ds)
+    return ds.select_columns([
+        "doc_id", "n_words", "n_unique_words",
+        "dup_word_frac", "top_word_frac", "stopword_frac"])
+
+
+@query(
+    "decontaminate_docs",
+    """
+    WITH bench AS (
+      SELECT DISTINCT substr(text, 1, 40) AS snip FROM documents
+      WHERE doc_id % 97 = 0 AND length(text) >= 40)
+    SELECT d.doc_id,
+           EXISTS (SELECT 1 FROM bench b WHERE contains(d.text, b.snip))
+             AS contaminated
+    FROM documents d
+    """,
+)
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs that contain any
+    benchmark snippet verbatim.  The benchmark set (every 97th doc's
+    40-char prefix — tiny, as real eval sets are) is broadcast once;
+    each batch is checked with vectorized substring matches."""
+    import pyarrow.parquet as pq
+
+    dt = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = dt["doc_id"].to_numpy()
+    bench = dt.filter(pa.array(ids % 97 == 0))["text"].to_pylist()
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({
+        "op": "decontaminate", "bench": bench, "mode": "substring",
+        "snip_len": 40,
+    })(ds)
+    return ds.select_columns(["doc_id", "contaminated"])
+
+
+@query(
+    "bigram_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents
+    ), bg AS (
+      SELECT l[i] || ' ' || l[i+1] AS ngram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+      WHERE len(l) >= 2
+    ), c AS (
+      SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM bg GROUP BY ngram
+    )
+    SELECT ngram, n_occurrences FROM c
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+)
+def bigram_topk_docs(sf_dir: str):
+    """Corpus-wide top-20 word bigrams: per-batch partial counts over
+    dictionary codes, one keyed combine of (ngram, count) rows, top-k.
+    The token stream never crosses the exchange."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return build_op({"op": "ngram_topk", "n": 2, "k": 20})(ds)
+
+
+@query(
+    "kmeans_assign_seeded",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ), sims AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(e.embedding, c.cv) AS cos
+      FROM embeddings e CROSS JOIN c
+    ), best AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM sims)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM best WHERE rn = 1
+    """,
+)
+def kmeans_assign_seeded(sf_dir: str):
+    """k-means cluster assignment with pinned initial centroids
+    (vec_id < 8, zero Lloyd's iterations) — the deterministic,
+    SQL-provable slice of the distributed k-means op.  The iterative
+    fit path (streaming partial-sum passes) is pytest-covered on
+    planted blobs."""
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = build_op({
+        "op": "kmeans", "n_clusters": 8, "n_iter": 0,
+        "init_ids": list(range(8)),
+    })(ds)
+    return ds.select_columns(["vec_id", "cluster"])

@@ -1,0 +1,192 @@
+"""Tests for the corpus-curation operators (rayflow/ops/curation.py)
+and the distributed k-means op (rayflow/ops/ann.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayflow.ops import build_op
+
+
+def _docs(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+# -- pii_redact ------------------------------------------------------------
+
+
+def test_pii_redact_patterns(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs([
+        "mail me at jane.doe+x@sub.example.org today",
+        "server 192.168.0.1 and backup 10.0.0.255 are up",
+        "call +4915112345678 now",
+        "clean text with no pii at all",
+        "combo a@b.co 1.2.3.4 +1234567",
+    ]))
+    out = build_op({"op": "pii_redact"})(ds).to_pandas().sort_values("doc_id")
+    t = list(out["text"])
+    assert t[0] == "mail me at <EMAIL> today"
+    assert t[1] == "server <IP> and backup <IP> are up"
+    assert t[2] == "call <PHONE> now"
+    assert t[3] == "clean text with no pii at all"
+    assert t[4] == "combo <EMAIL> <IP> <PHONE>"
+
+
+def test_pii_redact_out_column_preserves_original(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs(["x a@b.co y"]))
+    out = build_op({"op": "pii_redact", "out": "redacted"})(ds).to_pandas()
+    assert out["text"][0] == "x a@b.co y"
+    assert out["redacted"][0] == "x <EMAIL> y"
+
+
+# -- gopher_quality --------------------------------------------------------
+
+
+def test_gopher_quality_metrics(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs([
+        "the cat the cat the cat",         # heavy repetition
+        "all words here are fully unique", # no repetition
+    ]))
+    out = build_op({"op": "gopher_quality"})(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 0: 6 words, 2 unique, top word 3/6, bigram "the cat" 3/5
+    assert out["n_words"][0] == 6
+    assert out["n_unique_words"][0] == 2
+    assert out["dup_word_frac"][0] == 1.0 - 2.0 / 6.0
+    assert out["top_word_frac"][0] == 0.5
+    assert out["stopword_frac"][0] == 0.5          # "the" ×3 of 6
+    assert out["top_bigram_frac"][0] == 3.0 / 5.0
+    # doc 1: all 6 words unique
+    assert out["n_words"][1] == 6
+    assert out["dup_word_frac"][1] == 0.0
+    assert out["top_word_frac"][1] == 1.0 / 6.0
+    assert out["top_bigram_frac"][1] == 1.0 / 5.0
+
+
+def test_gopher_quality_empty_and_spaces(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs(["", "   ", "one"]))
+    out = build_op({"op": "gopher_quality"})(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_words"]) == [0, 0, 1]
+    assert out["top_word_frac"][2] == 1.0
+
+
+# -- decontaminate ---------------------------------------------------------
+
+
+def test_decontaminate_substring(ray_session):
+    import ray.data as rd
+
+    bench = ["what is the capital of france and of italy too?" * 2]
+    snip = bench[0][:40]
+    ds = rd.from_arrow(_docs([
+        f"some scraped page ... {snip} ... more junk",
+        "a perfectly clean training document",
+    ]))
+    out = build_op({
+        "op": "decontaminate", "bench": bench, "mode": "substring",
+        "snip_len": 40,
+    })(ds).to_pandas().sort_values("doc_id")
+    assert list(out["contaminated"]) == [True, False]
+
+
+def test_decontaminate_ngram(ray_session):
+    import ray.data as rd
+
+    bench_sent = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+                 "lambda mu nu xi omicron"
+    ds = rd.from_arrow(_docs([
+        f"leading words then {bench_sent} trailing words",   # contains 13-gram
+        "alpha beta gamma delta but then it diverges entirely from the eval "
+        "set and keeps its own words going on",              # shares only 4-gram
+        "totally unrelated corpus document about trains",
+    ]))
+    out = build_op({
+        "op": "decontaminate", "bench": [bench_sent], "mode": "ngram",
+        "n": 13,
+    })(ds).to_pandas().sort_values("doc_id")
+    assert list(out["contaminated"]) == [True, False, False]
+
+
+# -- ngram_topk ------------------------------------------------------------
+
+
+def test_ngram_topk_counts(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs([
+        "big data big data big data",
+        "data big data",
+        "big data",
+    ]))
+    out = build_op({"op": "ngram_topk", "n": 2, "k": 3})(ds).to_pandas()
+    counts = dict(zip(out["ngram"], out["n_occurrences"]))
+    # "big data": 3 + 1 + 1; "data big": 2 + 1; bigrams never cross docs
+    assert counts["big data"] == 5
+    assert counts["data big"] == 3
+
+
+def test_ngram_topk_trigram_and_order(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs(["a b c a b c a b c", "x y z"]))
+    out = build_op({"op": "ngram_topk", "n": 3, "k": 2})(ds).to_pandas()
+    assert list(out["ngram"])[0] == "a b c"
+    assert list(out["n_occurrences"])[0] == 3
+
+
+# -- kmeans ----------------------------------------------------------------
+
+
+def _blob_table(n_per=40, k=3, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)) * 5
+    vecs, labels = [], []
+    for c in range(k):
+        pts = centers[c] + rng.normal(size=(n_per, d)) * 0.05
+        vecs.extend(pts.astype(np.float32).tolist())
+        labels.extend([c] * n_per)
+    return pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int64()),
+    })
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    import ray.data as rd
+
+    tbl = _blob_table()
+    ds = rd.from_arrow(tbl)
+    out = build_op({
+        "op": "kmeans", "n_clusters": 3, "n_iter": 5, "seed": 3,
+    })(ds).to_pandas()
+    # every planted blob must map to exactly one cluster id (purity 1.0)
+    purity = out.groupby("label")["cluster"].nunique()
+    assert (purity == 1).all()
+    assert out.groupby("cluster")["label"].nunique().eq(1).all()
+
+
+def test_kmeans_zero_iter_pinned_centroids(ray_session):
+    import ray.data as rd
+
+    tbl = _blob_table(n_per=10, k=2, d=8)
+    ds = rd.from_arrow(tbl)
+    out = build_op({
+        "op": "kmeans", "n_clusters": 2, "n_iter": 0, "init_ids": [0, 10],
+    })(ds).to_pandas()
+    # centroid 0 = first blob's point, centroid 1 = second blob's point:
+    # assignment equals the planted label
+    assert (out["cluster"] == out["label"]).all()
