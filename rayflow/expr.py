@@ -185,11 +185,15 @@ def _np_str(a) -> np.ndarray:
 
 
 def _pyfall(fn):
-    """Vectorize a per-row Python function over a string column."""
+    """Vectorize a per-row Python function over a string column.
+    A scalar input (a literal-only expression) maps to a scalar out."""
 
     def wrapper(a, *rest):
-        vals = _np_str(a)
         rest_py = [r.as_py() if isinstance(r, pa.Scalar) else r for r in rest]
+        if isinstance(a, pa.Scalar):
+            v = a.as_py()
+            return pa.scalar(None if v is None else fn(v, *rest_py))
+        vals = _np_str(a)
         return pa.array(
             [None if v is None else fn(v, *rest_py) for v in vals]
         )
@@ -961,3 +965,307 @@ def _not_empty(a):
     else:
         return arr
     return pc.if_else(pc.fill_null(empty, False), pa.nulls(len(arr), arr.type), arr)
+
+
+# -- round-2 surface widening: string/encoding/duration/timestamp/list ------
+# Bloblang method names follow the reference's public docs (⟨upstream:
+# internal/bloblang/query/methods*.go⟩); bodies are Arrow kernels where
+# one exists, _pyfall otherwise (matching quote/slug above).
+
+
+@register_fn("trim_prefix")
+def _trim_prefix(a, pre):
+    p = pre.as_py() if isinstance(pre, pa.Scalar) else pre
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    has = pc.starts_with(arr, p)
+    cut = pc.utf8_slice_codeunits(arr, len(p), 2**31 - 1)
+    return pc.if_else(has, cut, arr)
+
+
+@register_fn("trim_suffix")
+def _trim_suffix(a, suf):
+    s = suf.as_py() if isinstance(suf, pa.Scalar) else suf
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    has = pc.ends_with(arr, s)
+    n = pc.utf8_length(arr)
+    # slice stop must be per-row: fall back to reverse+slice trick —
+    # reverse, cut len(s) from the front, reverse back
+    cut = pc.utf8_reverse(
+        pc.utf8_slice_codeunits(pc.utf8_reverse(arr), len(s), 2**31 - 1))
+    del n
+    return pc.if_else(has, cut, arr)
+
+
+@register_fn("rpad")
+def _rpad(a, width, ch):
+    return pc.utf8_rpad(a, width.as_py(), padding=ch.as_py())
+
+
+@register_fn("escape_html")
+def _escape_html(a):
+    import html as _html
+
+    return _pyfall(lambda s: _html.escape(s))(a)
+
+
+@register_fn("unescape_html")
+def _unescape_html(a):
+    import html as _html
+
+    return _pyfall(_html.unescape)(a)
+
+
+@register_fn("filepath_join")
+def _filepath_join(*arrays):
+    return pc.binary_join_element_wise(*arrays, "/")
+
+
+@register_fn("filepath_split")
+def _filepath_split(a):
+    return pc.split_pattern(a, "/")
+
+
+register_fn("decode_hex")(_pyfall(lambda s: bytes.fromhex(s).decode()))
+register_fn("encode_base32")(
+    _pyfall(lambda s: _b64.b32encode(s.encode()).decode()))
+register_fn("decode_base32")(
+    _pyfall(lambda s: _b64.b32decode(s).decode()))
+register_fn("encode_ascii85")(
+    _pyfall(lambda s: _b64.a85encode(s.encode()).decode()))
+register_fn("decode_ascii85")(
+    _pyfall(lambda s: _b64.a85decode(s).decode()))
+
+
+_DUR_RE = _re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_NS = {"ns": 1, "us": 1_000, "µs": 1_000, "ms": 1_000_000,
+           "s": 1_000_000_000, "m": 60_000_000_000, "h": 3_600_000_000_000}
+
+
+@register_fn("parse_duration")
+def _parse_duration(a):
+    """Go-style duration string ("1h30m10s") → integer nanoseconds,
+    the reference's parse_duration contract."""
+
+    def one(s):
+        total = 0.0
+        matched = False
+        for m in _DUR_RE.finditer(s):
+            matched = True
+            total += float(m.group(1)) * _DUR_NS[m.group(2)]
+        if not matched:
+            raise ValueError(f"invalid duration {s!r}")
+        return int(total)
+
+    if isinstance(a, pa.Scalar):
+        v = a.as_py()
+        return pa.scalar(None if v is None else one(v), pa.int64())
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return pa.array([None if v is None else one(v) for v in arr.to_pylist()],
+                    pa.int64())
+
+
+_ISO_DUR_RE = _re.compile(
+    r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$")
+
+
+@register_fn("parse_duration_iso8601")
+def _parse_duration_iso(a):
+    """ISO-8601 duration ("PT1H30M") → integer nanoseconds (days and
+    smaller only — months/years are calendar-dependent, as in the
+    reference)."""
+
+    def one(s):
+        m = _ISO_DUR_RE.match(s)
+        if not m or not any(m.groups()):
+            raise ValueError(f"invalid ISO-8601 duration {s!r}")
+        d, h, mi, sec = (float(g) if g else 0.0 for g in m.groups())
+        return int(((d * 24 + h) * 60 + mi) * 60 * 1e9 + sec * 1e9)
+
+    if isinstance(a, pa.Scalar):
+        v = a.as_py()
+        return pa.scalar(None if v is None else one(v), pa.int64())
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return pa.array([None if v is None else one(v) for v in arr.to_pylist()],
+                    pa.int64())
+
+
+# -- timestamp arithmetic (reference: ts_add_iso8601 / ts_sub_iso8601 over
+#    durations; here seconds-typed, composing with parse_duration/1e9) -----
+
+
+@register_fn("ts_add")
+def _ts_add(a, seconds):
+    s = seconds.as_py() if isinstance(seconds, pa.Scalar) else seconds
+    us = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.add(us, int(s * 1_000_000)), pa.timestamp("us"))
+
+
+@register_fn("ts_sub")
+def _ts_sub(a, seconds):
+    s = seconds.as_py() if isinstance(seconds, pa.Scalar) else seconds
+    us = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.subtract(us, int(s * 1_000_000)), pa.timestamp("us"))
+
+
+@register_fn("ts_diff")
+def _ts_diff(a, b):
+    """Elapsed seconds a - b as float64."""
+    ua = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    ub = pc.cast(pc.cast(b, pa.timestamp("us")), pa.int64())
+    return pc.divide(pc.cast(pc.subtract(ua, ub), pa.float64()), 1_000_000.0)
+
+
+@register_fn("ts_unix_milli")
+def _ts_unix_milli(a):
+    return pc.divide(pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64()), 1_000)
+
+
+@register_fn("ts_unix_nano")
+def _ts_unix_nano(a):
+    return pc.multiply(pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64()), 1_000)
+
+
+# strftime/strptime are the reference's older aliases of format/parse
+register_fn("ts_strftime")(_ts_format)
+register_fn("ts_strptime")(_ts_parse)
+
+
+@register_fn("clamp")
+def _clamp(a, lo, hi):
+    return pc.min_element_wise(pc.max_element_wise(a, lo), hi)
+
+
+register_fn("log2")(pc.log2)
+
+
+@register_fn("format_number")
+def _format_number(a, decimals=None):
+    """Human formatting: thousands separators + fixed decimals."""
+    nd = 0 if decimals is None else (
+        decimals.as_py() if isinstance(decimals, pa.Scalar) else decimals)
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return pa.array(
+        [None if v is None else format(v, f",.{nd}f") for v in arr.to_pylist()],
+        pa.string())
+
+
+# -- more list (array) methods ---------------------------------------------
+
+
+@register_fn("list_reverse")
+def _list_reverse(a):
+    """Reverse each list element-wise: one vectorized gather — for row
+    segments [start, end), flat index i maps to end-1-(i-start)."""
+    arr = _list_arr(a)
+    flat = pc.list_flatten(arr)
+    lens = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    pos = np.arange(offs[-1], dtype=np.int64)
+    seg_start = np.repeat(offs[:-1], lens)
+    seg_end = np.repeat(offs[1:], lens)
+    rev = (seg_end - 1) - (pos - seg_start)
+    taken = flat.take(pa.array(rev, pa.int64())) if len(rev) else flat
+    return _rebuild_list(arr, taken)
+
+
+@register_fn("list_concat")
+def _list_concat(a, b):
+    """Element-wise list concatenation (Bloblang ``concat``/``append``):
+    one gather each side, interleaved by per-row lengths."""
+    aa, bb = _list_arr(a), _list_arr(b)
+    fa, fb = pc.list_flatten(aa), pc.list_flatten(bb)
+    la = pc.fill_null(pc.list_value_length(aa), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    lb = pc.fill_null(pc.list_value_length(bb), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    oa = np.concatenate(([0], np.cumsum(la)))
+    ob = np.concatenate(([0], np.cumsum(lb)))
+    # gather order: row0 of a, row0 of b, row1 of a, ...
+    idx_a = np.arange(oa[-1], dtype=np.int64)
+    idx_b = np.arange(ob[-1], dtype=np.int64) + oa[-1]
+    flat_all = pa.concat_arrays([
+        fa.combine_chunks() if isinstance(fa, pa.ChunkedArray) else fa,
+        fb.combine_chunks() if isinstance(fb, pa.ChunkedArray) else fb])
+    order = np.empty(oa[-1] + ob[-1], dtype=np.int64)
+    out_off = np.concatenate(([0], np.cumsum(la + lb)))
+    for_rows = np.arange(len(la))
+    # vectorized scatter of both sides' flat ranges into the output
+    a_dst = np.repeat(out_off[:-1], la) + (idx_a - np.repeat(oa[:-1], la))
+    b_dst = np.repeat(out_off[:-1] + la, lb) + (
+        np.arange(ob[-1], dtype=np.int64) - np.repeat(ob[:-1], lb))
+    order[a_dst] = idx_a
+    order[b_dst] = idx_b
+    del for_rows
+    taken = flat_all.take(pa.array(order, pa.int64())) if len(order) else flat_all
+    # a null offset entry marks that list slot null: a row is null when
+    # either input list is null
+    null_row = (pc.is_null(aa).to_numpy(zero_copy_only=False)
+                | pc.is_null(bb).to_numpy(zero_copy_only=False))
+    offsets = out_off.astype(object)
+    for i in np.flatnonzero(null_row):
+        offsets[i] = None
+    return pa.ListArray.from_arrays(pa.array(list(offsets), pa.int32()), taken)
+
+
+def _list_bool_fold(a, ufunc, empty_val):
+    arr = _list_arr(a)
+    flat = pc.list_flatten(arr)
+    vals = flat.to_numpy(zero_copy_only=False).astype(bool)
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    valid = ~np.isnan(lens.astype(np.float64))
+    lens_i = np.nan_to_num(lens.astype(np.float64), nan=0).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens_i)))[:-1]
+    out = np.full(len(arr), empty_val, dtype=bool)
+    nonempty = valid & (lens_i > 0)
+    if nonempty.any():
+        out[nonempty] = ufunc.reduceat(vals, offs[nonempty])
+    return pa.array(
+        [None if not valid[i] else bool(out[i]) for i in range(len(arr))],
+        pa.bool_())
+
+
+@register_fn("list_any")
+def _list_any(a):
+    return _list_bool_fold(a, np.logical_or, False)
+
+
+@register_fn("list_all")
+def _list_all(a):
+    return _list_bool_fold(a, np.logical_and, True)
+
+
+@register_fn("list_index_of")
+def _list_index_of(a, v):
+    """First index of ``v`` in each list, -1 if absent."""
+    val = v.as_py() if isinstance(v, pa.Scalar) else v
+    arr = _list_arr(a)
+    out = []
+    for x in arr.to_pylist():
+        if x is None:
+            out.append(None)
+        else:
+            out.append(x.index(val) if val in x else -1)
+    return pa.array(out, pa.int64())
+
+
+@register_fn("struct_keys")
+def _struct_keys(a):
+    """Bloblang ``keys()``: field names of a struct column (constant
+    per row — columnar structs share one schema)."""
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    names = [f.name for f in arr.type]
+    return pa.array([names] * len(arr), pa.list_(pa.string()))
+
+
+@register_fn("struct_values")
+def _struct_values(a):
+    """Bloblang ``values()``: struct field values as a list column
+    (fields cast to string for a uniform element type)."""
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    cols = [pc.cast(arr.field(i), pa.string(), safe=False)
+            for i in range(arr.type.num_fields)]
+    n = len(arr)
+    vals = [[None if (c[i].as_py() is None) else c[i].as_py() for c in cols]
+            for i in range(n)]
+    return pa.array(vals, pa.list_(pa.string()))

@@ -1,0 +1,119 @@
+"""Spec tests for the second round-2 scalar-function batch (string
+trims/pads, encodings, durations, timestamp arithmetic, list methods)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+from rayflow import expr as E
+
+T = pa.table({
+    "s": pa.array(["prefix-body", "body-suffix", "no-match", None]),
+    "path": pa.array(["a/b/c.txt", "x", "/root/y", None]),
+    "dur": pa.array(["1h30m", "250ms", "2s", None]),
+    "iso": pa.array(["PT1H30M", "PT0.5S", "P1D", None]),
+    "num": pa.array([1234567.891, -0.5, 0.0, None], pa.float64()),
+    "ts": pa.array(
+        [datetime.datetime(2024, 3, 5, 14, 30, 17), None,
+         datetime.datetime(2020, 1, 1),
+         datetime.datetime(1999, 12, 31, 23, 59)],
+        pa.timestamp("us"),
+    ),
+    "lst": pa.array([[1, 2, 3], [], [5], None], pa.list_(pa.int64())),
+    "lst2": pa.array([[9], [8, 7], [], None], pa.list_(pa.int64())),
+    "bl": pa.array([[True, False], [], [False], None], pa.list_(pa.bool_())),
+    "html": pa.array(["a<b>&c", "x&amp;y", "plain", None]),
+})
+
+
+def ev(expr):
+    out = expr.eval(T)
+    return out.to_pylist() if not isinstance(out, pa.Scalar) else out.as_py()
+
+
+CASES = [
+    (E.F("trim_prefix", E.col("s"), "prefix-"),
+     ["body", "body-suffix", "no-match", None]),
+    (E.F("trim_suffix", E.col("s"), "-suffix"),
+     ["prefix-body", "body", "no-match", None]),
+    (E.F("rpad", E.col("path"), 6, "."),
+     ["a/b/c.txt", "x.....", "/root/y", None]),
+    (E.F("filepath_split", E.col("path")),
+     [["a", "b", "c.txt"], ["x"], ["", "root", "y"], None]),
+    (E.F("filepath_join", E.lit("base"), E.col("path")),
+     ["base/a/b/c.txt", "base/x", "base//root/y", None]),
+    (E.F("escape_html", E.col("html")),
+     ["a&lt;b&gt;&amp;c", "x&amp;amp;y", "plain", None]),
+    (E.F("unescape_html", E.col("html")),
+     ["a<b>&c", "x&y", "plain", None]),
+    (E.F("parse_duration", E.col("dur")),
+     [5_400_000_000_000, 250_000_000, 2_000_000_000, None]),
+    (E.F("parse_duration_iso8601", E.col("iso")),
+     [5_400_000_000_000, 500_000_000, 86_400_000_000_000, None]),
+    (E.F("ts_unix_milli", E.col("ts")),
+     [1709649017000, None, 1577836800000, 946684740000]),
+    (E.F("ts_unix_nano", E.col("ts")),
+     [1709649017000000000, None, 1577836800000000000, 946684740000000000]),
+    (E.F("ts_diff", E.col("ts"), E.col("ts")), [0.0, None, 0.0, 0.0]),
+    (E.F("clamp", E.col("num"), E.lit(0.0), E.lit(10.0)),
+     [10.0, 0.0, 0.0, 0.0]),
+    (E.F("format_number", E.col("num"), 2),
+     ["1,234,567.89", "-0.50", "0.00", None]),
+    (E.F("list_reverse", E.col("lst")), [[3, 2, 1], [], [5], None]),
+    (E.F("list_concat", E.col("lst"), E.col("lst2")),
+     [[1, 2, 3, 9], [8, 7], [5], None]),
+    (E.F("list_any", E.col("bl")), [True, False, False, None]),
+    (E.F("list_all", E.col("bl")), [False, True, False, None]),
+    (E.F("list_index_of", E.col("lst"), E.lit(5)), [-1, -1, 0, None]),
+    (E.F("decode_hex", E.lit("6869")), ["hi"] * 4),
+    (E.F("encode_base32", E.lit("hi")), ["NBUQ===="] * 4),
+    (E.F("decode_base32", E.lit("NBUQ====")), ["hi"] * 4),
+    (E.F("encode_ascii85", E.lit("hi")), ["BP@"]),
+    (E.F("decode_ascii85", E.lit("BP@")), ["hi"]),
+    (E.F("log2", E.lit(8.0)), [3.0] * 1),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES,
+                         ids=[str(i) for i in range(len(CASES))])
+def test_scalar_spec(expr, expected):
+    got = ev(expr)
+    if not isinstance(got, list):  # literal-only exprs fold to a scalar
+        got = [got]
+    assert got == expected[: len(got)]
+
+
+def test_ts_add_sub_roundtrip():
+    added = E.F("ts_add", E.col("ts"), E.lit(3600)).eval(T)
+    back = E.F("ts_sub", E.lit(None), E.lit(0))  # placeholder unused
+    assert added.to_pylist()[0] == datetime.datetime(2024, 3, 5, 15, 30, 17)
+    sub = E.F("ts_sub", E.col("ts"), E.lit(60)).eval(T)
+    assert sub.to_pylist()[0] == datetime.datetime(2024, 3, 5, 14, 29, 17)
+    diff = E.F("ts_diff",
+               E.F("ts_add", E.col("ts"), E.lit(90)), E.col("ts")).eval(T)
+    assert diff.to_pylist()[0] == 90.0
+
+
+def test_strftime_strptime_aliases():
+    out = E.F("ts_strftime", E.col("ts"), "%Y-%m-%d").eval(T)
+    assert out.to_pylist()[0] == "2024-03-05"
+    rt = E.F("ts_strptime", E.lit("2024-03-05"), "%Y-%m-%d").eval(T)
+    assert rt.as_py() == datetime.datetime(2024, 3, 5)
+
+
+def test_struct_keys_values():
+    t = pa.table({"st": pa.array([{"a": 1, "b": "x"}, {"a": 2, "b": None}],
+                                 pa.struct([("a", pa.int64()),
+                                            ("b", pa.string())]))})
+    keys = E.F("struct_keys", E.col("st")).eval(t)
+    assert keys.to_pylist() == [["a", "b"], ["a", "b"]]
+    vals = E.F("struct_values", E.col("st")).eval(t)
+    assert vals.to_pylist() == [["1", "x"], ["2", None]]
+
+
+def test_parse_duration_rejects_garbage():
+    with pytest.raises(ValueError):
+        E.F("parse_duration", E.lit("not a duration")).eval(T)
