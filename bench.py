@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "count_distinct_users",
     "multi_join_q3",
+    # corpus-curation plane
+    "gopher_quality_docs",
+    "pii_redact_docs",
+    "decontaminate_docs",
+    "bigram_topk_docs",
+    "kmeans_assign_seeded",
 ]
 
 

@@ -89,57 +89,100 @@ _LANG_STOPWORDS = {
 
 
 class LangIdScorer:
-    """Language-ID actor: n-gram/stopword heuristic.
+    """Language-ID actor: stopword-ratio heuristic, fully vectorized.
 
-    The stateful-stage archetype (SURVEY.md §2.6): the token regex and
-    per-language tables are compiled ONCE per actor in ``__init__``;
-    ``__call__`` only does per-batch work.  Deterministic: pure function
-    of the text."""
+    The stateful-stage archetype (SURVEY.md §2.6): per-language value
+    sets are built ONCE per actor in ``__init__``; ``__call__`` is one
+    flat pass — regex-split tokens, dictionary-encode, stopword
+    membership computed on the DICTIONARY (unique tokens only), per-doc
+    hits via bincount.  Deterministic: pure function of the text; the
+    (score, lang-name) argmax tie-break resolves to the LARGEST language
+    key, encoded by scanning languages in descending name order
+    (np.argmax keeps the first max).  ``lang_conf`` is the raw double
+    hits/len — bit-identical to a SQL oracle's CAST(k AS DOUBLE)/n."""
+
+    #: descending name order ⇒ first-max argmax == largest-key tie-break
+    LANGS = ("fr", "es", "en", "de")
 
     def __init__(self):
-        import re
-
-        self.word = re.compile(r"[a-zA-Zäöüéèàç]+")
-        self.cjk = re.compile(r"[一-鿿]")
-        self.tables = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.value_sets = {
+            k: pa.array(sorted(v)) for k, v in _LANG_STOPWORDS.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_numpy(zero_copy_only=False)
-        preds, confs = [], []
-        for s in texts:
-            if s is None:
-                preds.append(None)
-                confs.append(None)
-                continue
-            if self.cjk.search(s):
-                preds.append("zh")
-                confs.append(1.0)
-                continue
-            toks = [w.lower() for w in self.word.findall(s)]
-            if not toks:
-                preds.append("unknown")
-                confs.append(0.0)
-                continue
-            scores = {
-                lang: sum(tok in table for tok in toks) / len(toks)
-                for lang, table in self.tables.items()
-            }
-            best = max(scores, key=lambda k: (scores[k], k))
-            preds.append(best if scores[best] > 0 else "unknown")
-            # raw double (hits/len): bit-identical to a SQL oracle's
-            # CAST(k AS DOUBLE)/n — rounding here would reintroduce
-            # half-even vs half-away divergence at e.g. 1/128
-            confs.append(scores[best])
-        return t.append_column("lang_pred", pa.array(preds, pa.string())) \
-                .append_column("lang_conf", pa.array(confs, pa.float64()))
+        n = t.num_rows
+        text = t.column("text")
+        if n == 0:
+            return t.append_column("lang_pred", pa.array([], pa.string())) \
+                    .append_column("lang_conf", pa.array([], pa.float64()))
+        null_m = pc.is_null(text).to_numpy(zero_copy_only=False)
+        cjk = pc.fill_null(
+            pc.match_substring_regex(text, "[一-鿿]"), False
+        ).to_numpy(zero_copy_only=False)
+        # tokens of the ORIGINAL text (lowercasing first would change the
+        # character class), then lowercase the flat stream — mirrors the
+        # oracle's regexp_extract_all + list_transform(lower)
+        toks = pc.split_pattern_regex(text, "[^a-zA-Zäöüéèàç]+")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = pc.list_value_length(la).fill_null(0) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.utf8_lower(la.flatten())
+        denc = pc.dictionary_encode(flat)
+        denc = denc.combine_chunks() if isinstance(denc, pa.ChunkedArray) else denc
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = denc.dictionary
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        keep = nonempty[codes] if len(codes) else np.zeros(0, dtype=bool)
+        codes, doc_idx = codes[keep], doc_idx[keep]
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        scores = np.zeros((len(self.LANGS), n), dtype=np.float64)
+        safe = np.maximum(n_tok, 1).astype(np.float64)
+        for i, lang in enumerate(self.LANGS):
+            member = pc.is_in(values, value_set=self.value_sets[lang]) \
+                .to_numpy(zero_copy_only=False)
+            hit = member[codes] if len(codes) else np.zeros(0, dtype=bool)
+            hits = np.bincount(doc_idx[hit], minlength=n)
+            scores[i] = hits / safe
+        best_i = np.argmax(scores, axis=0)
+        best_s = scores[best_i, np.arange(n)]
+        lang_arr = np.array(self.LANGS, dtype=object)
+        preds = lang_arr[best_i]
+        preds[best_s == 0] = "unknown"
+        confs = best_s.copy()
+        preds[n_tok == 0] = "unknown"
+        confs[n_tok == 0] = 0.0
+        preds[cjk] = "zh"
+        confs[cjk] = 1.0
+        preds = preds.astype(object)
+        preds[null_m] = None
+        conf_list = [None if null_m[i] else confs[i] for i in range(n)]
+        return t.append_column("lang_pred", pa.array(list(preds), pa.string())) \
+                .append_column("lang_conf", pa.array(conf_list, pa.float64()))
+
+
+def _process_scorer() -> LangIdScorer:
+    """One scorer per worker PROCESS (module-global memo) — the
+    setup-once pattern without a dedicated actor pool: since the
+    vectorized rewrite the per-actor state is tiny, so task-pool
+    map_batches (reusing Ray's warm workers, no actor spin-up) beats
+    ``concurrency=N`` actors by ~1s of fixed latency per execution.
+    Stages with genuinely heavy init (models, indexes) should keep the
+    callable-class actor form — see MinHasher / MediaDecoder."""
+    global _SCORER
+    try:
+        return _SCORER
+    except NameError:
+        _SCORER = LangIdScorer()
+        return _SCORER
 
 
 @register_op("lang_id")
-def build_lang_id(*, concurrency: int = 2, batch_size: int = 2048):
+def build_lang_id(*, concurrency: int | None = None, batch_size: int = 2048):
     def apply(ds):
+        kw = {} if concurrency is None else {"concurrency": concurrency}
         return ds.map_batches(
-            LangIdScorer, concurrency=concurrency, batch_size=batch_size,
-            batch_format="pyarrow", zero_copy_batch=True, num_cpus=1,
+            lambda t: _process_scorer()(t), batch_size=batch_size,
+            batch_format="pyarrow", zero_copy_batch=True, **kw,
         )
 
     return apply
