@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "count_distinct_users",
     "multi_join_q3",
+    "regional_revenue_q5",
     # corpus-curation plane
     "gopher_quality_docs",
     "pii_redact_docs",

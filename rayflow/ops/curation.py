@@ -199,19 +199,76 @@ def _ngram_hashes(codes: np.ndarray, doc_idx: np.ndarray, n: int,
     return out[same_doc], doc_idx[:m][same_doc]
 
 
+def _window_hash_candidates(text, snips, k: int = 8,
+                            base: int = 257) -> np.ndarray:
+    """Rows that MIGHT contain one of ``snips``: Karp-Rabin hashes of
+    every ``k``-byte window of the batch (one flat vectorized stream,
+    as in textops.rolling_min_batch) tested against the snippets'
+    prefix-hash set.  False positives allowed (caller exact-confirms);
+    false negatives impossible — a snippet occurrence implies its
+    k-byte prefix occurs, so its window hash appears."""
+    enc_snips = [s.encode("utf-8", "surrogatepass") for s in snips]
+    if any(len(b) < k for b in enc_snips):
+        # a sub-window snippet can't be prefix-hashed: no pruning
+        return np.ones(len(text), dtype=bool)
+    prefixes = np.unique(np.array(
+        [_kgram_hash(b[:k], base) for b in enc_snips], dtype=np.uint64))
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    texts = arr.to_pylist()
+    enc = [b"" if s is None else s.encode("utf-8", "surrogatepass")
+           for s in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    m = len(flat) - k + 1
+    if m <= 0:
+        return np.zeros(len(texts), dtype=bool)
+    h = np.zeros(m, dtype=np.uint64)
+    tmp = np.empty(m, dtype=np.uint64)
+    b64 = np.uint64(base)
+    for j in range(k):
+        np.multiply(flat[j : j + m], b64 ** np.uint64(k - 1 - j),
+                    out=tmp, dtype=np.uint64, casting="unsafe")
+        h += tmp
+    hits = np.isin(h, prefixes)
+    if not hits.any():
+        return np.zeros(len(texts), dtype=bool)
+    # attribute each hit window to the doc holding its start byte
+    # (boundary-straddling windows just add false positives)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    docs = np.searchsorted(starts, np.flatnonzero(hits), side="right") - 1
+    out = np.zeros(len(texts), dtype=bool)
+    out[docs] = True
+    return out
+
+
+def _kgram_hash(b: bytes, base: int) -> int:
+    h = 0
+    for byte in b:
+        h = (h * base + byte) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 @register_op("decontaminate")
 def build_decontaminate(*, bench, column: str = "text",
                         mode: str = "substring", n: int = 13,
-                        snip_len: int = 40, out: str = "contaminated"):
+                        snip_len: int = 40, out: str = "contaminated",
+                        hash_threshold: int = 32):
     """Flag documents that overlap a benchmark/eval set.
 
     ``bench``: list of benchmark texts (tiny vs the corpus — the whole
     point of decontamination; broadcast once via ``ray.put``).
 
     - ``mode="substring"``: contaminated if any benchmark snippet
-      (first ``snip_len`` chars) occurs verbatim — one vectorized
-      ``pc.match_substring`` pass per snippet.  Exactly mirrors the
-      DuckDB ``contains()`` oracle.
+      (first ``snip_len`` chars) occurs verbatim.  Small benchmark
+      sets run one vectorized ``pc.match_substring`` pass per snippet;
+      past ``hash_threshold`` snippets the cost per batch would grow
+      with the benchmark, so the op switches to a rolling-hash
+      prefilter — hash every 8-byte window of the batch (the flat
+      vectorized Karp-Rabin from textops), ``np.isin`` against the
+      snippet-prefix hash set, and exact-confirm ONLY the candidate
+      rows.  Same answer (confirmation is exact), O(bytes) per batch
+      independent of benchmark size.  Exactly mirrors the DuckDB
+      ``contains()`` oracle either way.
     - ``mode="ngram"``: contaminated if any word ``n``-gram hash
       collides with the benchmark n-gram hash set (GPT-3-style
       13-gram decontamination) — flat vectorized windows + ``np.isin``
@@ -237,9 +294,20 @@ def build_decontaminate(*, bench, column: str = "text",
         if mode == "substring":
             snips_l = _fetch(payload, lambda v: v)
             text = t.column(column)
-            for s in snips_l:
-                hit = pc.match_substring(text, s).fill_null(False)
-                flag |= hit.to_numpy(zero_copy_only=False)
+            if len(snips_l) > hash_threshold:
+                cand = _window_hash_candidates(text, snips_l)
+            else:
+                cand = np.ones(t.num_rows, dtype=bool)
+            cand_idx = np.flatnonzero(cand)
+            if len(cand_idx):
+                sub = text.take(pa.array(cand_idx, pa.int64()))
+                sub_flag = np.zeros(len(cand_idx), dtype=bool)
+                for s in snips_l:
+                    hit = pc.fill_null(pc.match_substring(sub, s), False)
+                    sub_flag |= hit.to_numpy(zero_copy_only=False)
+                    if sub_flag.all():
+                        break
+                flag[cand_idx] = sub_flag
         else:
             bench_h = _fetch(payload, lambda v: v)
             codes, didx, values, nd = _tokenize_codes(t, column)

@@ -1452,3 +1452,90 @@ def kmeans_assign_seeded(sf_dir: str):
         "init_ids": list(range(8)),
     })(ds)
     return ds.select_columns(["vec_id", "cluster"])
+
+
+@query(
+    "regional_revenue_q5",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def regional_revenue_q5(sf_dir: str):
+    """TPC-H Q5 shape: a five-table join plan exercising the dim-chain
+    pattern — every dimension (region→nation→customer, supplier)
+    broadcasts; the ONLY exchange is the large-large
+    lineitem⋈orders sharded join.  At 100 TB customer would also
+    shard (strategy="auto" makes that call per-run); the local/remote
+    nation-match filter (s_nationkey == c_nationkey) runs vectorized
+    after the supplier broadcast lookup."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    # dim chain, resolved driver-side (a few KB): region → nation keys
+    reg = pq.read_table(_t(sf_dir, "region"))
+    asia = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"]
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia))
+    nat_keys = nat["n_nationkey"].to_pylist()
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=pa.array(nat_keys)))
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = build_op({
+        "op": "filter",
+        "predicate":
+            (E.col("o_orderdate") >= E.lit(datetime.datetime(1996, 1, 1)))
+            & (E.col("o_orderdate") < E.lit(datetime.datetime(1998, 1, 1))),
+    })(orders)
+    orders = build_op({"op": "broadcast_join", "small": cust, "how": "inner",
+                       "on": ["o_custkey"], "right_on": ["c_custkey"]})(orders)
+    orders = build_op({"op": "select", "columns":
+                       ["o_orderkey", "c_nationkey"]})(orders)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    li = build_op({
+        "op": "mapping",
+        "cols": {"rev": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_orderkey", "l_suppkey", "rev"],
+    })(li)
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 8,
+    })(li)
+    joined = build_op({"op": "broadcast_join", "small": supp, "how": "inner",
+                       "on": ["l_suppkey"], "right_on": ["s_suppkey"]})(joined)
+    joined = build_op({
+        "op": "filter",
+        "predicate": E.col("s_nationkey") == E.col("c_nationkey"),
+    })(joined)
+    names = nat.select(["n_nationkey", "n_name"])
+    joined = build_op({"op": "broadcast_join", "small": names, "how": "inner",
+                       "on": ["c_nationkey"], "right_on": ["n_nationkey"]})(joined)
+    agg = build_op({
+        "op": "group_agg", "keys": ["n_name"],
+        "aggs": [("sum", "rev", "revenue")],
+    })(joined)
+    agg = _round_cols(agg, ["revenue"])
+    return agg.select_columns(["n_name", "revenue"])

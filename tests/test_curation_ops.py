@@ -102,6 +102,28 @@ def test_decontaminate_substring(ray_session):
     assert list(out["contaminated"]) == [True, False]
 
 
+def test_decontaminate_substring_hashed_path(ray_session):
+    """Past hash_threshold snippets the op switches to the rolling-hash
+    prefilter + exact confirm — answers must be identical."""
+    import ray.data as rd
+
+    bench = [f"benchmark question number {i:04d} asks about topic {i * 3}"
+             for i in range(50)]
+    docs = [f"scraped page embedding: {bench[7]} plus chatter",
+            f"another page with {bench[33]} inside",
+            "clean doc mentioning benchmark question but not verbatim no",
+            "benchmark question number 9999 asks about nothing planted"]
+    ds = rd.from_arrow(_docs(docs))
+    lo = build_op({"op": "decontaminate", "bench": bench, "mode": "substring",
+                   "snip_len": 40, "hash_threshold": 10_000})(ds).to_pandas() \
+        .sort_values("doc_id")
+    hi = build_op({"op": "decontaminate", "bench": bench, "mode": "substring",
+                   "snip_len": 40, "hash_threshold": 1})(ds).to_pandas() \
+        .sort_values("doc_id")
+    assert list(lo["contaminated"]) == list(hi["contaminated"])
+    assert list(hi["contaminated"]) == [True, True, False, False]
+
+
 def test_decontaminate_ngram(ray_session):
     import ray.data as rd
 
