@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "bigram_topk_docs",
     "kmeans_assign_seeded",
+    "stratified_sample_docs",
+    "pack_chunks_docs",
+    "percentile_nchars_by_source",
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -603,5 +604,66 @@ def build_parse_json(*, column: str, out: str | None = None,
             return t
 
         return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply
+
+
+@register_op("group_percentile")
+def build_group_percentile(*, keys: list[str], value_col: str,
+                           quantiles: list[float],
+                           prefix: str | None = None):
+    """EXACT per-group percentiles of a discrete (int/low-cardinality)
+    column, as a two-phase histogram combiner — the same shape as
+    ``group_agg``'s partial path, so nothing but (key, value, count)
+    rows ever cross the exchange.
+
+    Phase 1: per-block ``group_by(keys + [value_col]).count`` inside
+    ``map_batches``.  Phase 2: combine the (small) histogram, then per
+    key pick the value whose cumulative count first reaches
+    ``ceil(q × n)`` — the classic discrete percentile, deterministic
+    and SQL-mirrorable as ``row_number() = ceil(q*cnt)`` over the
+    value order (no engine-specific interpolation semantics).
+
+    For continuous float columns quantize first (the histogram stays
+    exact for the quantized value); a t-digest sketch would trade that
+    exactness for unbounded domains.
+
+    Output columns: keys + ``p<q>`` (e.g. p50, p90), value-typed.
+    """
+    qs = sorted(quantiles)
+    names = [f"{prefix or 'p'}{int(q * 100)}" for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(keys + [value_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            cols = {k: [] for k in keys}
+            cols.update({nm: [] for nm in names})
+            return pa.table(cols)
+        df = t.to_pandas()
+        df = df.groupby(keys + [value_col], as_index=False)["count_all"] \
+            .sum().sort_values(keys + [value_col], ignore_index=True)
+        out_rows = []
+        for kv, g in df.groupby(keys, sort=True):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            cum = g["count_all"].cumsum().to_numpy()
+            n = cum[-1]
+            vals = g[value_col].to_numpy()
+            row = dict(zip(keys, kv))
+            for q, nm in zip(qs, names):
+                rank = max(1, int(np.ceil(q * n)))
+                row[nm] = vals[np.searchsorted(cum, rank, side="left")]
+            out_rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(out_rows),
+                                    preserve_index=False)
+
+    def apply(ds):
+        partials = ds.map_batches(partial, **_PA_KW)
+        return partials.repartition(1).map_batches(
+            finish, batch_size=None, **_PA_KW)
 
     return apply

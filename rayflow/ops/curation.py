@@ -376,3 +376,119 @@ def build_ngram_topk(*, column: str = "text", n: int = 2, k: int = 20):
         return ranked.limit(k)
 
     return apply
+
+
+@register_op("stratified_sample")
+def build_stratified_sample(*, keys: list[str], n: int, id_col: str,
+                            hash_col: str = "_sample_h"):
+    """Deterministic per-stratum sample: keep the ``n`` rows with the
+    smallest ``md5(id)`` per key group — reproducible across runs and
+    engines (the SQL oracle ranks by the same md5), unlike
+    ``Dataset.random_sample``.
+
+    Scale shape: a per-BATCH top-n partial first (each batch emits at
+    most n rows per stratum it sees), so the keyed exchange carries
+    O(n × strata × batches) rows, never the corpus; a final per-group
+    top-n finishes.  The corpus-subsampling quota step (per-source /
+    per-language caps) of a training-data pipeline."""
+    import hashlib
+
+    from rayflow.ops import build_op
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        hs = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+        return t.append_column(hash_col, pa.array(hs, pa.string()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = add_hash(t)
+        df = t.to_pandas()
+        df = (df.sort_values([hash_col, id_col])
+                .groupby(list(keys), sort=False).head(n))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def apply(ds):
+        partials = ds.map_batches(partial, **_PA_KW)
+        out = build_op({
+            "op": "group_topk", "keys": list(keys), "order_col": hash_col,
+            "k": n, "descending": False, "tiebreak": id_col,
+        })(partials)
+        return out.drop_columns([hash_col])
+
+    return apply
+
+
+@register_op("pack_chunks")
+def build_pack_chunks(*, size_col: str, capacity: int, order_col: str,
+                      out: str = "chunk_id", bucket_rows: int = 4096):
+    """Sequence packing by concat-and-chunk: documents are laid out in
+    ``order_col`` order and cut into chunks of ``capacity`` size units
+    (the GPT-style pre-training packing step); each row gets the chunk
+    id its FIRST unit lands in: ``chunk = cum_before // capacity``.
+
+    The global running total is a distributed prefix-sum, which Ray
+    Data has no primitive for.  Two passes, no batch-alignment
+    assumption (batches may split differently between passes):
+
+    1. bucket rows by ``order_col // bucket_rows`` and compute per-
+       bucket size sums inside ``map_batches`` (keyed partials — a few
+       rows per batch); the driver prefix-sums the tiny bucket table
+       and broadcasts {bucket: exclusive offset}.
+    2. ``groupby(bucket).map_groups`` — each bucket is guaranteed
+       co-located, so the intra-bucket cumsum (ordered by
+       ``order_col``) is local; add the bucket offset.
+
+    At 10^10 rows the bucket table is ~N/bucket_rows rows (driver-side
+    prefix over a few million ints); recurse the same trick one level
+    if that ever grows past driver memory."""
+    import ray
+
+    from rayflow.ops import build_op
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        order = t.column(order_col).to_numpy(zero_copy_only=False)
+        size = t.column(size_col).to_numpy(zero_copy_only=False)
+        b = (order // bucket_rows).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=size.astype(np.float64))
+        return pa.table({
+            "bucket": pa.array(uniq, pa.int64()),
+            "bsum": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    def apply(ds):
+        import pandas as pd
+
+        parts = ds.map_batches(bucket_partial, **_PA_KW).take_all()
+        agg: dict[int, int] = {}
+        for r in parts:
+            agg[r["bucket"]] = agg.get(r["bucket"], 0) + r["bsum"]
+        offsets: dict[int, int] = {}
+        run = 0
+        for bk in sorted(agg):
+            offsets[bk] = run
+            run += agg[bk]
+        off_ref = ray.put(offsets)
+
+        def with_bucket(t: pa.Table) -> pa.Table:
+            order = t.column(order_col).to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "_pack_bucket",
+                pa.array((order // bucket_rows).astype(np.int64)))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            offs = _fetch(off_ref, lambda v: v)
+            g = g.sort_values(order_col, ignore_index=True)
+            sizes = g[size_col].to_numpy()
+            before = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+            base = offs[int(g["_pack_bucket"].iloc[0])]
+            g[out] = (base + before) // capacity
+            return g.drop(columns=["_pack_bucket"])
+
+        bds = ds.map_batches(with_bucket, **_PA_KW)
+        return bds.groupby("_pack_bucket").map_groups(
+            per_bucket, batch_format="pandas")
+
+    return apply

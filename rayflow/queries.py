@@ -1539,3 +1539,81 @@ def regional_revenue_q5(sf_dir: str):
     })(joined)
     agg = _round_cols(agg, ["revenue"])
     return agg.select_columns(["n_name", "revenue"])
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 20
+    """,
+)
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic per-source subsampling quota (20 docs per source,
+    ranked by md5 of the id) — reproducible across engines, unlike
+    random sampling; per-batch top-n partials keep the exchange tiny."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    ds = build_op({
+        "op": "stratified_sample", "keys": ["source"], "n": 20,
+        "id_col": "doc_id",
+    })(ds)
+    return ds.select_columns(["doc_id", "source"])
+
+
+@query(
+    "pack_chunks_docs",
+    """
+    SELECT doc_id,
+           CAST((sum(n_chars) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                // 10000 AS BIGINT) AS chunk_id
+    FROM documents
+    """,
+)
+def pack_chunks_docs(sf_dir: str):
+    """Sequence packing (concat-and-chunk at 10k chars): distributed
+    prefix-sum via bucketed partials + co-located intra-bucket cumsum —
+    the window cumulative Ray Data has no primitive for."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = build_op({
+        "op": "pack_chunks", "size_col": "n_chars", "capacity": 10_000,
+        "order_col": "doc_id", "bucket_rows": 256,
+    })(ds)
+    return ds.select_columns(["doc_id", "chunk_id"])
+
+
+@query(
+    "percentile_nchars_by_source",
+    """
+    WITH o AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents)
+    SELECT source,
+      CAST(max(CASE WHEN rn = greatest(1,
+            CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT))
+        THEN n_chars END) AS BIGINT) AS p50,
+      CAST(max(CASE WHEN rn = greatest(1,
+            CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT))
+        THEN n_chars END) AS BIGINT) AS p90
+    FROM o GROUP BY source
+    """,
+)
+def percentile_nchars_by_source(sf_dir: str):
+    """Exact per-source p50/p90 of document length via the histogram
+    combiner (only (source, n_chars, count) rows shuffle).  Rank =
+    ceil(q·n) computed in IEEE doubles on BOTH sides (the SQL casts the
+    quantile literal to DOUBLE; DuckDB's DECIMAL arithmetic would
+    otherwise round differently at exact integer boundaries)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+    ds = build_op({
+        "op": "group_percentile", "keys": ["source"], "value_col": "n_chars",
+        "quantiles": [0.5, 0.9],
+    })(ds)
+    return ds.select_columns(["source", "p50", "p90"])

@@ -212,3 +212,103 @@ def test_kmeans_zero_iter_pinned_centroids(ray_session):
     # centroid 0 = first blob's point, centroid 1 = second blob's point:
     # assignment equals the planted label
     assert (out["cluster"] == out["label"]).all()
+
+
+# -- stratified_sample -----------------------------------------------------
+
+
+def test_stratified_sample_deterministic_quota(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(100)]),
+    })
+    ds = rd.from_arrow(tbl)
+    conf = {"op": "stratified_sample", "keys": ["source"], "n": 4,
+            "id_col": "doc_id"}
+    a = build_op(conf)(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = build_op(conf)(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)                       # deterministic
+    assert (a.groupby("source").size() == 4).all()
+    # agrees with the definition: smallest md5(doc_id) per source
+    for src in ("s0", "s1", "s2"):
+        ids = [i for i in range(100) if f"s{i % 3}" == src]
+        want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode())
+                                          .hexdigest(), i))[:4]
+        got = sorted(a[a["source"] == src]["doc_id"])
+        assert got == sorted(want)
+
+
+# -- pack_chunks -----------------------------------------------------------
+
+
+def test_pack_chunks_matches_serial_cumsum(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    sizes = rng.integers(50, 400, size=500).astype(np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "nsz": pa.array(sizes, pa.int64()),
+    })
+    # force many buckets AND many blocks so bucket offsets matter
+    ds = rd.from_arrow(tbl).repartition(7)
+    out = build_op({
+        "op": "pack_chunks", "size_col": "nsz", "capacity": 1000,
+        "order_col": "doc_id", "bucket_rows": 32,
+    })(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    before = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    assert list(out["chunk_id"]) == list(before // 1000)
+
+
+def test_pack_chunks_chunk_budget(ray_session):
+    """Rows assigned to one chunk start within one capacity window."""
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "nsz": pa.array([100] * 60, pa.int64()),
+    })
+    out = build_op({
+        "op": "pack_chunks", "size_col": "nsz", "capacity": 500,
+        "order_col": "doc_id", "bucket_rows": 16,
+    })(rd.from_arrow(tbl)).to_pandas()
+    # 100-unit docs, 500 capacity -> exactly 5 docs per chunk
+    assert (out.groupby("chunk_id").size() == 5).all()
+
+
+# -- group_percentile ------------------------------------------------------
+
+
+def test_group_percentile_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1000, size=900).astype(np.int64)
+    grp = np.array(["a", "b", "c"])[rng.integers(0, 3, size=900)]
+    tbl = pa.table({"g": pa.array(grp), "v": pa.array(vals, pa.int64())})
+    out = build_op({
+        "op": "group_percentile", "keys": ["g"], "value_col": "v",
+        "quantiles": [0.5, 0.9],
+    })(rd.from_arrow(tbl).repartition(5)).to_pandas().set_index("g")
+    for g in ("a", "b", "c"):
+        s = np.sort(vals[grp == g])
+        n = len(s)
+        assert out.loc[g, "p50"] == s[int(np.ceil(0.5 * n)) - 1]
+        assert out.loc[g, "p90"] == s[int(np.ceil(0.9 * n)) - 1]
+
+
+def test_group_percentile_single_row_groups(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"g": pa.array(["x", "y"]), "v": pa.array([7, 3], pa.int64())})
+    out = build_op({
+        "op": "group_percentile", "keys": ["g"], "value_col": "v",
+        "quantiles": [0.5],
+    })(rd.from_arrow(tbl)).to_pandas().set_index("g")
+    assert out.loc["x", "p50"] == 7
+    assert out.loc["y", "p50"] == 3
