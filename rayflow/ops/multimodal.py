@@ -6,12 +6,15 @@ resize / feature-extract run as actor-pool ``map_batches`` stages with
 SMALL batch sizes (payload bytes × batch_size × concurrency must fit the
 worker heap — the block-sizing rule for wide binary rows).
 
-The actual codecs (Pillow / torchaudio / ffmpeg) are NOT in this
-container, so the decode kernel is STUBBED: with ``fake=True`` (default)
-it produces a deterministic pseudo-decode derived from the payload bytes
-(so the whole pipeline — schema, batching, actor signatures, output
-layout — is real and tested); with ``fake=False`` it raises
-``NotImplementedError`` at the exact point a real decoder plugs in.
+Decode is REAL for the formats that need no codec library —
+uncompressed 24-bit BMP and PCM-16 WAV are decoded to actual
+pixels/samples with numpy + stdlib struct and featurized from them —
+and STUBBED for codec-requiring formats (png/jpeg/video): with
+``fake=True`` (default) every payload gets a deterministic
+pseudo-decode derived from its bytes; with ``fake=False`` BMP/WAV
+decode for real and the rest raise ``NotImplementedError`` at the
+exact point Pillow/ffmpeg would plug in (or fall back to the pseudo
+path with ``fallback_pseudo=True``).
 """
 
 from __future__ import annotations
@@ -61,19 +64,82 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.T
     })
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL pure-stdlib/numpy decode of an uncompressed 24-bit BMP →
+    (h, w, 3) uint8 RGB array.  Covers the one mainstream image
+    container that needs no codec library; compressed formats raise
+    ``NotImplementedError`` at the exact point Pillow would plug in."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (comp,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only uncompressed 24-bit "
+            "decodes without a codec library")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    buf = np.frombuffer(payload, np.uint8, count=row_bytes * h,
+                        offset=data_off)
+    px = buf.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    return px[::-1] if bottom_up else px
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL PCM-16 WAV decode → ((n_samples, channels) int16, rate).
+    Non-PCM / non-16-bit encodings raise ``NotImplementedError`` where
+    a real audio library would take over."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV fmt={audio_fmt} bits={bits}: only PCM-16 decodes "
+            "without an audio library")
+    a = np.frombuffer(data, "<i2")
+    n = len(a) // max(ch, 1)
+    return a[: n * ch].reshape(n, max(ch, 1)), rate
+
+
 class MediaDecoder:
     """Actor-pool decode stage.  Heavy init (codec contexts, model
-    weights) belongs HERE, once per actor — never per batch."""
+    weights) belongs HERE, once per actor — never per batch.
 
-    def __init__(self, feature_dim: int = 32, fake: bool = True):
+    ``fake=True`` (default): deterministic pseudo-features for every
+    payload (pipeline plumbing without any codec).  ``fake=False``:
+    REAL decode — uncompressed BMP and PCM WAV are decoded with
+    numpy/stdlib and featurized from actual pixels/samples; formats
+    that need an absent codec (png/jpeg/video) raise
+    ``NotImplementedError`` per payload, or fall back to the pseudo
+    path when ``fallback_pseudo=True``."""
+
+    def __init__(self, feature_dim: int = 32, fake: bool = True,
+                 fallback_pseudo: bool = False):
+        if feature_dim < 6:
+            raise ValueError("feature_dim must be >= 6")
         self.dim = feature_dim
         self.fake = fake
-        if not fake:
-            # real implementation would import PIL / torchaudio here
-            raise NotImplementedError(
-                "real media codecs are not available in this environment; "
-                "construct with fake=True for the deterministic stub"
-            )
+        self.fallback = fallback_pseudo
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         # deterministic pseudo-features: sha256-seeded uniform vector
@@ -81,9 +147,44 @@ class MediaDecoder:
         seed = int.from_bytes(digest[:8], "little")
         return np.random.default_rng(seed).random(self.dim, dtype=np.float64)
 
+    def _image_features(self, px: np.ndarray) -> np.ndarray:
+        gray = px.astype(np.float64).mean(axis=2)
+        hist, _ = np.histogram(gray, bins=self.dim - 4, range=(0.0, 255.0))
+        hist = hist / max(gray.size, 1)
+        head = [float(px.shape[1]), float(px.shape[0]),
+                float(gray.mean()), float(gray.std())]
+        return np.concatenate([head, hist])
+
+    def _audio_features(self, samples: np.ndarray, rate: int) -> np.ndarray:
+        mono = samples.astype(np.float64).mean(axis=1)
+        if len(mono) == 0:
+            return np.zeros(self.dim, dtype=np.float64)
+        rms = float(np.sqrt(np.mean(mono ** 2)))
+        zcr = float(np.mean(np.signbit(mono[:-1]) != np.signbit(mono[1:]))) \
+            if len(mono) > 1 else 0.0
+        hist, _ = np.histogram(mono, bins=self.dim - 4,
+                               range=(-32768.0, 32768.0))
+        hist = hist / len(mono)
+        return np.concatenate([[float(rate), float(samples.shape[1]),
+                                rms, zcr], hist])
+
+    def _real_decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            return self._image_features(decode_bmp(payload))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            samples, rate = decode_wav(payload)
+            return self._audio_features(samples, rate)
+        if self.fallback:
+            return self._fake_decode(payload)
+        raise NotImplementedError(
+            "payload needs a codec library not present in this "
+            "environment (only BMP/WAV decode natively); pass "
+            "fallback_pseudo=True to keep the pipeline flowing")
+
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column("payload").to_pylist()
-        feats = [self._fake_decode(p) for p in payloads]
+        decode = self._fake_decode if self.fake else self._real_decode
+        feats = [decode(p) for p in payloads]
         return pa.table({
             "media_id": t.column("media_id"),
             "media_type": t.column("media_type"),
@@ -95,6 +196,7 @@ class MediaDecoder:
 
 @register_op("media_decode")
 def build_media_decode(*, feature_dim: int = 32, fake: bool = True,
+                       fallback_pseudo: bool = False,
                        batch_size: int = 64, concurrency: int = 2):
     """Binary payload → feature vector.  Small ``batch_size`` on purpose:
     batch bytes ≈ payload_size × batch_size must stay well under the
@@ -103,7 +205,8 @@ def build_media_decode(*, feature_dim: int = 32, fake: bool = True,
     def apply(ds):
         return ds.map_batches(
             MediaDecoder,
-            fn_constructor_kwargs=dict(feature_dim=feature_dim, fake=fake),
+            fn_constructor_kwargs=dict(feature_dim=feature_dim, fake=fake,
+                                       fallback_pseudo=fallback_pseudo),
             batch_size=batch_size,
             concurrency=concurrency,
             batch_format="pyarrow",
@@ -211,14 +314,68 @@ def synth_png(width: int, height: int) -> bytes:
             + struct.pack(">I", _z.crc32(chunk) & 0xFFFFFFFF))
 
 
-def synth_wav(rate: int = 16000, channels: int = 1) -> bytes:
+def synth_wav(rate: int = 16000, channels: int = 1,
+              samples: np.ndarray | None = None) -> bytes:
+    """REAL WAV byte stream; pass ``samples`` ((n, ch) int16) for a
+    fully decodable PCM payload, omit for a header-only fixture."""
     import struct
 
+    data = b"" if samples is None else \
+        np.ascontiguousarray(samples, dtype="<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
                       channels * 2, 16)
-    return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", 0))
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def synth_bmp(pixels: np.ndarray) -> bytes:
+    """REAL uncompressed 24-bit BMP from an (h, w, 3) uint8 RGB array —
+    round-trips through :func:`decode_bmp` bit-exactly."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return head + info + data
+
+
+def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Fully DECODABLE media fixture: alternating 24-bit BMPs (seeded
+    random pixels) and PCM-16 WAVs (seeded noise) — exercises the real
+    decode path end-to-end with no external data or codec."""
+    rng = np.random.default_rng(seed)
+    types, payloads, widths, heights, durs = [], [], [], [], []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(synth_bmp(px))
+            types.append("image/bmp")
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+        else:
+            ns = int(rng.integers(400, 3200))
+            pcm = rng.integers(-20000, 20000, (ns, 1), dtype=np.int16)
+            payloads.append(synth_wav(16000, 1, pcm))
+            types.append("audio/wav")
+            widths.append(0)
+            heights.append(0)
+            durs.append(int(ns / 16))
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "media_type": pa.array(types),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    })
 
 
 @register_op("media_frame_sample")

@@ -166,9 +166,17 @@ def test_media_decode_stub(ray_session):
     f1 = out.sort_values("media_id")["feature"].tolist()
     f2 = out2.sort_values("media_id")["feature"].tolist()
     assert all(np.allclose(a, b) for a, b in zip(f1, f2))
-    # real decoder path is explicitly stubbed
+    # codec-requiring formats (the fixture's png payloads) still raise
+    # on the real path, at the per-payload plug-in point
+    from rayflow.ops.multimodal import synth_png
+
+    png_batch = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "media_type": pa.array(["image/png"]),
+        "payload": pa.array([synth_png(8, 8)], pa.large_binary()),
+    })
     with pytest.raises(NotImplementedError):
-        MediaDecoder(fake=False)
+        MediaDecoder(fake=False)(png_batch)
 
 
 def test_media_frame_sample(ray_session):
@@ -272,3 +280,59 @@ def test_kmeans_deterministic():
     c1 = kmeans_fit(x, 5, seed=7)
     c2 = kmeans_fit(x, 5, seed=7)
     assert np.allclose(c1, c2)
+
+
+def test_bmp_roundtrip_bit_exact():
+    from rayflow.ops.multimodal import decode_bmp, synth_bmp
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)  # odd width: padding
+    assert np.array_equal(decode_bmp(synth_bmp(px)), px)
+
+
+def test_wav_roundtrip_bit_exact():
+    from rayflow.ops.multimodal import decode_wav, synth_wav
+
+    rng = np.random.default_rng(4)
+    pcm = rng.integers(-32768, 32767, (1001, 2), dtype=np.int16)
+    out, rate = decode_wav(synth_wav(22050, 2, pcm))
+    assert rate == 22050
+    assert np.array_equal(out, pcm)
+
+
+def test_media_decode_real_path(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_real_media_table
+
+    tbl = synth_real_media_table(20, seed=9)
+    ds = rd.from_arrow(tbl)
+    out = build_op({"op": "media_decode", "feature_dim": 16, "fake": False,
+                    "batch_size": 8, "concurrency": 2})(ds).to_pandas() \
+        .sort_values("media_id", ignore_index=True)
+    assert len(out) == 20
+    assert all(len(f) == 16 for f in out["feature"])
+    # image features start [w, h, mean, std] — check against the fixture
+    img = out[out["media_type"] == "image/bmp"].iloc[0]
+    row = tbl.to_pandas().set_index("media_id").loc[img["media_id"]]
+    assert img["feature"][0] == row["width"]
+    assert img["feature"][1] == row["height"]
+    # audio features start [rate, channels, rms, zcr]
+    aud = out[out["media_type"] == "audio/wav"].iloc[0]
+    assert aud["feature"][0] == 16000.0
+    assert aud["feature"][1] == 1.0
+    assert aud["feature"][2] > 0.0
+
+
+def test_media_decode_fallback_pseudo(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_media_table
+
+    # png payloads can't decode natively; fallback keeps the pipe flowing
+    ds = rd.from_arrow(synth_media_table(10, seed=2))
+    out = build_op({"op": "media_decode", "feature_dim": 8, "fake": False,
+                    "fallback_pseudo": True, "batch_size": 8,
+                    "concurrency": 2})(ds).to_pandas()
+    assert len(out) == 10
+    assert all(len(f) == 8 for f in out["feature"])
