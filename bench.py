@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "stratified_sample_docs",
     "pack_chunks_docs",
     "percentile_nchars_by_source",
+    "curate_corpus_docs",
 ]
 
 

@@ -1617,3 +1617,118 @@ def percentile_nchars_by_source(sf_dir: str):
         "quantiles": [0.5, 0.9],
     })(ds)
     return ds.select_columns(["source", "p50", "p90"])
+
+
+@query(
+    "curate_corpus_docs",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_unique
+      FROM documents
+    ), ltoks AS (
+      SELECT doc_id, text,
+             list_transform(
+               regexp_extract_all(coalesce(text, ''), '[a-zA-Zäöüéèàç]+'),
+               x -> lower(x)) AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id, text, len(toks) AS n,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / len(toks) END AS s_en,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('der','die','und','das','ist','von','mit','den','nicht','ein'))) AS DOUBLE) / len(toks) END AS s_de,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('le','la','et','les','des','est','un','une','dans','que'))) AS DOUBLE) / len(toks) END AS s_fr,
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(toks, x -> x IN
+            ('el','la','de','que','y','los','en','un','una','es'))) AS DOUBLE) / len(toks) END AS s_es
+      FROM ltoks
+    ), lp AS (
+      SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL
+             WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+             WHEN n = 0 THEN 'unknown'
+             WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+             WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM l
+    ), filtered AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN g  ON g.doc_id = d.doc_id
+      JOIN lp ON lp.doc_id = d.doc_id
+      WHERE g.n_words >= 10
+        AND (1.0 - CAST(g.n_unique AS DOUBLE) / CAST(g.n_words AS DOUBLE))
+            <= 0.6
+        AND lp.lang_pred = 'en'
+    ), dd AS (
+      SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM filtered GROUP BY text
+    ), bench AS (
+      SELECT DISTINCT substr(text, 1, 40) AS snip FROM documents
+      WHERE doc_id % 97 = 0 AND length(text) >= 40
+    ), survivors AS (
+      SELECT doc_id, text FROM dd
+      WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE contains(dd.text, b.snip))
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+\\d{7,15}', '<PHONE>', 'g')) AS fp
+    FROM survivors
+    """,
+)
+def curate_corpus_docs(sf_dir: str):
+    """FLAGSHIP corpus-curation pipeline — the full pre-training chain
+    composed from the individual (each independently oracle-checked)
+    stages, end-to-end in ONE streaming Dataset plan:
+
+      quality filter (Gopher repetition + length) → language filter
+      (lang_id == 'en') → exact dedup (keep first per text) →
+      benchmark decontamination → PII redaction → content fingerprint.
+
+    One keyed exchange total (the dedup reduce); everything else is
+    map-side.  The SQL oracle reproduces the entire chain."""
+    import pyarrow.parquet as pq
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({"op": "gopher_quality"})(ds)
+    ds = build_op({
+        "op": "filter",
+        "predicate": (E.col("n_words") >= 10)
+        & (E.col("dup_word_frac") <= 0.6),
+    })(ds)
+    ds = build_op({"op": "lang_id"})(ds)
+    ds = build_op({
+        "op": "filter", "predicate": E.col("lang_pred") == E.lit("en"),
+    })(ds)
+    ds = build_op({"op": "select", "columns": ["doc_id", "text"]})(ds)
+    ds = build_op({
+        "op": "dedupe", "keys": ["text"], "order_col": "doc_id", "keep": "min",
+    })(ds)
+    dt = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = dt["doc_id"].to_numpy()
+    bench = dt.filter(pa.array(ids % 97 == 0))["text"].to_pylist()
+    ds = build_op({
+        "op": "decontaminate", "bench": bench, "mode": "substring",
+        "snip_len": 40,
+    })(ds)
+    ds = build_op({
+        "op": "filter", "predicate": E.col("contaminated") == E.lit(False),
+    })(ds)
+    ds = build_op({"op": "pii_redact"})(ds)
+    ds = build_op({
+        "op": "mapping", "cols": {"fp": E.F("hash_md5", E.col("text"))},
+        "select": ["doc_id", "fp"],
+    })(ds)
+    return ds
