@@ -400,21 +400,25 @@ def build_stratified_sample(*, keys: list[str], n: int, id_col: str,
         hs = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
         return t.append_column(hash_col, pa.array(hs, pa.string()))
 
-    def partial(t: pa.Table) -> pa.Table:
+    def topn(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        t = add_hash(t)
         df = t.to_pandas()
         df = (df.sort_values([hash_col, id_col])
                 .groupby(list(keys), sort=False).head(n))
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def partial(t: pa.Table) -> pa.Table:
+        return topn(add_hash(t))
+
     def apply(ds):
+        # partials are ≤ n rows per (stratum, batch) BY CONSTRUCTION, so
+        # the finish never needs a keyed shuffle: one repartition(1)
+        # task re-runs the same top-n over the concatenated partials
+        # (same trick as group_agg's small-combine path)
         partials = ds.map_batches(partial, **_PA_KW)
-        out = build_op({
-            "op": "group_topk", "keys": list(keys), "order_col": hash_col,
-            "k": n, "descending": False, "tiebreak": id_col,
-        })(partials)
+        out = partials.repartition(1).map_batches(
+            topn, batch_size=None, **_PA_KW)
         return out.drop_columns([hash_col])
 
     return apply
