@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "pack_chunks_docs",
     "percentile_nchars_by_source",
     "curate_corpus_docs",
+    "asof_latest_click_value",
 ]
 
 

@@ -187,3 +187,111 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
         )
 
     return apply
+
+
+@register_op("asof_join")
+def build_asof_join(*, right, on: str, time_col: str,
+                    direction: str = "backward", suffix: str = "_r",
+                    num_partitions: int | None = None):
+    """As-of join — each left row picks the right row with the latest
+    ``time_col`` ≤ its own (``direction="backward"``; ``"forward"`` =
+    earliest ≥) within the same ``on`` key.  The enrichment shape Ray
+    Data has no primitive for (DuckDB: ``ASOF JOIN``): events joined to
+    the dimension state that was current when they happened.
+
+    Ray-native plan: tag both sides, align schemas (missing columns are
+    typed nulls), union, then ONE hash exchange —
+    ``groupby(on).map_groups`` co-locates each key's rows, and the
+    pandas ``merge_asof`` runs locally per key.  Partitioning
+    assumption (documented, as for every keyed group op): a single
+    key's rows fit one worker; salt hot keys upstream if not.
+
+    Ties on equal ``time_col`` within a key resolve to the LAST right
+    row in (time, original-order); pre-dedupe the right side on
+    (key, time) for engine-independent determinism.
+    """
+    import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: bad direction {direction!r}")
+
+    def apply(ds):
+        left_schema = ds.schema()
+        right_schema = right.schema()
+        left_cols = dict(zip(left_schema.names, left_schema.types))
+        right_cols = dict(zip(right_schema.names, right_schema.types))
+        # right columns that collide with left (other than key/time) are
+        # suffixed, as a pandas merge would
+        ren = {c: (c + suffix if c in left_cols and c not in (on, time_col)
+                   else c) for c in right_cols}
+        out_right = {ren[c]: t for c, t in right_cols.items()
+                     if c not in (on, time_col)}
+        all_cols = {**left_cols, **out_right}
+
+        def _align(tag):
+            def fn(t: pa.Table) -> pa.Table:
+                if tag == "r":
+                    t = t.rename_columns([ren[c] for c in t.column_names])
+                n = t.num_rows
+                cols, names = [], []
+                for name, typ in all_cols.items():
+                    names.append(name)
+                    if name in t.column_names:
+                        cols.append(t.column(name))
+                    elif tag == "r" and name == time_col:
+                        cols.append(t.column(time_col))
+                    else:
+                        cols.append(pa.nulls(n, typ))
+                names.append("_asof_side")
+                cols.append(pa.array([tag] * n, pa.string()))
+                return pa.Table.from_arrays(cols, names=names)
+
+            return fn
+
+        lt = ds.map_batches(_align("l"), **_PA_KW)
+        rt = right.map_batches(_align("r"), **_PA_KW)
+        both = lt.union(rt)
+
+        right_out_cols = list(out_right)
+
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            lg = g[g["_asof_side"] == "l"].drop(columns=["_asof_side"])
+            rg = g[g["_asof_side"] == "r"]
+            lg = lg.sort_values(time_col, kind="stable", ignore_index=True)
+            if rg.empty:
+                return lg
+            rg = rg[[time_col] + right_out_cols] \
+                .sort_values(time_col, kind="stable", ignore_index=True)
+            merged = pd.merge_asof(
+                lg.drop(columns=right_out_cols), rg,
+                on=time_col, direction=direction)
+            return merged[list(lg.columns)]
+
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
+        grouped = both.groupby(on).map_groups(per_key, batch_format="pandas")
+
+        def restore_types(t: pa.Table) -> pa.Table:
+            # pandas groups promote int columns with any NaN to float64;
+            # cast back to the source Arrow types (NaN → null)
+            cols, names = [], []
+            for name in t.column_names:
+                col = t.column(name)
+                want = all_cols.get(name)
+                if want is not None and col.type != want:
+                    arr = col.combine_chunks()
+                    if pa.types.is_floating(arr.type) and \
+                            not pa.types.is_floating(want):
+                        nan = pc.fill_null(pc.is_nan(arr), True)
+                        arr = pc.if_else(nan, pa.nulls(len(arr), arr.type),
+                                         arr)
+                    arr = pc.cast(arr, want, safe=False)
+                    col = arr
+                names.append(name)
+                cols.append(col)
+            return pa.Table.from_arrays(cols, names=names)
+
+        return grouped.map_batches(restore_types, **_PA_KW)
+
+    return apply

@@ -1732,3 +1732,47 @@ def curate_corpus_docs(sf_dir: str):
         "select": ["doc_id", "fp"],
     })(ds)
     return ds
+
+
+@query(
+    "asof_latest_click_value",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.value, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_latest_click_value(sf_dir: str):
+    """As-of join: every purchase event enriched with the value of the
+    user's latest click at or before the purchase time — the
+    state-at-event-time lookup (DuckDB ``ASOF JOIN``).  The right side
+    is pre-deduped on (user, ts) so tie resolution is engine-
+    independent.  One keyed exchange co-locates each user's rows."""
+    rd = _rd()
+    ev_cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    purchases = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    purchases = build_op({
+        "op": "filter", "predicate": E.col("event_type") == E.lit("purchase"),
+    })(purchases)
+    purchases = build_op({"op": "select",
+                          "columns": ["event_id", "user_id", "ts", "value"]})(purchases)
+    clicks = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    clicks = build_op({
+        "op": "filter", "predicate": E.col("event_type") == E.lit("click"),
+    })(clicks)
+    clicks = build_op({
+        "op": "group_agg", "keys": ["user_id", "ts"],
+        "aggs": [("max", "value", "click_value")],
+    })(clicks)
+    out = build_op({
+        "op": "asof_join", "right": clicks, "on": "user_id", "time_col": "ts",
+    })(purchases)
+    return out.select_columns(["event_id", "user_id", "value", "click_value"])

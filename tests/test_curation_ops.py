@@ -312,3 +312,61 @@ def test_group_percentile_single_row_groups(ray_session):
     })(rd.from_arrow(tbl)).to_pandas().set_index("g")
     assert out.loc["x", "p50"] == 7
     assert out.loc["y", "p50"] == 3
+
+
+# -- asof_join -------------------------------------------------------------
+
+
+def test_asof_join_backward_forward(ray_session):
+    import ray.data as rd
+
+    l = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "t": pa.array([5, 9, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    r = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "t": pa.array([4, 8, 10], pa.int64()),
+                  "price": pa.array([100, 200, 300], pa.int64())})
+    back = build_op({"op": "asof_join", "right": rd.from_arrow(r),
+                     "on": "k", "time_col": "t"})(rd.from_arrow(l)) \
+        .to_pandas().sort_values(["k", "t"], ignore_index=True)
+    assert list(back["price"]) == [100, 200, None] or \
+        back["price"].tolist()[:2] == [100, 200] and \
+        back["price"].isna().tolist() == [False, False, True]
+    assert back["v"].dtype.kind in "i"       # int dtype restored
+    fwd = build_op({"op": "asof_join", "right": rd.from_arrow(r),
+                    "on": "k", "time_col": "t",
+                    "direction": "forward"})(rd.from_arrow(l)) \
+        .to_pandas().sort_values(["k", "t"], ignore_index=True)
+    assert fwd["price"].tolist() == [200, None, 300] or (
+        fwd["price"].iloc[0] == 200 and fwd["price"].iloc[2] == 300
+        and np.isnan(fwd["price"].iloc[1]))
+
+
+def test_asof_join_column_collision_suffix(ray_session):
+    import ray.data as rd
+
+    l = pa.table({"k": pa.array([1], pa.int64()),
+                  "t": pa.array([5], pa.int64()),
+                  "v": pa.array([10], pa.int64())})
+    r = pa.table({"k": pa.array([1], pa.int64()),
+                  "t": pa.array([4], pa.int64()),
+                  "v": pa.array([99], pa.int64())})
+    out = build_op({"op": "asof_join", "right": rd.from_arrow(r),
+                    "on": "k", "time_col": "t"})(rd.from_arrow(l)).to_pandas()
+    assert out["v"].iloc[0] == 10
+    assert out["v_r"].iloc[0] == 99
+
+
+def test_asof_join_key_without_right_rows(ray_session):
+    import ray.data as rd
+
+    l = pa.table({"k": pa.array([7, 8], pa.int64()),
+                  "t": pa.array([1, 2], pa.int64())})
+    r = pa.table({"k": pa.array([7], pa.int64()),
+                  "t": pa.array([0], pa.int64()),
+                  "x": pa.array([5], pa.int64())})
+    out = build_op({"op": "asof_join", "right": rd.from_arrow(r),
+                    "on": "k", "time_col": "t"})(rd.from_arrow(l)) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    assert out["x"].iloc[0] == 5
+    assert out["x"].isna().iloc[1]
