@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "percentile_nchars_by_source",
     "curate_corpus_docs",
     "asof_latest_click_value",
+    "purchases_in_signup_window",
 ]
 
 

@@ -295,3 +295,90 @@ def build_asof_join(*, right, on: str, time_col: str,
         return grouped.map_batches(restore_types, **_PA_KW)
 
     return apply
+
+
+@register_op("interval_join")
+def build_interval_join(*, right, on: str, time_col: str,
+                        start_col: str, end_col: str, suffix: str = "_r"):
+    """Range (interval) join: INNER-join each left row to every right
+    interval ``[start_col, end_col]`` that contains its ``time_col``,
+    within the same ``on`` key — the event-in-window enrichment
+    (DuckDB: a plain inequality join; Ray Data has no primitive).
+
+    Same co-location plan as :func:`build_asof_join` — tag, align,
+    union, ONE hash exchange, per-key local work.  Within a key the
+    left times are sorted once; each interval finds its matching rows
+    with two binary searches, so per-key cost is
+    O(intervals · log rows + output pairs), never the cross product.
+    Partitioning assumption: one key's rows fit a worker.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def apply(ds):
+        left_schema = ds.schema()
+        right_schema = right.schema()
+        left_cols = dict(zip(left_schema.names, left_schema.types))
+        right_cols = dict(zip(right_schema.names, right_schema.types))
+        ren = {c: (c + suffix if c in left_cols and c != on else c)
+               for c in right_cols}
+        out_right = {ren[c]: t for c, t in right_cols.items() if c != on}
+        all_cols = {**left_cols, **out_right}
+        rstart, rend = ren[start_col], ren[end_col]
+
+        def _align(tag):
+            def fn(t: pa.Table) -> pa.Table:
+                if tag == "r":
+                    t = t.rename_columns([ren[c] for c in t.column_names])
+                n = t.num_rows
+                cols, names = [], []
+                for name, typ in all_cols.items():
+                    names.append(name)
+                    cols.append(t.column(name) if name in t.column_names
+                                else pa.nulls(n, typ))
+                names.append("_iv_side")
+                cols.append(pa.array([tag] * n, pa.string()))
+                return pa.Table.from_arrays(cols, names=names)
+
+            return fn
+
+        lt = ds.map_batches(_align("l"), **_PA_KW)
+        rt = right.map_batches(_align("r"), **_PA_KW)
+        both = lt.union(rt)
+        left_names = list(left_cols)
+        right_names = list(out_right)
+
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            lg = g[g["_iv_side"] == "l"]
+            rg = g[g["_iv_side"] == "r"]
+            empty = pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
+                                  for c in left_names + right_names})
+            if lg.empty or rg.empty:
+                return empty
+            lg = lg.sort_values(time_col, kind="stable", ignore_index=True)
+            times = lg[time_col].to_numpy()
+            starts = rg[rstart].to_numpy()
+            ends = rg[rend].to_numpy()
+            li, ri = [], []
+            for j in range(len(rg)):
+                lo = np.searchsorted(times, starts[j], side="left")
+                hi = np.searchsorted(times, ends[j], side="right")
+                if hi > lo:
+                    li.append(np.arange(lo, hi))
+                    ri.append(np.full(hi - lo, j))
+            if not li:
+                return empty
+            li = np.concatenate(li)
+            ri = np.concatenate(ri)
+            out = lg.iloc[li][left_names].reset_index(drop=True)
+            rsel = rg.iloc[ri][right_names].reset_index(drop=True)
+            for c in right_names:
+                out[c] = rsel[c]
+            return out
+
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
+        return both.groupby(on).map_groups(per_key, batch_format="pandas")
+
+    return apply

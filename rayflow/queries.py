@@ -1776,3 +1776,51 @@ def asof_latest_click_value(sf_dir: str):
         "op": "asof_join", "right": clicks, "on": "user_id", "time_col": "ts",
     })(purchases)
     return out.select_columns(["event_id", "user_id", "value", "click_value"])
+
+
+@query(
+    "purchases_in_signup_window",
+    """
+    WITH s AS (
+      SELECT event_id AS signup_id, user_id, ts AS start_ts,
+             ts + INTERVAL 30 DAY AS end_ts
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, CAST(s.signup_id AS BIGINT) AS signup_id, p.user_id
+    FROM p JOIN s ON p.user_id = s.user_id
+               AND p.ts >= s.start_ts AND p.ts <= s.end_ts
+    """,
+)
+def purchases_in_signup_window(sf_dir: str):
+    """Range (interval) join: every purchase matched to each signup
+    whose 30-day window contains it, per user — the event-in-window
+    enrichment as one keyed exchange + per-key binary-search sweep
+    (never a cross product)."""
+    rd = _rd()
+    ev_cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    signups = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    signups = build_op({
+        "op": "filter", "predicate": E.col("event_type") == E.lit("signup"),
+    })(signups)
+    signups = build_op({
+        "op": "mapping",
+        "cols": {"start_ts": E.col("ts"),
+                 "end_ts": E.F("ts_add", E.col("ts"), 30 * 86400),
+                 "signup_id": E.col("event_id")},
+        "select": ["signup_id", "user_id", "start_ts", "end_ts"],
+    })(signups)
+    purchases = rd.read_parquet(_t(sf_dir, "events"), columns=ev_cols)
+    purchases = build_op({
+        "op": "filter", "predicate": E.col("event_type") == E.lit("purchase"),
+    })(purchases)
+    purchases = build_op({
+        "op": "select", "columns": ["event_id", "user_id", "ts"],
+    })(purchases)
+    out = build_op({
+        "op": "interval_join", "right": signups, "on": "user_id",
+        "time_col": "ts", "start_col": "start_ts", "end_col": "end_ts",
+    })(purchases)
+    return out.select_columns(["event_id", "signup_id", "user_id"])

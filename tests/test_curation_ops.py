@@ -370,3 +370,21 @@ def test_asof_join_key_without_right_rows(ray_session):
         .to_pandas().sort_values("k", ignore_index=True)
     assert out["x"].iloc[0] == 5
     assert out["x"].isna().iloc[1]
+
+
+def test_interval_join_pairs(ray_session):
+    import ray.data as rd
+
+    l = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                  "t": pa.array([5, 15, 25, 5], pa.int64())})
+    r = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "s": pa.array([0, 10, 100], pa.int64()),
+                  "e": pa.array([20, 30, 200], pa.int64()),
+                  "tag": pa.array(["a", "b", "c"])})
+    out = build_op({"op": "interval_join", "right": rd.from_arrow(r),
+                    "on": "k", "time_col": "t", "start_col": "s",
+                    "end_col": "e"})(rd.from_arrow(l)).to_pandas()
+    pairs = sorted(zip(out["t"], out["tag"]))
+    # t=5 in [0,20]; t=15 in [0,20] and [10,30]; t=25 in [10,30];
+    # key 2's t=5 matches nothing
+    assert pairs == [(5, "a"), (15, "a"), (15, "b"), (25, "b")]
