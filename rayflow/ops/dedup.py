@@ -485,3 +485,92 @@ def build_jaccard_block_pairs(*, block_col: str = "source",
         return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
 
     return apply
+
+
+# -- HyperLogLog approximate distinct count --------------------------------
+
+
+def _hll_hash64(values) -> np.ndarray:
+    """64-bit hashes of a value list: md5 prefix (python loop over the
+    UNIQUE values only — callers dictionary-encode first)."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+         for v in values],
+        dtype=np.uint64)
+
+
+def hll_registers(col: pa.ChunkedArray | pa.Array, p: int = 12) -> np.ndarray:
+    """One batch's HLL register array (2^p uint8): register index = top
+    p hash bits, value = max rank (leading-zeros-of-remainder + 1).
+    Hashing cost is bounded by the batch's UNIQUE values via
+    dictionary-encode; the register update is pure numpy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(arr) == 0:
+        return regs
+    denc = pc.dictionary_encode(arr)
+    denc = denc.combine_chunks() if isinstance(denc, pa.ChunkedArray) else denc
+    h = _hll_hash64(denc.dictionary.to_pylist())
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail bits
+    # rank = leading zeros of the remaining 64-p bits, +1
+    lz = np.zeros(len(rem), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    cur = rem.copy()
+    for r in range(64 - p):
+        top = (cur & mask) != 0
+        lz[(~top) & (lz == r)] += 1
+        cur = cur << np.uint64(1)
+        if top.all():
+            break
+    rank = lz + 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the linear-counting small-range
+    correction (64-bit hashes ⇒ no large-range correction needed)."""
+    m = len(regs)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+@register_op("approx_distinct")
+def build_approx_distinct(*, column: str, p: int = 12,
+                          out: str = "approx_distinct"):
+    """Approximate COUNT(DISTINCT column) via HyperLogLog: each batch
+    emits ONE 2^p-byte register row; registers merge by element-wise
+    max (fully mergeable sketch — the exchange carries 4 KB per batch
+    regardless of data volume, the property exact count-distinct
+    fundamentally lacks at 10^10 rows).  Standard error ≈
+    1.04/sqrt(2^p) (~1.6% at p=12).  Deterministic: md5 hashing, no
+    seeds."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers(t.column(column), p=p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in t.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+        return pa.table({
+            out: pa.array([int(round(hll_estimate(merged)))], pa.int64()),
+        })
+
+    def apply(ds):
+        partials = ds.map_batches(partial, **_PA_KW)
+        return partials.repartition(1).map_batches(
+            combine, batch_size=None, **_PA_KW)
+
+    return apply

@@ -388,3 +388,37 @@ def test_interval_join_pairs(ray_session):
     # t=5 in [0,20]; t=15 in [0,20] and [10,30]; t=25 in [10,30];
     # key 2's t=5 matches nothing
     assert pairs == [(5, "a"), (15, "a"), (15, "b"), (25, "b")]
+
+
+# -- approx_distinct (HyperLogLog) -----------------------------------------
+
+
+def test_hll_register_math():
+    from rayflow.ops.dedup import hll_estimate, hll_registers
+
+    vals = pa.array([f"v{i}" for i in range(50_000)])
+    est = hll_estimate(hll_registers(vals, p=12))
+    assert abs(est - 50_000) / 50_000 < 0.05
+
+
+def test_hll_mergeable():
+    from rayflow.ops.dedup import hll_estimate, hll_registers
+
+    a = hll_registers(pa.array([f"a{i}" for i in range(20_000)]), p=12)
+    b = hll_registers(pa.array([f"b{i}" for i in range(20_000)]), p=12)
+    dup = hll_registers(pa.array([f"a{i}" for i in range(20_000)]), p=12)
+    merged = np.maximum(a, b)
+    assert abs(hll_estimate(merged) - 40_000) / 40_000 < 0.05
+    # merging a duplicate set must not change the estimate at all
+    assert hll_estimate(np.maximum(a, dup)) == hll_estimate(a)
+
+
+def test_approx_distinct_op(ray_session):
+    import ray.data as rd
+
+    n = 30_000
+    tbl = pa.table({"u": pa.array([f"user{i % 7000}" for i in range(n)])})
+    out = build_op({"op": "approx_distinct", "column": "u"})(
+        rd.from_arrow(tbl).repartition(6)).to_pandas()
+    est = int(out["approx_distinct"].iloc[0])
+    assert abs(est - 7000) / 7000 < 0.05
