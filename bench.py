@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "curate_corpus_docs",
     "asof_latest_click_value",
     "purchases_in_signup_window",
+    "large_orders_q18",
 ]
 
 

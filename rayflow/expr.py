@@ -1269,3 +1269,27 @@ def _struct_values(a):
     vals = [[None if (c[i].as_py() is None) else c[i].as_py() for c in cols]
             for i in range(n)]
     return pa.array(vals, pa.list_(pa.string()))
+
+
+# -- unicode / text-cleaning methods ---------------------------------------
+import unicodedata as _ud
+
+
+register_fn("normalize_nfc")(_pyfall(lambda s: _ud.normalize("NFC", s)))
+register_fn("normalize_nfkc")(_pyfall(lambda s: _ud.normalize("NFKC", s)))
+register_fn("normalize_nfd")(_pyfall(lambda s: _ud.normalize("NFD", s)))
+
+
+@register_fn("remove_control_chars")
+def _remove_control_chars(a):
+    """Strip C0/C1 control characters except tab/newline/CR (the
+    standard corpus-cleaning pass)."""
+    return pc.replace_substring_regex(
+        a, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", replacement="")
+
+
+@register_fn("collapse_whitespace")
+def _collapse_whitespace(a):
+    """Runs of whitespace → one space, trimmed (C4-style cleanup)."""
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(a, r"\s+", replacement=" "))

@@ -340,9 +340,21 @@ def build_ngram_topk(*, column: str = "text", n: int = 2, k: int = 20):
                              "n_occurrences": pa.array([], pa.int64())})
         m = len(codes) - n + 1
         same = doc_idx[:m] == doc_idx[n - 1 :]
-        # combined key over n code positions (V^n fits int64 for the
-        # dictionary sizes a batch produces; fall back to strings after)
         V = np.int64(len(values) + 1)
+        if int(V) ** n >= 2 ** 62:
+            # combined int key would overflow (large n × vocab): count
+            # on materialized n-gram strings instead — exact, costlier
+            cols = [values.take(pa.array(codes[j : j + m][same], pa.int64()))
+                    for j in range(n)]
+            grams_all = pc.binary_join_element_wise(*cols, " ")
+            gt = pa.table({"ngram": grams_all}) \
+                .group_by("ngram", use_threads=False) \
+                .aggregate([([], "count_all")])
+            return pa.table({
+                "ngram": gt["ngram"],
+                "n_occurrences": pc.cast(gt["count_all"], pa.int64()),
+            })
+        # combined key over n code positions (V^n checked to fit int64)
         key = codes[:m].copy()
         for j in range(1, n):
             key = key * V + codes[j : j + m]

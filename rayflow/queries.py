@@ -1824,3 +1824,77 @@ def purchases_in_signup_window(sf_dir: str):
         "time_col": "ts", "start_col": "start_ts", "end_col": "end_ts",
     })(purchases)
     return out.select_columns(["event_id", "signup_id", "user_id"])
+
+
+@query(
+    "unicode_normalize_docs",
+    """
+    SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) AS norm
+    FROM documents
+    """,
+)
+def unicode_normalize_docs(sf_dir: str):
+    """NFC unicode normalization (corpus text canonicalization): both
+    sides append a decomposed 'e'+combining-acute and normalize — the
+    composed form must match byte-for-byte (Python unicodedata vs
+    DuckDB nfc_normalize)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"norm": E.F(
+            "normalize_nfc",
+            E.F("concat", E.col("text"), E.lit(" café")))},
+        "select": ["doc_id", "norm"],
+    })(ds)
+    return ds
+
+
+@query(
+    "large_orders_q18",
+    """
+    WITH t AS (
+      SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    SELECT c.c_name, o.o_orderkey, t.total_qty
+    FROM t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_orders_q18(sf_dir: str):
+    """TPC-H Q18 shape: grouped HAVING filter feeding a join back to
+    the fact and dimension tables.  The heavy side collapses FIRST
+    (two-phase sum per order key), the surviving key set is small, so
+    every later join broadcasts — no second fact shuffle."""
+    rd = _rd()
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+    totals = build_op({
+        "op": "group_agg", "keys": ["l_orderkey"],
+        "aggs": [("sum", "l_quantity", "total_qty")],
+    })(li)
+    totals = build_op({
+        "op": "filter", "predicate": E.col("total_qty") > 180.0,
+    })(totals)
+    totals = _round_cols(totals, ["total_qty"])
+    # surviving keys are few → materialize the small side driver-side
+    # (tiny-result exception) and broadcast it through the join chain
+    tt = pa.concat_tables(
+        totals.materialize().iter_batches(batch_size=1 << 20,
+                                          batch_format="pyarrow"))
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    orders = build_op({
+        "op": "broadcast_join", "small": tt, "how": "inner",
+        "on": ["o_orderkey"], "right_on": ["l_orderkey"],
+    })(orders)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    orders = build_op({
+        "op": "broadcast_join", "small": cust, "how": "inner",
+        "on": ["o_custkey"], "right_on": ["c_custkey"],
+    })(orders)
+    return orders.select_columns(["c_name", "o_orderkey", "total_qty"])

@@ -422,3 +422,17 @@ def test_approx_distinct_op(ray_session):
         rd.from_arrow(tbl).repartition(6)).to_pandas()
     est = int(out["approx_distinct"].iloc[0])
     assert abs(est - 7000) / 7000 < 0.05
+
+
+def test_ngram_topk_string_fallback_matches_int_path(ray_session):
+    """vocab × n big enough to overflow the combined int key must flip
+    to the string-key path and still count exactly."""
+    import ray.data as rd
+
+    # vocab ~1000 uniques, n=7: 1001^7 ≈ 1e21 > 2^62 → fallback path
+    filler = " ".join(f"w{i:03d}" for i in range(1000))
+    phrase = "alpha beta gamma delta epsilon zeta eta"
+    ds1 = rd.from_arrow(_docs([f"{phrase} {filler} {phrase}"]))
+    out = build_op({"op": "ngram_topk", "n": 7, "k": 1})(ds1).to_pandas()
+    assert out["ngram"].iloc[0] == phrase
+    assert out["n_occurrences"].iloc[0] == 2

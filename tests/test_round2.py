@@ -46,6 +46,12 @@ BLOBLANG_CASES = [
     ('this.s.catch("?")', ["x", "yy", "?"]),
     ("this.a.number() * 1.5", [1.5, 3.0, 4.5]),
     ('this.props.json_path("k")', ["5", "-2", None]),
+    # round-2b scalar batch reachable from the text syntax
+    ('this.s.trim_prefix("y")', ["x", "y", None]),
+    ('this.s.rpad(3, ".")', ["x..", "yy.", None]),
+    ('this.s.repeat_str(2)', ["xx", "yyyy", None]),
+    ('this.s.normalize_nfc()', ["x", "yy", None]),
+    ('this.s.collapse_whitespace()', ["x", "yy", None]),
 ]
 
 
