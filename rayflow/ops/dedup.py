@@ -574,3 +574,76 @@ def build_approx_distinct(*, column: str, p: int = 12,
             combine, batch_size=None, **_PA_KW)
 
     return apply
+
+
+# -- connected components over near-dup pair edges -------------------------
+
+
+def union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over an edge list → {node: component_min_node}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the canonical (smallest) id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+@register_op("connected_components")
+def build_connected_components(*, edges, node_a: str = "doc_a",
+                               node_b: str = "doc_b", id_col: str = "doc_id",
+                               out: str = "keep_id"):
+    """Canonical-representative assignment over near-duplicate PAIRS:
+    every row whose ``id_col`` belongs to a pair component gets the
+    component's smallest id as ``keep_id`` (rows in no pair keep their
+    own id) — turning a pair list into an actionable dedup plan
+    (``keep_id == id`` ⇒ keep, else drop).
+
+    Scale shape: the edge list is the OUTPUT of near-dup detection —
+    O(duplicates), orders of magnitude smaller than the corpus — so it
+    is collected once, union-found locally (linear in edges), and the
+    node→root mapping broadcast (``ray.put``) into a vectorized
+    per-batch lookup.  If a corpus ever produced an edge list too big
+    for one node, swap the local union-find for iterative min-label
+    propagation (join+groupby per round, O(component diameter) rounds);
+    the broadcast contract here stays identical."""
+    import ray
+
+    from rayflow.ops.joins import _fetch
+
+    def apply(ds):
+        et = pa.concat_tables(
+            edges.materialize().iter_batches(batch_size=1 << 20,
+                                             batch_format="pyarrow")
+        ) if hasattr(edges, "materialize") else edges
+        pair_list = list(zip(et[node_a].to_pylist(), et[node_b].to_pylist()))
+        roots = union_find_components(pair_list)
+        keys = np.array(sorted(roots), dtype=np.int64)
+        vals = np.array([roots[k] for k in keys], dtype=np.int64)
+        ref = ray.put((keys, vals))
+
+        def fn(t: pa.Table) -> pa.Table:
+            k, v = _fetch(ref, lambda x: x)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            keep = ids.astype(np.int64).copy()
+            if len(k):
+                pos = np.searchsorted(k, ids)
+                pos = np.clip(pos, 0, len(k) - 1)
+                hit = k[pos] == ids
+                keep[hit] = v[pos[hit]]
+            return t.append_column(out, pa.array(keep, pa.int64()))
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply

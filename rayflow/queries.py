@@ -1898,3 +1898,58 @@ def large_orders_q18(sf_dir: str):
         "on": ["o_custkey"], "right_on": ["c_custkey"],
     })(orders)
     return orders.select_columns(["c_name", "o_orderkey", "total_qty"])
+
+
+@query(
+    "near_dup_components",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        END AS s
+      FROM t
+    ), e0 AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CASE WHEN len(a.s) + len(b.s) = 0 THEN 1.0
+                 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            END >= 0.5
+    ), e AS (
+      SELECT da AS a, db AS b FROM e0
+      UNION ALL SELECT db, da FROM e0
+    ), reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ), lbl AS (
+      SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS keep_id
+    FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+    """,
+)
+def near_dup_components(sf_dir: str):
+    """The dedup ENDGAME: near-dup pairs → connected components →
+    per-document canonical keep_id (component minimum; singletons keep
+    themselves).  Engine: MinHash-LSH pairs (equal to the exact
+    brute force on these fixtures — proven by `minhash_near_dup`) →
+    union-find over the tiny edge list → broadcast lookup.  Oracle:
+    recursive-CTE transitive closure over the exact-Jaccard pairs."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = build_op({
+        "op": "minhash_lsh_dedup", "threshold": 0.5, "num_perm": 64,
+        "num_bands": 16, "shingle_k": 3,
+    })(ds)
+    out = build_op({
+        "op": "connected_components", "edges": edges,
+        "node_a": "doc_a", "node_b": "doc_b", "id_col": "doc_id",
+    })(ds)
+    return out.select_columns(["doc_id", "keep_id"])

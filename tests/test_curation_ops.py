@@ -436,3 +436,32 @@ def test_ngram_topk_string_fallback_matches_int_path(ray_session):
     out = build_op({"op": "ngram_topk", "n": 7, "k": 1})(ds1).to_pandas()
     assert out["ngram"].iloc[0] == phrase
     assert out["n_occurrences"].iloc[0] == 2
+
+
+# -- connected_components --------------------------------------------------
+
+
+def test_union_find_components():
+    from rayflow.ops.dedup import union_find_components
+
+    roots = union_find_components([(5, 3), (3, 9), (20, 21), (9, 1)])
+    g = lambda n: roots.get(n, n)  # roots themselves carry no entry
+    assert g(5) == g(3) == g(9) == g(1) == 1
+    assert g(20) == g(21) == 20
+
+
+def test_connected_components_op(ray_session):
+    import ray.data as rd
+
+    docs = pa.table({"doc_id": pa.array(range(10), pa.int64())})
+    edges = pa.table({"doc_a": pa.array([2, 3, 7], pa.int64()),
+                      "doc_b": pa.array([3, 8, 9], pa.int64())})
+    out = build_op({
+        "op": "connected_components", "edges": rd.from_arrow(edges),
+    })(rd.from_arrow(docs)).to_pandas().sort_values("doc_id",
+                                                    ignore_index=True)
+    keep = dict(zip(out["doc_id"], out["keep_id"]))
+    assert keep[2] == keep[3] == keep[8] == 2      # chain 2-3-8
+    assert keep[7] == keep[9] == 7
+    for i in (0, 1, 4, 5, 6):
+        assert keep[i] == i                        # singletons keep self
