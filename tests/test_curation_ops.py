@@ -465,3 +465,25 @@ def test_connected_components_op(ray_session):
     assert keep[7] == keep[9] == 7
     for i in (0, 1, 4, 5, 6):
         assert keep[i] == i                        # singletons keep self
+
+
+def test_curation_ops_from_yaml_config(ray_session):
+    """The curation plane is reachable from the declarative config
+    surface (a user can run a quality-filter pipeline from YAML)."""
+    from rayflow.pipeline import from_yaml
+
+    p = from_yaml("""
+input:
+  op: read_parquet
+  paths: /root/testdata/sf0.001/documents.parquet
+  columns: [doc_id, text]
+steps:
+  - op: gopher_quality
+  - op: filter
+    predicate: [ge, [col, n_words], [lit, 10]]
+  - op: pii_redact
+  - op: token_count
+""")
+    out = p.run().to_pandas()
+    assert len(out) > 100
+    assert {"doc_id", "n_words", "dup_word_frac", "n_tokens"} <= set(out.columns)
