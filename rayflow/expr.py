@@ -1293,3 +1293,64 @@ def _collapse_whitespace(a):
     """Runs of whitespace → one space, trimmed (C4-style cleanup)."""
     return pc.utf8_trim_whitespace(
         pc.replace_substring_regex(a, r"\s+", replacement=" "))
+
+
+# -- final parity batch: yaml, list builders, extra casts -------------------
+
+
+@register_fn("parse_yaml")
+def _parse_yaml(a):
+    """YAML document string → struct/value column (the reference's
+    parse_yaml; PyYAML safe_load per row — YAML has no Arrow kernel)."""
+    import yaml as _yaml
+
+    return _pyfall(lambda s: _yaml.safe_load(s))(a)
+
+
+@register_fn("format_yaml")
+def _format_yaml(a):
+    import yaml as _yaml
+
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return pa.array(
+        [None if v is None else _yaml.safe_dump(v, default_flow_style=True).strip()
+         for v in arr.to_pylist()],
+        pa.string())
+
+
+@register_fn("list_append")
+def _list_append(a, v):
+    """Append a scalar to every list (Bloblang ``append``): reuses the
+    element-wise list_concat against a constant one-element list."""
+    val = v.as_py() if isinstance(v, pa.Scalar) else v
+    arr = _list_arr(a)
+    ones = pa.array([[val]] * len(arr), arr.type)
+    return _list_concat(arr, ones)
+
+
+@register_fn("list_zip")
+def _list_zip(a, b):
+    """Element-wise zip of two list columns → list of 2-field structs
+    (pairs truncated to the shorter list, Python-zip semantics)."""
+    aa, bb = _list_arr(a), _list_arr(b)
+    out = []
+    for x, y in zip(aa.to_pylist(), bb.to_pylist()):
+        if x is None or y is None:
+            out.append(None)
+        else:
+            out.append([{"left": l, "right": r} for l, r in zip(x, y)])
+    return pa.array(out)
+
+
+for _name, _type in [
+    ("int16", pa.int16()),
+    ("int8", pa.int8()),
+    ("uint8", pa.uint8()),
+    ("uint16", pa.uint16()),
+    ("uint32", pa.uint32()),
+    ("uint64", pa.uint64()),
+]:
+    register_fn(_name)(lambda a, t=_type: pc.cast(a, t, safe=False))
+
+register_fn("round_down")(pc.floor)
+register_fn("round_up")(pc.ceil)

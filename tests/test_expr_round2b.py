@@ -117,3 +117,25 @@ def test_struct_keys_values():
 def test_parse_duration_rejects_garbage():
     with pytest.raises(ValueError):
         E.F("parse_duration", E.lit("not a duration")).eval(T)
+
+
+def test_parse_yaml_and_list_builders():
+    t = pa.table({
+        "y": pa.array(["a: 1", "b: [1, 2]"]),
+        "l1": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+        "l2": pa.array([[9], [8, 7]], pa.list_(pa.int64())),
+    })
+    y = E.F("parse_yaml", E.col("y")).eval(t).to_pylist()
+    assert y[0]["a"] == 1 and y[1]["b"] == [1, 2]
+    ap = E.F("list_append", E.col("l1"), E.lit(7)).eval(t).to_pylist()
+    assert ap == [[1, 2, 7], [3, 7]]
+    z = E.F("list_zip", E.col("l1"), E.col("l2")).eval(t).to_pylist()
+    assert z == [[{"left": 1, "right": 9}], [{"left": 3, "right": 8}]]
+
+
+def test_extra_casts_and_round_aliases():
+    t = pa.table({"f": pa.array([250.9, -1.2], pa.float64())})
+    assert E.F("uint8", E.lit(200)).eval(t).as_py() == 200
+    assert E.F("int16", E.lit(1000)).eval(t).as_py() == 1000
+    assert E.F("round_down", E.col("f")).eval(t).to_pylist() == [250.0, -2.0]
+    assert E.F("round_up", E.col("f")).eval(t).to_pylist() == [251.0, -1.0]
