@@ -192,19 +192,29 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
 @register_op("asof_join")
 def build_asof_join(*, right, on: str, time_col: str,
                     direction: str = "backward", suffix: str = "_r",
-                    num_partitions: int | None = None):
+                    num_partitions: int | None = None,
+                    strategy: str = "auto",
+                    broadcast_bytes_limit: int = 64 << 20):
     """As-of join — each left row picks the right row with the latest
     ``time_col`` ≤ its own (``direction="backward"``; ``"forward"`` =
     earliest ≥) within the same ``on`` key.  The enrichment shape Ray
     Data has no primitive for (DuckDB: ``ASOF JOIN``): events joined to
     the dimension state that was current when they happened.
 
-    Ray-native plan: tag both sides, align schemas (missing columns are
-    typed nulls), union, then ONE hash exchange —
-    ``groupby(on).map_groups`` co-locates each key's rows, and the
-    pandas ``merge_asof`` runs locally per key.  Partitioning
-    assumption (documented, as for every keyed group op): a single
-    key's rows fit one worker; salt hot keys upstream if not.
+    Two plans, picked by ``strategy`` (same planner rule as
+    sharded_join):
+
+    - **broadcast** (``"auto"`` when the right side fits
+      ``broadcast_bytes_limit``): the right side — typically the small,
+      dim-like "state history" — is sorted per key once, broadcast via
+      ``ray.put``, and every left batch resolves with per-key binary
+      searches.  ZERO exchanges; the left side never moves.
+    - **shuffle** (``"shuffle"``, or auto when the right side is big):
+      tag both sides, align schemas (missing columns are typed nulls),
+      union, then ONE hash exchange — ``groupby(on).map_groups``
+      co-locates each key's rows and pandas ``merge_asof`` runs
+      locally.  Partitioning assumption: a single key's rows fit one
+      worker; salt hot keys upstream if not.
 
     Ties on equal ``time_col`` within a key resolve to the LAST right
     row in (time, original-order); pre-dedupe the right side on
@@ -214,6 +224,63 @@ def build_asof_join(*, right, on: str, time_col: str,
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: bad direction {direction!r}")
+
+    def apply_broadcast(ds, rt_small: pa.Table, ren, out_right):
+        import ray
+
+        rt_small = rt_small.rename_columns(
+            [ren[c] for c in rt_small.column_names])
+        right_names = list(out_right)
+
+        def derive(tbl: pa.Table):
+            df = tbl.to_pandas().sort_values([on, time_col], kind="stable")
+            index: dict = {}
+            for key, g in df.groupby(on, sort=False):
+                index[key] = (g[time_col].to_numpy(),
+                              g[right_names].reset_index(drop=True))
+            return index
+
+        ref = ray.put(rt_small)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            idx = _fetch(ref, derive)
+            keys = batch.column(on).to_numpy(zero_copy_only=False)
+            times = batch.column(time_col).to_numpy(zero_copy_only=False)
+            n = batch.num_rows
+            pick = np.full(n, -1, dtype=np.int64)  # row within key group
+            out_cols = {}
+            # resolve per distinct key in the batch: one vectorized
+            # searchsorted per key over that key's sorted right times
+            import pandas as pd
+
+            for key in pd.unique(keys):
+                sel = np.flatnonzero(keys == key)
+                hit = idx.get(key)
+                if hit is None:
+                    continue
+                rt_times, rows = hit
+                if direction == "backward":
+                    pos = np.searchsorted(rt_times, times[sel], side="right") - 1
+                else:
+                    pos = np.searchsorted(rt_times, times[sel], side="left")
+                    pos[pos >= len(rt_times)] = -1
+                valid = pos >= 0
+                # stash gathered right values per output column
+                for c in right_names:
+                    col = out_cols.setdefault(
+                        c, np.full(n, None, dtype=object))
+                    vals = rows[c].to_numpy()
+                    col[sel[valid]] = vals[pos[valid]]
+            t = batch
+            for c in right_names:
+                vals = out_cols.get(c, np.full(n, None, dtype=object))
+                t = t.append_column(
+                    c, pa.array(list(vals), type=out_right[c]))
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
 
     def apply(ds):
         left_schema = ds.schema()
@@ -227,6 +294,13 @@ def build_asof_join(*, right, on: str, time_col: str,
         out_right = {ren[c]: t for c, t in right_cols.items()
                      if c not in (on, time_col)}
         all_cols = {**left_cols, **out_right}
+
+        if strategy == "auto":
+            rm = right.materialize()
+            if (rm.size_bytes() or 0) <= broadcast_bytes_limit:
+                small = pa.concat_tables(rm.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"))
+                return apply_broadcast(ds, small, ren, out_right)
 
         def _align(tag):
             def fn(t: pa.Table) -> pa.Table:

@@ -487,3 +487,27 @@ steps:
     out = p.run().to_pandas()
     assert len(out) > 100
     assert {"doc_id", "n_words", "dup_word_frac", "n_tokens"} <= set(out.columns)
+
+
+def test_asof_join_shuffle_and_broadcast_agree(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    l = pa.table({
+        "k": pa.array(rng.integers(0, 5, 200), pa.int64()),
+        "t": pa.array(rng.integers(0, 1000, 200), pa.int64()),
+        "v": pa.array(np.arange(200), pa.int64()),
+    })
+    rr = pa.table({
+        "k": pa.array(rng.integers(0, 5, 50), pa.int64()),
+        "t": pa.array(np.sort(rng.choice(1000, 50, replace=False)), pa.int64()),
+        "price": pa.array(np.arange(50) * 10, pa.int64()),
+    })
+    kw = {"op": "asof_join", "on": "k", "time_col": "t"}
+    a = build_op({**kw, "right": rd.from_arrow(rr), "strategy": "auto"})(
+        rd.from_arrow(l)).to_pandas().sort_values(["k", "t", "v"],
+                                                  ignore_index=True)
+    b = build_op({**kw, "right": rd.from_arrow(rr), "strategy": "shuffle"})(
+        rd.from_arrow(l)).to_pandas().sort_values(["k", "t", "v"],
+                                                  ignore_index=True)
+    assert a["price"].fillna(-1).tolist() == b["price"].fillna(-1).tolist()
