@@ -27,6 +27,17 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("--num-partitions", type=int, default=32)
     rep.add_argument("--bands-per-commit", type=int, default=1)
     rep.add_argument("--num-cpus", type=int, default=None)
+    tl = sub.add_parser("tail", help="continuously apply new change-log "
+                                     "bands as they land (daemon mode)")
+    tl.add_argument("log_dir")
+    tl.add_argument("lake_dir")
+    tl.add_argument("--num-partitions", type=int, default=32)
+    tl.add_argument("--bands-per-commit", type=int, default=1)
+    tl.add_argument("--poll-interval", type=float, default=1.0)
+    tl.add_argument("--idle-rounds", type=int, default=1_000_000_000,
+                    help="stop after N consecutive empty polls "
+                         "(default: effectively forever)")
+    tl.add_argument("--num-cpus", type=int, default=None)
     ver = sub.add_parser("verify-lake",
                          help="check a lake's final state against a DuckDB "
                               "LWW oracle over the raw change log")
@@ -113,6 +124,24 @@ def main(argv: list[str] | None = None) -> int:
             report = audit_lake(args.log_dir, args.lake_dir)
             print(json.dumps(report))
             return 0 if report["match"] else 1
+        elif args.cmd == "tail":
+            from rayflow.cdc import CdcEngine
+
+            engine = CdcEngine(args.lake_dir, num_partitions=args.num_partitions)
+            stats = engine.tail(
+                args.log_dir, bands_per_commit=args.bands_per_commit,
+                poll_interval=args.poll_interval,
+                idle_rounds=args.idle_rounds,
+                on_round=lambda s: print(json.dumps({
+                    "bands_applied": s.bands_applied,
+                    "n_events": s.n_events,
+                    "wall_s": round(s.wall_s, 3)}), flush=True))
+            print(json.dumps({
+                "bands_applied": stats.bands_applied,
+                "n_events": stats.n_events,
+                "wall_s": round(stats.wall_s, 3),
+                "committed_lsn": engine.manifest.committed_lsn,
+            }))
         elif args.cmd == "replay":
             from rayflow.cdc import CdcEngine
 

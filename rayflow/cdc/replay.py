@@ -311,6 +311,52 @@ class CdcEngine:
 
     # -- maintenance -------------------------------------------------------
 
+    def tail(self, log_dir: str, *, poll_interval: float = 0.25,
+             idle_rounds: int = 3, max_rounds: int | None = None,
+             bands_per_commit: int = 1, mode: str = "streaming",
+             on_round=None) -> ReplayStats:
+        """Continuous incremental apply — the reference's daemon loop
+        (``benthos -c`` runs forever; here bounded for testability).
+
+        Poll ``log_dir`` for bands past the committed watermark; when
+        new bands exist, :meth:`replay` them (same exactly-once
+        commit); when none do, sleep ``poll_interval``.  Stop after
+        ``idle_rounds`` consecutive empty polls (a live deployment
+        would pass ``idle_rounds=None``-like large values / supervise
+        externally) or ``max_rounds`` total polls.  Crash-safe at every
+        point: state lives in the manifest, so a killed tailer resumes
+        exactly like a killed replay.
+
+        Returns aggregate stats across all apply rounds; ``on_round``
+        (if given) is called with each round's ReplayStats.
+        """
+        from rayflow.cdc.source import list_bands as _lb
+
+        total = ReplayStats()
+        idle = 0
+        rounds = 0
+        while True:
+            rounds += 1
+            if max_rounds is not None and rounds > max_rounds:
+                break
+            pending = _lb(log_dir, after_lsn=self.manifest.committed_lsn)
+            if not pending:
+                idle += 1
+                if idle >= idle_rounds:
+                    break
+                time.sleep(poll_interval)
+                continue
+            idle = 0
+            st = self.replay(log_dir, bands_per_commit=bands_per_commit,
+                             mode=mode)
+            total.bands_applied += st.bands_applied
+            total.n_events += st.n_events
+            total.wall_s += st.wall_s
+            total.lineage.extend(st.lineage)
+            if on_round is not None:
+                on_round(st)
+        return total
+
     def compact(self) -> int:
         """Rewrite every live partition at the current unified lake
         schema (folds pre-evolution files forward) and bump their state

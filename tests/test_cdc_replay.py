@@ -7,6 +7,9 @@ equality under stable ``(conv_id, turn_idx)`` ordering.
 
 from __future__ import annotations
 
+import os
+import time
+
 import pandas as pd
 import pytest
 
@@ -184,3 +187,44 @@ def test_read_conversation_point_lookup(changelog, tmp_path):
     # unknown conversation -> empty, correct schema
     empty = read_conversation(e, "convNOPE")
     assert empty.num_rows == 0 and "conv_id" in empty.schema.names
+
+
+def test_tail_applies_bands_as_they_arrive(ray_session, tmp_path):
+    """Daemon-mode tail: bands landing while the tailer runs are picked
+    up by later polls; the final lake equals a one-shot full replay."""
+    import shutil
+    import threading
+
+    from rayflow.cdc import CdcEngine, ChangeLogSpec, generate_changelog
+    from rayflow.cdc.oracle import lww_oracle, read_changelog_pandas
+
+    full = str(tmp_path / "log-full")
+    live = str(tmp_path / "log-live")
+    generate_changelog(full, ChangeLogSpec(n_convs=120, n_bands=4, seed=21))
+    os.makedirs(live)
+    bands = sorted(os.listdir(full))
+    assert len(bands) == 4
+    for b in bands[:2]:
+        shutil.copytree(os.path.join(full, b), os.path.join(live, b))
+
+    def feeder():
+        # land the remaining bands while the tailer is running
+        time.sleep(1.0)
+        for b in bands[2:]:
+            shutil.copytree(os.path.join(full, b), os.path.join(live, b))
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=4)
+    rounds = []
+    stats = eng.tail(live, poll_interval=0.3, idle_rounds=4,
+                     on_round=lambda s: rounds.append(s.bands_applied))
+    t.join()
+    assert stats.bands_applied == 4
+    assert len(rounds) >= 2           # the late bands came in a later round
+    got = eng.final_table().to_pandas()
+    want = lww_oracle(read_changelog_pandas(full))
+    cols = sorted(set(got.columns) & set(want.columns))
+    a = got[cols].sort_values(cols, ignore_index=True)
+    b = want[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
