@@ -603,26 +603,112 @@ def union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
 @register_op("connected_components")
 def build_connected_components(*, edges, node_a: str = "doc_a",
                                node_b: str = "doc_b", id_col: str = "doc_id",
-                               out: str = "keep_id"):
+                               out: str = "keep_id", mode: str = "broadcast",
+                               max_iters: int = 50):
     """Canonical-representative assignment over near-duplicate PAIRS:
     every row whose ``id_col`` belongs to a pair component gets the
     component's smallest id as ``keep_id`` (rows in no pair keep their
     own id) — turning a pair list into an actionable dedup plan
     (``keep_id == id`` ⇒ keep, else drop).
 
-    Scale shape: the edge list is the OUTPUT of near-dup detection —
-    O(duplicates), orders of magnitude smaller than the corpus — so it
-    is collected once, union-found locally (linear in edges), and the
-    node→root mapping broadcast (``ray.put``) into a vectorized
-    per-batch lookup.  If a corpus ever produced an edge list too big
-    for one node, swap the local union-find for iterative min-label
-    propagation (join+groupby per round, O(component diameter) rounds);
-    the broadcast contract here stays identical."""
+    Two scale shapes, picked by ``mode``:
+
+    - ``"broadcast"`` (default): the edge list is the OUTPUT of
+      near-dup detection — O(duplicates), orders of magnitude smaller
+      than the corpus — so it is collected once, union-found locally
+      (linear in edges), and the node→root mapping broadcast
+      (``ray.put``) into a vectorized per-batch lookup.
+    - ``"propagate"``: fully distributed iterative min-label
+      propagation for edge lists too big for one node: each round
+      ships every node's current label across its edges (two sharded
+      joins + one keyed min-reduce), converging in O(component
+      diameter) rounds; convergence is detected by the global label
+      sum (labels only decrease), one tiny aggregate per round.  The
+      final node→label table joins back to the corpus with a sharded
+      join — nothing is ever collected to the driver.
+
+    Both modes produce identical assignments (property-tested).
+    """
     import ray
 
     from rayflow.ops.joins import _fetch
 
+    def apply_propagate(ds):
+        import ray.data as rd
+
+        from rayflow.ops import build_op
+
+        def edge_table(t: pa.Table) -> pa.Table:
+            # both directions: each edge lets the label flow both ways
+            a = t.column(node_a)
+            b = t.column(node_b)
+            return pa.table({
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            })
+
+        dir_edges = edges.map_batches(edge_table, **_PA_KW).materialize()
+        init = dir_edges.map_batches(
+            lambda t: pa.table({"src": t["src"], "label": t["src"]}),
+            **_PA_KW)
+        labels = build_op({
+            "op": "group_agg", "keys": ["src"],
+            "aggs": [("min", "label", "label")],
+        })(init).materialize()  # (src, label=src): nodes appearing in edges
+
+        def label_sum(lds) -> int:
+            # convergence probe: labels only decrease, so the global sum
+            # is a fixpoint detector — one tiny streaming aggregate
+            tot = 0
+            for bt in lds.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+                tot += pc.sum(bt["label"]).as_py() or 0
+            return tot
+
+        prev = label_sum(labels)
+        for _ in range(max_iters):
+            flowed = build_op({
+                "op": "sharded_join", "right": labels,
+                "on": ["src"], "right_on": ["src"], "how": "inner",
+                "num_partitions": 8,
+            })(dir_edges)
+            # candidate label for dst = label of src; keep own label too
+            cand = flowed.map_batches(
+                lambda t: pa.table({"src": t["dst"], "label": t["label"]}),
+                **_PA_KW,
+            ).union(labels.map_batches(
+                lambda t: pa.table({"src": t["src"], "label": t["label"]}),
+                **_PA_KW))
+            labels = build_op({
+                "op": "group_agg", "keys": ["src"],
+                "aggs": [("min", "label", "label")],
+            })(cand).materialize()
+            cur = label_sum(labels)
+            if cur == prev:
+                break
+            prev = cur
+
+        relabel = labels.map_batches(
+            lambda t: pa.table({"__cc_node": t["src"],
+                                "__cc_label": t["label"]}), **_PA_KW)
+        joined = build_op({
+            "op": "sharded_join", "right": relabel,
+            "on": [id_col], "right_on": ["__cc_node"], "how": "left_outer",
+            "num_partitions": 8,
+        })(ds)
+
+        def finish(t: pa.Table) -> pa.Table:
+            lab = pc.coalesce(pc.cast(t["__cc_label"], pa.int64()),
+                              pc.cast(t[id_col], pa.int64()))
+            t = t.append_column(out, lab)
+            return t.drop_columns([c for c in ("__cc_label", "__cc_node")
+                                   if c in t.column_names])
+
+        return joined.map_batches(finish, **_PA_KW)
+
     def apply(ds):
+        if mode == "propagate":
+            return apply_propagate(ds)
         et = pa.concat_tables(
             edges.materialize().iter_batches(batch_size=1 << 20,
                                              batch_format="pyarrow")

@@ -511,3 +511,24 @@ def test_asof_join_shuffle_and_broadcast_agree(ray_session):
         rd.from_arrow(l)).to_pandas().sort_values(["k", "t", "v"],
                                                   ignore_index=True)
     assert a["price"].fillna(-1).tolist() == b["price"].fillna(-1).tolist()
+
+
+def test_connected_components_propagate_matches_broadcast(ray_session):
+    """The distributed min-label-propagation path must agree with the
+    broadcast union-find on a random multi-component graph."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n = 60
+    docs = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ea = rng.integers(0, n, 40)
+    eb = rng.integers(0, n, 40)
+    edges = pa.table({"doc_a": pa.array(ea, pa.int64()),
+                      "doc_b": pa.array(eb, pa.int64())})
+    a = build_op({"op": "connected_components",
+                  "edges": rd.from_arrow(edges)})(rd.from_arrow(docs)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    b = build_op({"op": "connected_components", "mode": "propagate",
+                  "edges": rd.from_arrow(edges)})(rd.from_arrow(docs)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a["keep_id"].tolist() == b["keep_id"].tolist()
