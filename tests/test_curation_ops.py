@@ -532,3 +532,22 @@ def test_connected_components_propagate_matches_broadcast(ray_session):
                   "edges": rd.from_arrow(edges)})(rd.from_arrow(docs)) \
         .to_pandas().sort_values("doc_id", ignore_index=True)
     assert a["keep_id"].tolist() == b["keep_id"].tolist()
+
+
+def test_group_hll_per_key_error_bound(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    n = 40_000
+    grp = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    # group a: ~5000 distinct, group b: ~500 distinct
+    vals = np.where(grp == "a", rng.integers(0, 5000, n),
+                    rng.integers(0, 500, n))
+    tbl = pa.table({"g": pa.array(grp), "u": pa.array(vals, pa.int64())})
+    out = build_op({"op": "group_hll", "keys": ["g"], "column": "u"})(
+        rd.from_arrow(tbl).repartition(5)).to_pandas().set_index("g")
+    import pandas as pd
+    exact = pd.DataFrame({"g": grp, "u": vals}).groupby("g")["u"].nunique()
+    for g in ("a", "b"):
+        rel = abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g]
+        assert rel < 0.06, (g, out.loc[g, "approx_distinct"], exact[g])
