@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>\|\||&&|==|!=|<=|>=|[|<>=+\-*/%!().,])
+  | (?P<op>\|\||&&|==|!=|<=|>=|[|<>=+\-*/%!().,@])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
 """, re.VERBOSE)
 
@@ -215,6 +215,13 @@ class _Parser:
             node = self.expr()
             self.expect(")")
             return node
+        if val == "@":
+            # metadata read: ``@key`` — metadata lives in ``_meta_*``
+            # columns (the columnar analogue of per-message metadata)
+            k2, field = self.next()
+            if k2 != "ident":
+                raise SyntaxError("bloblang: expected key after '@'")
+            return E.col(f"_meta_{field}")
         if kind == "int":
             return E.lit(int(val))
         if kind == "float":
@@ -234,7 +241,20 @@ class _Parser:
             if val == "null":
                 return E.lit(None)
             if self.peek()[1] == "(":
+                if val == "meta":
+                    # meta("key") → the _meta_key column (read side)
+                    self.expect("(")
+                    k2, s = self.next()
+                    if k2 != "str":
+                        raise SyntaxError('bloblang: meta("key") takes a '
+                                          'string literal')
+                    self.expect(")")
+                    return E.col(f"_meta_{s[1:-1]}")
                 args = self.call_args()
+                if val == "error":
+                    return E.col("_error")
+                if val == "errored":
+                    return E.F("not_null", E.col("_error"))
                 if val == "if":
                     if len(args) != 3:
                         raise SyntaxError("bloblang: if(cond, then, else)")
@@ -258,10 +278,13 @@ def parse_expr(src: str) -> E.Expr:
 
 
 _ASSIGN_RE = re.compile(r"^\s*root\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$")
+_META_ASSIGN_RE = re.compile(r"^\s*meta\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$")
 
 
 def parse_program(src: str) -> dict[str, Any]:
-    """Parse a mapping program: one ``root.<name> = <expr>`` per line.
+    """Parse a mapping program: one ``root.<name> = <expr>`` or
+    ``meta <key> = <expr>`` per line (metadata assignments target the
+    ``_meta_<key>`` column — read back with ``@key`` / ``meta("key")``).
 
     Returns an ordered ``{column: Expr | DELETED}`` dict (DELETED marks
     ``deleted()`` assignments — the column is dropped)."""
@@ -272,6 +295,12 @@ def parse_program(src: str) -> dict[str, Any]:
             continue
         m = _ASSIGN_RE.match(line)
         if not m:
+            mm = _META_ASSIGN_RE.match(line)
+            if mm:
+                m = mm
+                name, rhs = f"_meta_{mm.group(1)}", mm.group(2)
+                out[name] = parse_expr(rhs)
+                continue
             raise SyntaxError(
                 f"bloblang line {lineno}: expected 'root.<name> = <expr>', "
                 f"got {line!r}")

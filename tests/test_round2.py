@@ -639,3 +639,22 @@ def test_audit_lake_on_evolved_log(ray_session, tmp_path):
     report = audit_lake(log, str(tmp_path / "lake"))
     assert report["match"], report
     assert report["lake_rows"] > 0
+
+
+def test_bloblang_metadata_and_error():
+    t = pa.table({
+        "x": pa.array([1, 2], pa.int64()),
+        "_meta_topic": pa.array(["a", "b"]),
+        "_error": pa.array([None, "boom"], pa.string()),
+    })
+    assert parse_expr('@topic').eval(t).to_pylist() == ["a", "b"]
+    assert parse_expr('meta("topic")').eval(t).to_pylist() == ["a", "b"]
+    assert parse_expr('error()').eval(t).to_pylist() == [None, "boom"]
+    assert parse_expr('errored()').eval(t).to_pylist() == [False, True]
+    prog = parse_program('''
+meta route = this.x.string()
+root.y = @topic
+''')
+    assert "_meta_route" in prog
+    assert prog["_meta_route"].eval(t).to_pylist() == ["1", "2"]
+    assert prog["y"].eval(t).to_pylist() == ["a", "b"]
