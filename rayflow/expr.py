@@ -987,12 +987,10 @@ def _trim_suffix(a, suf):
     s = suf.as_py() if isinstance(suf, pa.Scalar) else suf
     arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
     has = pc.ends_with(arr, s)
-    n = pc.utf8_length(arr)
-    # slice stop must be per-row: fall back to reverse+slice trick —
-    # reverse, cut len(s) from the front, reverse back
+    # slice stop must be per-row: reverse, cut len(s) from the front,
+    # reverse back
     cut = pc.utf8_reverse(
         pc.utf8_slice_codeunits(pc.utf8_reverse(arr), len(s), 2**31 - 1))
-    del n
     return pc.if_else(has, cut, arr)
 
 
@@ -1169,49 +1167,63 @@ def _list_reverse(a):
     return _rebuild_list(arr, taken)
 
 
+def _intra(lens: np.ndarray) -> np.ndarray:
+    """0..len-1 within each run: [2,0,3] → [0,1, 0,1,2]."""
+    total = int(lens.sum())
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
 @register_fn("list_concat")
 def _list_concat(a, b):
     """Element-wise list concatenation (Bloblang ``concat``/``append``):
-    one gather each side, interleaved by per-row lengths."""
+    one gather each side, interleaved by per-row lengths.  A row where
+    EITHER input list is null is null (and contributes no elements —
+    null offsets would silently shift neighbors' boundaries)."""
     aa, bb = _list_arr(a), _list_arr(b)
     fa, fb = pc.list_flatten(aa), pc.list_flatten(bb)
     la = pc.fill_null(pc.list_value_length(aa), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     lb = pc.fill_null(pc.list_value_length(bb), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    oa = np.concatenate(([0], np.cumsum(la)))
-    ob = np.concatenate(([0], np.cumsum(lb)))
-    # gather order: row0 of a, row0 of b, row1 of a, ...
-    idx_a = np.arange(oa[-1], dtype=np.int64)
-    idx_b = np.arange(ob[-1], dtype=np.int64) + oa[-1]
+    null_row = (pc.is_null(aa).to_numpy(zero_copy_only=False)
+                | pc.is_null(bb).to_numpy(zero_copy_only=False))
+    # fa/fb hold the elements of each side's NON-null rows (la/lb
+    # describe that layout); a row nulled by the other side keeps its
+    # elements in flat but must contribute none to the output
+    la_eff = np.where(null_row, 0, la)
+    lb_eff = np.where(null_row, 0, lb)
+    oa = np.concatenate(([0], np.cumsum(la)))[:-1]
+    ob = np.concatenate(([0], np.cumsum(lb)))[:-1]
+    src_a = np.repeat(oa, la_eff) + _intra(la_eff)
+    src_b = np.repeat(ob, lb_eff) + _intra(lb_eff) + int(la.sum())
+    out_off = np.concatenate(([0], np.cumsum(la_eff + lb_eff)))
+    a_dst = np.repeat(out_off[:-1], la_eff) + _intra(la_eff)
+    b_dst = np.repeat(out_off[:-1] + la_eff, lb_eff) + _intra(lb_eff)
+    order = np.empty(out_off[-1], dtype=np.int64)
+    order[a_dst] = src_a
+    order[b_dst] = src_b
     flat_all = pa.concat_arrays([
         fa.combine_chunks() if isinstance(fa, pa.ChunkedArray) else fa,
         fb.combine_chunks() if isinstance(fb, pa.ChunkedArray) else fb])
-    order = np.empty(oa[-1] + ob[-1], dtype=np.int64)
-    out_off = np.concatenate(([0], np.cumsum(la + lb)))
-    for_rows = np.arange(len(la))
-    # vectorized scatter of both sides' flat ranges into the output
-    a_dst = np.repeat(out_off[:-1], la) + (idx_a - np.repeat(oa[:-1], la))
-    b_dst = np.repeat(out_off[:-1] + la, lb) + (
-        np.arange(ob[-1], dtype=np.int64) - np.repeat(ob[:-1], lb))
-    order[a_dst] = idx_a
-    order[b_dst] = idx_b
-    del for_rows
-    taken = flat_all.take(pa.array(order, pa.int64())) if len(order) else flat_all
-    # a null offset entry marks that list slot null: a row is null when
-    # either input list is null
-    null_row = (pc.is_null(aa).to_numpy(zero_copy_only=False)
-                | pc.is_null(bb).to_numpy(zero_copy_only=False))
-    offsets = out_off.astype(object)
-    for i in np.flatnonzero(null_row):
-        offsets[i] = None
-    return pa.ListArray.from_arrays(pa.array(list(offsets), pa.int32()), taken)
+    taken = flat_all.take(pa.array(order, pa.int64()))
+    return pa.ListArray.from_arrays(
+        pa.array(out_off.astype(np.int32), pa.int32()), taken,
+        mask=pa.array(null_row) if null_row.any() else None)
 
 
 def _list_bool_fold(a, ufunc, empty_val):
     arr = _list_arr(a)
     flat = pc.list_flatten(arr)
-    vals = flat.to_numpy(zero_copy_only=False).astype(bool)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    # null ELEMENTS are skipped (SQL aggregate semantics — the previous
+    # numpy cast made nulls type-dependent: NaN→True in float lists,
+    # False in bool lists): any() masks them False, all() masks True
+    elem_valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+    raw = pc.fill_null(pc.cast(flat, pa.bool_(), safe=False),
+                       False).to_numpy(zero_copy_only=False).astype(bool)
+    vals = (raw & elem_valid) if ufunc is np.logical_or \
+        else (raw | ~elem_valid)
     lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
     valid = ~np.isnan(lens.astype(np.float64))
     lens_i = np.nan_to_num(lens.astype(np.float64), nan=0).astype(np.int64)

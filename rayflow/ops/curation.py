@@ -277,11 +277,13 @@ def build_decontaminate(*, bench, column: str = "text",
     import ray
 
     if mode == "substring":
-        snips = sorted({b[:snip_len] for b in bench if len(b) >= snip_len})
+        snips = sorted({b[:snip_len] for b in bench
+                        if b is not None and len(b) >= snip_len})
         payload = ray.put(tuple(snips))
     elif mode == "ngram":
         hashes: set = set()
-        bt = pa.table({"text": pa.array(list(bench), pa.string())})
+        bt = pa.table({"text": pa.array(
+            [b for b in bench if b is not None], pa.string())})
         codes, didx, values, nd = _tokenize_codes(bt, "text")
         h, _ = _ngram_hashes(codes, didx, n, nd, values)
         hashes.update(h.tolist())
@@ -417,7 +419,7 @@ def build_stratified_sample(*, keys: list[str], n: int, id_col: str,
 
         df = t.to_pandas()
         df = (df.sort_values([hash_col, id_col])
-                .groupby(list(keys), sort=False).head(n))
+                .groupby(list(keys), sort=False, dropna=False).head(n))
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def partial(t: pa.Table) -> pa.Table:

@@ -260,9 +260,9 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
         # bands landing in different buckets): driver numpy dedup while
         # the pair list is metadata-sized, distributed groupby otherwise
         if n_raw <= driver_pair_limit:
-            pt = pa.concat_tables(
-                raw_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-            )
+            from rayflow.ops.kernels import collect_table
+
+            pt = collect_table(raw_pairs)
             ab = np.stack([pt["doc_a"].to_numpy(), pt["doc_b"].to_numpy()], axis=1)
             ab = np.unique(ab, axis=0)
             pairs = rd.from_arrow(pa.table({
@@ -322,7 +322,10 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
             key = tuple(r.hex() for r in blocks)
 
             def build_index(_):
-                tbl = pa.concat_tables(ray.get(list(blocks)))
+                got = ray.get(list(blocks))
+                if not got:
+                    return {}
+                tbl = pa.concat_tables(got)
                 return dict(zip(tbl[id_col].to_pylist(), tbl["sh"].to_pylist()))
 
             def verify_bcast(t: pa.Table) -> pa.Table:
@@ -709,10 +712,10 @@ def build_connected_components(*, edges, node_a: str = "doc_a",
     def apply(ds):
         if mode == "propagate":
             return apply_propagate(ds)
-        et = pa.concat_tables(
-            edges.materialize().iter_batches(batch_size=1 << 20,
-                                             batch_format="pyarrow")
-        ) if hasattr(edges, "materialize") else edges
+        from rayflow.ops.kernels import collect_table
+
+        et = (collect_table(edges.materialize())
+              if hasattr(edges, "materialize") else edges)
         pair_list = list(zip(et[node_a].to_pylist(), et[node_b].to_pylist()))
         roots = union_find_components(pair_list)
         keys = np.array(sorted(roots), dtype=np.int64)
@@ -753,7 +756,7 @@ def build_group_hll(*, keys: list[str], column: str, p: int = 12,
         df = t.select(keys + [column]).to_pandas()
         rows_k: dict = {k: [] for k in keys}
         blobs = []
-        for kv, g in df.groupby(keys, sort=False):
+        for kv, g in df.groupby(keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             for k, v in zip(keys, kv):
                 rows_k[k].append(v)

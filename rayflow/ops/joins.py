@@ -173,11 +173,12 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
         if strategy == "auto" and how in ("inner", "left"):
             r = r.materialize()
             if (r.size_bytes() or 0) <= broadcast_bytes_limit:
-                small = pa.concat_tables(
-                    r.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-                )
-                return build_broadcast_join(
-                    small=small, on=on, right_on=right_on, how=how)(ds)
+                from rayflow.ops.kernels import collect_table
+
+                small = collect_table(r)
+                if small.num_rows or small.num_columns:
+                    return build_broadcast_join(
+                        small=small, on=on, right_on=right_on, how=how)(ds)
         return ds.join(
             r,
             join_type=how,
@@ -192,7 +193,6 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
 @register_op("asof_join")
 def build_asof_join(*, right, on: str, time_col: str,
                     direction: str = "backward", suffix: str = "_r",
-                    num_partitions: int | None = None,
                     strategy: str = "auto",
                     broadcast_bytes_limit: int = 64 << 20):
     """As-of join — each left row picks the right row with the latest
@@ -244,20 +244,25 @@ def build_asof_join(*, right, on: str, time_col: str,
 
         def fn(batch: pa.Table) -> pa.Table:
             import numpy as np
+            import pandas as pd
 
             idx = _fetch(ref, derive)
             keys = batch.column(on).to_numpy(zero_copy_only=False)
             times = batch.column(time_col).to_numpy(zero_copy_only=False)
             n = batch.num_rows
-            pick = np.full(n, -1, dtype=np.int64)  # row within key group
             out_cols = {}
-            # resolve per distinct key in the batch: one vectorized
-            # searchsorted per key over that key's sorted right times
-            import pandas as pd
-
-            for key in pd.unique(keys):
-                sel = np.flatnonzero(keys == key)
-                hit = idx.get(key)
+            # one stable argsort groups the batch by key: each distinct
+            # key is a contiguous run — O(n log n) total, not
+            # O(distinct_keys × n) full-batch scans
+            codes, uniques = pd.factorize(keys, use_na_sentinel=False)
+            order = np.argsort(codes, kind="stable")
+            run_starts = np.flatnonzero(
+                np.diff(codes[order], prepend=-1_000_000_000)) \
+                if n else np.array([], dtype=np.int64)
+            run_bounds = np.append(run_starts, n)
+            for r in range(len(run_starts)):
+                sel = order[run_bounds[r]:run_bounds[r + 1]]
+                hit = idx.get(uniques[codes[order[run_bounds[r]]]])
                 if hit is None:
                     continue
                 rt_times, rows = hit
@@ -284,7 +289,17 @@ def build_asof_join(*, right, on: str, time_col: str,
 
     def apply(ds):
         left_schema = ds.schema()
-        right_schema = right.schema()
+        rt = right
+        right_schema = rt.schema()
+        if right_schema is None:
+            # lazy plans (e.g. a row filter) may not know their schema
+            # yet — execute once; 0-row blocks still carry the schema
+            rt = rt.materialize()
+            right_schema = rt.schema()
+        if right_schema is None:
+            # genuinely schema-less empty right (from_items([])): the
+            # right column set is unknowable, so the join is the identity
+            return ds
         left_cols = dict(zip(left_schema.names, left_schema.types))
         right_cols = dict(zip(right_schema.names, right_schema.types))
         # right columns that collide with left (other than key/time) are
@@ -296,10 +311,11 @@ def build_asof_join(*, right, on: str, time_col: str,
         all_cols = {**left_cols, **out_right}
 
         if strategy == "auto":
-            rm = right.materialize()
+            rm = rt.materialize()
             if (rm.size_bytes() or 0) <= broadcast_bytes_limit:
-                small = pa.concat_tables(rm.iter_batches(
-                    batch_size=1 << 20, batch_format="pyarrow"))
+                from rayflow.ops.kernels import collect_table
+
+                small = collect_table(rm)
                 return apply_broadcast(ds, small, ren, out_right)
 
         def _align(tag):
@@ -323,8 +339,8 @@ def build_asof_join(*, right, on: str, time_col: str,
             return fn
 
         lt = ds.map_batches(_align("l"), **_PA_KW)
-        rt = right.map_batches(_align("r"), **_PA_KW)
-        both = lt.union(rt)
+        rtt = rt.map_batches(_align("r"), **_PA_KW)
+        both = lt.union(rtt)
 
         right_out_cols = list(out_right)
 
@@ -392,6 +408,9 @@ def build_interval_join(*, right, on: str, time_col: str,
     def apply(ds):
         left_schema = ds.schema()
         right_schema = right.schema()
+        if right_schema is None:
+            # schema-less empty right: inner semantics → no pairs
+            return ds.limit(0)
         left_cols = dict(zip(left_schema.names, left_schema.types))
         right_cols = dict(zip(right_schema.names, right_schema.types))
         ren = {c: (c + suffix if c in left_cols and c != on else c)

@@ -38,3 +38,22 @@ def explode_list(tbl: pa.Table, list_col: str, out_col: str | None = None) -> pa
     parents = pc.list_parent_indices(arr)
     rest = tbl.drop_columns([list_col]).take(parents)
     return rest.append_column(out_col, flat)
+
+
+def collect_table(ds) -> pa.Table:
+    """Materialize a SMALL Dataset to one Arrow table, surviving the
+    empty case (``iter_batches`` yields nothing for an empty dataset,
+    and ``pa.concat_tables`` of zero tables raises).  Falls back to the
+    dataset's schema for a typed empty table, or a zero-column table
+    when even the schema is unknown."""
+    batches = list(ds.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches)
+    sch = ds.schema()
+    if sch is None:
+        return pa.table({})
+    names = list(sch.names)
+    types = list(sch.types)
+    return pa.Table.from_arrays(
+        [pa.array([], t) for t in types], names=names)

@@ -1880,9 +1880,9 @@ def large_orders_q18(sf_dir: str):
     totals = _round_cols(totals, ["total_qty"])
     # surviving keys are few → materialize the small side driver-side
     # (tiny-result exception) and broadcast it through the join chain
-    tt = pa.concat_tables(
-        totals.materialize().iter_batches(batch_size=1 << 20,
-                                          batch_format="pyarrow"))
+    from rayflow.ops.kernels import collect_table
+
+    tt = collect_table(totals.materialize())
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"])
     orders = build_op({

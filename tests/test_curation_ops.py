@@ -551,3 +551,62 @@ def test_group_hll_per_key_error_bound(ray_session):
     for g in ("a", "b"):
         rel = abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g]
         assert rel < 0.06, (g, out.loc[g, "approx_distinct"], exact[g])
+
+
+def test_connected_components_empty_edges(ray_session):
+    """Regression: a clean corpus (zero near-dup pairs) must assign
+    every doc its own id, not crash on the empty edge collection."""
+    import ray.data as rd
+
+    docs = pa.table({"doc_id": pa.array(range(5), pa.int64())})
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    out = build_op({"op": "connected_components",
+                    "edges": rd.from_arrow(empty)})(rd.from_arrow(docs)) \
+        .to_pandas()
+    assert (out["keep_id"] == out["doc_id"]).all()
+
+
+def test_decontaminate_null_bench_texts(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs(["clean doc"]))
+    out = build_op({
+        "op": "decontaminate",
+        "bench": [None, "short", "x" * 50], "mode": "substring",
+        "snip_len": 40,
+    })(ds).to_pandas()
+    assert list(out["contaminated"]) == [False]
+
+
+def test_stratified_sample_null_stratum_kept(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "source": pa.array(["s"] * 5 + [None] * 5),
+    })
+    out = build_op({"op": "stratified_sample", "keys": ["source"], "n": 2,
+                    "id_col": "doc_id"})(rd.from_arrow(tbl)).to_pandas()
+    assert len(out[out["source"].isna()]) == 2   # null stratum sampled too
+    assert len(out[out["source"] == "s"]) == 2
+
+
+def test_asof_join_empty_right_dataset(ray_session):
+    import ray.data as rd
+
+    l = pa.table({"k": pa.array([1], pa.int64()),
+                  "t": pa.array([5], pa.int64())})
+    r = pa.table({"k": pa.array([9], pa.int64()),
+                  "t": pa.array([1], pa.int64()),
+                  "p": pa.array([2], pa.int64())})
+    # 0-row right WITH schema (0-row Arrow block): left join, null p
+    out = build_op({"op": "asof_join", "right": rd.from_arrow(r.slice(0, 0)),
+                    "on": "k", "time_col": "t"})(rd.from_arrow(l)).to_pandas()
+    assert len(out) == 1 and out["p"].isna().all()
+    # Ray drops the schema entirely on filter-to-empty datasets; with no
+    # way to know the right columns, the join degrades to identity
+    schemaless = rd.from_arrow(r).filter(lambda row: False)
+    out2 = build_op({"op": "asof_join", "right": schemaless, "on": "k",
+                     "time_col": "t"})(rd.from_arrow(l)).to_pandas()
+    assert len(out2) == 1 and "p" not in out2.columns

@@ -139,3 +139,31 @@ def test_extra_casts_and_round_aliases():
     assert E.F("int16", E.lit(1000)).eval(t).as_py() == 1000
     assert E.F("round_down", E.col("f")).eval(t).to_pylist() == [250.0, -2.0]
     assert E.F("round_up", E.col("f")).eval(t).to_pylist() == [251.0, -1.0]
+
+
+def test_list_concat_null_rows_do_not_shift_neighbors():
+    """Regression: null offsets shifted neighboring rows' boundaries —
+    a row next to a null used to absorb other rows' elements."""
+    t = pa.table({
+        "a": pa.array([[1, 2], [3], None, [4]], pa.list_(pa.int64())),
+        "b": pa.array([[9], None, [7], [8]], pa.list_(pa.int64())),
+    })
+    got = E.F("list_concat", E.col("a"), E.col("b")).eval(t).to_pylist()
+    assert got == [[1, 2, 9], None, None, [4, 8]]
+    ap = E.F("list_append", E.col("a"), E.lit(99)).eval(t).to_pylist()
+    assert ap == [[1, 2, 99], [3, 99], None, [4, 99]]
+
+
+def test_list_any_all_skip_null_elements():
+    """Null ELEMENTS are skipped (SQL aggregate semantics), identically
+    for bool and numeric lists."""
+    tb = pa.table({"l": pa.array([[True, None], [None], [False, None]],
+                                 pa.list_(pa.bool_()))})
+    assert E.F("list_any", E.col("l")).eval(tb).to_pylist() == \
+        [True, False, False]
+    assert E.F("list_all", E.col("l")).eval(tb).to_pylist() == \
+        [True, True, False]
+    tn = pa.table({"l": pa.array([[0.0, None], [1.0, None]],
+                                 pa.list_(pa.float64()))})
+    assert E.F("list_any", E.col("l")).eval(tn).to_pylist() == [False, True]
+    assert E.F("list_all", E.col("l")).eval(tn).to_pylist() == [False, True]
