@@ -190,6 +190,32 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
     return apply
 
 
+def _tag_union_align(left_ds, right_ds, all_cols, ren, tag_col):
+    """Shared co-location scaffolding for the custom joins: suffix-
+    rename the right side, align both sides to the union schema
+    (missing columns become typed nulls), tag rows, union."""
+
+    def _align(tag):
+        def fn(t: pa.Table) -> pa.Table:
+            if tag == "r":
+                t = t.rename_columns([ren[c] for c in t.column_names])
+            n = t.num_rows
+            cols, names = [], []
+            for name, typ in all_cols.items():
+                names.append(name)
+                cols.append(t.column(name) if name in t.column_names
+                            else pa.nulls(n, typ))
+            names.append(tag_col)
+            cols.append(pa.array([tag] * n, pa.string()))
+            return pa.Table.from_arrays(cols, names=names)
+
+        return fn
+
+    lt = left_ds.map_batches(_align("l"), **_PA_KW)
+    rt = right_ds.map_batches(_align("r"), **_PA_KW)
+    return lt.union(rt)
+
+
 @register_op("asof_join")
 def build_asof_join(*, right, on: str, time_col: str,
                     direction: str = "backward", suffix: str = "_r",
@@ -318,29 +344,7 @@ def build_asof_join(*, right, on: str, time_col: str,
                 small = collect_table(rm)
                 return apply_broadcast(ds, small, ren, out_right)
 
-        def _align(tag):
-            def fn(t: pa.Table) -> pa.Table:
-                if tag == "r":
-                    t = t.rename_columns([ren[c] for c in t.column_names])
-                n = t.num_rows
-                cols, names = [], []
-                for name, typ in all_cols.items():
-                    names.append(name)
-                    if name in t.column_names:
-                        cols.append(t.column(name))
-                    elif tag == "r" and name == time_col:
-                        cols.append(t.column(time_col))
-                    else:
-                        cols.append(pa.nulls(n, typ))
-                names.append("_asof_side")
-                cols.append(pa.array([tag] * n, pa.string()))
-                return pa.Table.from_arrays(cols, names=names)
-
-            return fn
-
-        lt = ds.map_batches(_align("l"), **_PA_KW)
-        rtt = rt.map_batches(_align("r"), **_PA_KW)
-        both = lt.union(rtt)
+        both = _tag_union_align(ds, rt, all_cols, ren, "_asof_side")
 
         right_out_cols = list(out_right)
 
@@ -419,25 +423,7 @@ def build_interval_join(*, right, on: str, time_col: str,
         all_cols = {**left_cols, **out_right}
         rstart, rend = ren[start_col], ren[end_col]
 
-        def _align(tag):
-            def fn(t: pa.Table) -> pa.Table:
-                if tag == "r":
-                    t = t.rename_columns([ren[c] for c in t.column_names])
-                n = t.num_rows
-                cols, names = [], []
-                for name, typ in all_cols.items():
-                    names.append(name)
-                    cols.append(t.column(name) if name in t.column_names
-                                else pa.nulls(n, typ))
-                names.append("_iv_side")
-                cols.append(pa.array([tag] * n, pa.string()))
-                return pa.Table.from_arrays(cols, names=names)
-
-            return fn
-
-        lt = ds.map_batches(_align("l"), **_PA_KW)
-        rt = right.map_batches(_align("r"), **_PA_KW)
-        both = lt.union(rt)
+        both = _tag_union_align(ds, right, all_cols, ren, "_iv_side")
         left_names = list(left_cols)
         right_names = list(out_right)
 

@@ -120,7 +120,12 @@ class LangIdScorer:
         ).to_numpy(zero_copy_only=False)
         # tokens of the ORIGINAL text (lowercasing first would change the
         # character class), then lowercase the flat stream — mirrors the
-        # oracle's regexp_extract_all + list_transform(lower)
+        # oracle's regexp_extract_all + list_transform(lower).  Close
+        # cousin of curation._tokenize_codes but NOT unifiable: that one
+        # lowercases BEFORE a plain-space split (its oracle's
+        # string_split(lower(text))), this one regex-splits the original
+        # (its oracle's regexp_extract_all(text)) — the two oracles pin
+        # different orders of operations
         toks = pc.split_pattern_regex(text, "[^a-zA-Zäöüéèàç]+")
         la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
         counts = pc.list_value_length(la).fill_null(0) \
