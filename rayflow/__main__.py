@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     ver.add_argument("log_dir")
     ver.add_argument("lake_dir")
     ver.add_argument("--num-cpus", type=int, default=None)
+    lint_p = sub.add_parser("lint", help="validate a YAML pipeline config "
+                                         "without running it")
+    lint_p.add_argument("config")
     sub.add_parser("ops", help="list registered operators")
     sub.add_parser("functions", help="list scalar functions")
     bl = sub.add_parser(
@@ -88,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
             for v in vals:
                 print(json.dumps(v, default=str))
         return 0
+
+    if args.cmd == "lint":
+        from rayflow.pipeline import lint
+
+        report = lint(args.config)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
 
     if args.cmd == "ops":
         from rayflow.ops import ops

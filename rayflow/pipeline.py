@@ -229,3 +229,52 @@ def build_sql_query(*, sql: str, tables: dict[str, str] | None = None):
         return rd.from_arrow(tbl)
 
     return source
+
+
+def lint(text_or_path: str) -> dict:
+    """Validate a pipeline config WITHOUT running it (the ``benthos
+    lint`` analogue): YAML parses, every step names a registered op,
+    and each op's arguments bind (builders construct eagerly, so bad
+    kwargs / malformed expressions surface here, not mid-job).
+
+    Returns ``{"ok": bool, "errors": [{"where", "error"}, ...]}``.
+    """
+    import os
+
+    import yaml
+
+    errors: list[dict] = []
+    try:
+        if os.path.exists(text_or_path):
+            with open(text_or_path) as f:
+                conf = yaml.safe_load(f)
+        else:
+            conf = yaml.safe_load(text_or_path)
+    except yaml.YAMLError as ex:
+        return {"ok": False, "errors": [{"where": "yaml", "error": str(ex)}]}
+    if not isinstance(conf, dict):
+        return {"ok": False,
+                "errors": [{"where": "root", "error": "config must be a mapping"}]}
+
+    def try_build(where: str, op_conf):
+        if not isinstance(op_conf, dict) or "op" not in op_conf:
+            errors.append({"where": where,
+                           "error": "step must be a mapping with an 'op' key"})
+            return
+        try:
+            build_op(op_conf)
+        except Exception as ex:  # noqa: BLE001 - lint reports everything
+            errors.append({"where": where,
+                           "error": f"{type(ex).__name__}: {ex}"})
+
+    if "input" in conf:
+        try_build("input", conf["input"])
+    for i, step in enumerate(conf.get("steps", [])):
+        try_build(f"steps[{i}]", step)
+    out = conf.get("output")
+    if isinstance(out, list):
+        for i, child in enumerate(out):
+            try_build(f"output[{i}]", child)
+    elif out is not None:
+        try_build("output", out)
+    return {"ok": not errors, "errors": errors}

@@ -323,3 +323,26 @@ def test_parse_json_struct(ray_session):
     assert ks == [1, 2, None, None]
     errs = out["_error"].to_pylist()
     assert errs[2] == "parse_json: invalid" and errs[0] is None
+
+
+def test_lint_reports_bad_steps_without_running():
+    from rayflow.pipeline import lint
+
+    good = lint("""
+input: {op: read_parquet, paths: /tmp/x.parquet}
+steps:
+  - {op: token_count}
+""")
+    assert good["ok"] and good["errors"] == []
+    bad = lint("""
+input: {op: read_parquet, paths: /tmp/x.parquet}
+steps:
+  - {op: nosuch_op}
+  - {op: filter}
+""")
+    assert not bad["ok"]
+    wheres = [e["where"] for e in bad["errors"]]
+    assert wheres == ["steps[0]", "steps[1]"]
+    assert "unknown op" in bad["errors"][0]["error"]
+    assert "predicate" in bad["errors"][1]["error"]
+    assert not lint("{ not: [valid")["ok"]
