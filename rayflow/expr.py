@@ -1366,3 +1366,43 @@ for _name, _type in [
 
 register_fn("round_down")(pc.floor)
 register_fn("round_up")(pc.ceil)
+
+
+# -- timezone + URL struct --------------------------------------------------
+
+
+@register_fn("ts_assume_tz")
+def _ts_assume_tz(a, tz):
+    """Stamp a naive timestamp as being in ``tz`` (reference: ts_tz
+    family).  Returns an aware (tz-annotated) timestamp column."""
+    z = tz.as_py() if isinstance(tz, pa.Scalar) else tz
+    return pc.assume_timezone(a, z)
+
+
+@register_fn("ts_to_tz")
+def _ts_to_tz(a, tz):
+    """Convert an aware timestamp to another zone's WALL-CLOCK time,
+    returned naive (instant-preserving projection)."""
+    z = tz.as_py() if isinstance(tz, pa.Scalar) else tz
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if arr.type.tz is None:
+        arr = pc.assume_timezone(arr, "UTC")
+    shifted = pc.cast(arr, pa.timestamp(arr.type.unit, z))
+    return pc.local_timestamp(shifted)
+
+
+@register_fn("parse_url")
+def _parse_url(a):
+    """Full URL decomposition → struct {scheme, host, port, path,
+    query, fragment} (stdlib urlsplit per row; the single-field
+    url_host/url_path/url_scheme/url_query_param fns remain the
+    vectorizable fast paths)."""
+    from urllib.parse import urlsplit
+
+    def one(s):
+        u = urlsplit(s)
+        return {"scheme": u.scheme or None, "host": u.hostname,
+                "port": u.port, "path": u.path or None,
+                "query": u.query or None, "fragment": u.fragment or None}
+
+    return _pyfall(one)(a)

@@ -167,3 +167,28 @@ def test_list_any_all_skip_null_elements():
                                  pa.list_(pa.float64()))})
     assert E.F("list_any", E.col("l")).eval(tn).to_pylist() == [False, True]
     assert E.F("list_all", E.col("l")).eval(tn).to_pylist() == [False, True]
+
+
+def test_timezone_fns():
+    t = pa.table({"ts": pa.array([datetime.datetime(2024, 6, 1, 12, 0)],
+                                 pa.timestamp("us"))})
+    aware = E.F("ts_assume_tz", E.col("ts"), "UTC").eval(t)
+    assert str(aware.type) == "timestamp[us, tz=UTC]"
+    # noon UTC is 08:00 in New York during DST
+    ny = E.F("ts_to_tz", E.F("ts_assume_tz", E.col("ts"), "UTC"),
+             "America/New_York").eval(t)
+    assert ny.to_pylist()[0] == datetime.datetime(2024, 6, 1, 8, 0)
+
+
+def test_parse_url_struct():
+    t = pa.table({"u": pa.array([
+        "https://example.com:8443/a/b?x=1#frag",
+        "ftp://files.host/path",
+        None,
+    ])})
+    got = E.F("parse_url", E.col("u")).eval(t).to_pylist()
+    assert got[0] == {"scheme": "https", "host": "example.com",
+                      "port": 8443, "path": "/a/b", "query": "x=1",
+                      "fragment": "frag"}
+    assert got[1]["scheme"] == "ftp" and got[1]["port"] is None
+    assert got[2] is None

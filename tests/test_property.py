@@ -233,3 +233,56 @@ def test_bloblang_string_methods_match_python(case):
     src, ref = case
     got = parse_expr(src).eval(_BL_T).to_pylist()
     assert got == [ref(s) for s in _BL_T["s"].to_pylist()], src
+
+
+# -- list-method kernels vs Python reference --------------------------------
+
+opt_int_lists = st.lists(
+    st.one_of(st.none(),
+              st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+                       max_size=6)),
+    min_size=1, max_size=20)
+
+
+@given(opt_int_lists, opt_int_lists)
+@settings(max_examples=60, deadline=None)
+def test_list_concat_matches_python(a, b):
+    from rayflow import expr as E
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    t = pa.table({"a": pa.array(a, pa.list_(pa.int64())),
+                  "b": pa.array(b, pa.list_(pa.int64()))})
+    got = E.F("list_concat", E.col("a"), E.col("b")).eval(t).to_pylist()
+    want = [None if (x is None or y is None) else x + y
+            for x, y in zip(a, b)]
+    assert got == want
+
+
+@given(opt_int_lists)
+@settings(max_examples=60, deadline=None)
+def test_list_reverse_matches_python(a):
+    from rayflow import expr as E
+
+    t = pa.table({"a": pa.array(a, pa.list_(pa.int64()))})
+    got = E.F("list_reverse", E.col("a")).eval(t).to_pylist()
+    assert got == [None if x is None else list(reversed(x)) for x in a]
+
+
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(st.one_of(st.none(), st.booleans()), max_size=5)),
+    min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_list_any_all_match_python_skipping_nulls(a):
+    from rayflow import expr as E
+
+    t = pa.table({"a": pa.array(a, pa.list_(pa.bool_()))})
+    got_any = E.F("list_any", E.col("a")).eval(t).to_pylist()
+    got_all = E.F("list_all", E.col("a")).eval(t).to_pylist()
+    want_any = [None if x is None else any(v for v in x if v is not None)
+                for x in a]
+    want_all = [None if x is None else all(v for v in x if v is not None)
+                for x in a]
+    assert got_any == want_any
+    assert got_all == want_all
