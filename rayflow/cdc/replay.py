@@ -434,6 +434,55 @@ class CdcEngine:
             ds = ds.drop_columns([META_LSN])
         return ds
 
+    def snapshot_lsns(self) -> list[int]:
+        """Committed watermarks available for time travel (one per
+        band-group commit, from the manifest's lineage records)."""
+        return sorted({int(rec["lsn_hi"])
+                       for rec in self.manifest.state.get("lineage", [])
+                       if "lsn_hi" in rec})
+
+    def snapshot_dataset(self, as_of_lsn: int, include_meta: bool = False):
+        """TIME TRAVEL: the lake as of an earlier committed watermark.
+
+        Partition state files are immutable pure functions of
+        ``(part_id, band_hi)`` and superseded files stay on disk until
+        :meth:`vacuum`, so a historical snapshot is just a different
+        file selection: per partition, the newest state file with
+        ``band_hi <= as_of_lsn``.  A partition untouched since then
+        reads the same (still-current) file; one created later is
+        absent.  O(listdir) planning, zero data movement — then the
+        identical streaming read path as :meth:`final_dataset`.
+        """
+        import glob as _glob
+
+        import ray.data as rd
+
+        files = []
+        for part_dir in sorted(
+                _glob.glob(os.path.join(self.lake_dir, "part-*"))):
+            best = None
+            for f in _glob.glob(os.path.join(part_dir, "state-*.parquet")):
+                band = int(os.path.basename(f)[len("state-"):-len(".parquet")])
+                if band <= as_of_lsn and (best is None or band > best[0]):
+                    best = (band, f)
+            if best is not None:
+                files.append(best[1])
+        if not files:
+            sch = self.manifest.schema
+            empty = (lake_schema_for(sch) if sch else pa.schema([])).empty_table()
+            return rd.from_arrow(empty)
+        target = lake_schema_for(self.manifest.schema)
+        ds = rd.read_parquet(sorted(files))
+
+        from rayflow.schema import conform
+
+        ds = ds.map_batches(
+            lambda t: conform(t, target), batch_format="pyarrow",
+            zero_copy_batch=True)
+        if not include_meta:
+            ds = ds.drop_columns([META_LSN])
+        return ds
+
     def final_table(self, include_meta: bool = True) -> pa.Table:
         """Driver-side materialization for tests/verification only —
         sorted by ``(conv_id, turn_idx)`` per the correctness gate."""

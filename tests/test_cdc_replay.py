@@ -228,3 +228,27 @@ def test_tail_applies_bands_as_they_arrive(ray_session, tmp_path):
     a = got[cols].sort_values(cols, ignore_index=True)
     b = want[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_snapshot_time_travel(ray_session, tmp_path):
+    """Every committed watermark is readable as-of: the snapshot equals
+    the LWW oracle over the change log truncated at that LSN."""
+    from rayflow.cdc import CdcEngine, ChangeLogSpec, generate_changelog
+    from rayflow.cdc.oracle import lww_oracle, read_changelog_pandas
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(n_convs=80, n_bands=3, seed=31))
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(log)
+    lsns = eng.snapshot_lsns()
+    assert len(lsns) == 3
+    for lsn in lsns:
+        snap = eng.snapshot_dataset(lsn).to_pandas()
+        want = lww_oracle(read_changelog_pandas(log, max_lsn=lsn))
+        cols = sorted(set(snap.columns) & set(want.columns))
+        a = snap[cols].sort_values(cols, ignore_index=True)
+        b = want[cols].sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the newest snapshot is the live table
+    assert len(eng.snapshot_dataset(lsns[-1]).to_pandas()) == \
+        len(eng.final_table())
