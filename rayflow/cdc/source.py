@@ -61,3 +61,30 @@ def band_schema(band: Band):
 
     schemas = [pq.read_schema(f) for f in band.files]
     return pa.unify_schemas(schemas, promote_options="permissive")
+
+
+def changes_between(log_dir: str, lo_lsn: int, hi_lsn: int):
+    """Change-data-feed read: the change events with
+    ``lo_lsn < lsn <= hi_lsn`` as a streaming Dataset — "what happened
+    between two watermarks", the consumer-side complement of
+    :meth:`CdcEngine.snapshot_dataset`.  Band enumeration prunes whole
+    files by their LSN-range filenames (no data read); only the two
+    boundary bands need a row filter."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    bands = [b for b in list_bands(log_dir, after_lsn=-1)
+             if b.lsn_hi > lo_lsn and b.lsn_lo <= hi_lsn]
+    files = [f for b in bands for f in b.files]
+    if not files:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({"lsn": pa.array([], pa.int64())}))
+    ds = rd.read_parquet(files)
+
+    def clip(t):
+        keep = pc.and_(pc.greater(t["lsn"], lo_lsn),
+                       pc.less_equal(t["lsn"], hi_lsn))
+        return t.filter(keep)
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)

@@ -602,3 +602,41 @@ def build_cached_mapping(*, key_expr: Any, fn_name: str, out: str,
         )
 
     return apply
+
+
+#: named log-format presets (the reference's parse_log codecs) — RE2
+#: named-group patterns feeding the same vectorized grok kernel.
+LOG_FORMATS: dict[str, str] = {
+    "syslog_rfc3164":
+        r"^(?:<(?P<pri>\d+)>)?"
+        r"(?P<ts>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+        r"(?P<host>\S+) "
+        r"(?P<tag>[^:\[\s]+)(?:\[(?P<pid>\d+)\])?: "
+        r"(?P<msg>.*)$",
+    "syslog_rfc5424":
+        r"^<(?P<pri>\d+)>(?P<ver>\d+) "
+        r"(?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) "
+        r"(?P<procid>\S+) (?P<msgid>\S+) (?:\[[^\]]*\]|-)\s*"
+        r"(?P<msg>.*)$",
+    "apache_common":
+        r"^(?P<ip>\S+) (?P<ident>\S+) (?P<user>\S+) "
+        r"\[(?P<ts>[^\]]+)\] "
+        r'"(?P<method>\S+) (?P<path>\S+) (?P<proto>[^"]+)" '
+        r"(?P<status>\d{3}) (?P<bytes>\S+)",
+}
+
+
+@register_op("parse_log")
+def build_parse_log(*, column: str = "message",
+                    format: str = "syslog_rfc3164",
+                    drop_source: bool = False):
+    """``parse_log``: structured extraction of well-known log formats —
+    a preset table over the grok kernel (same vectorized
+    ``pc.extract_regex``, same ``_error`` convention for non-matching
+    lines).  Formats: syslog_rfc3164, syslog_rfc5424, apache_common."""
+    if format not in LOG_FORMATS:
+        raise ValueError(
+            f"parse_log: unknown format {format!r}; known: "
+            f"{sorted(LOG_FORMATS)}")
+    return build_grok(column=column, pattern=LOG_FORMATS[format],
+                      drop_source=drop_source)

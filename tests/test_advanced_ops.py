@@ -346,3 +346,30 @@ steps:
     assert "unknown op" in bad["errors"][0]["error"]
     assert "predicate" in bad["errors"][1]["error"]
     assert not lint("{ not: [valid")["ok"]
+
+
+def test_parse_log_syslog_and_apache(ray_session):
+    import ray.data as rd
+
+    logs = pa.table({"message": pa.array([
+        "<34>Oct 11 22:14:15 web01 sshd[4123]: Failed password for root",
+        "Oct  3 09:00:01 db02 cron: job started",
+        "not a syslog line at all",
+    ])})
+    out = build_op({"op": "parse_log", "format": "syslog_rfc3164"})(
+        rd.from_arrow(logs)).to_pandas()
+    assert list(out["host"]) == ["web01", "db02", None]
+    assert list(out["tag"]) == ["sshd", "cron", None]
+    assert out["pid"][0] == "4123" and out["_error"][2] is not None
+
+    ap = pa.table({"message": pa.array([
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326',
+    ])})
+    out2 = build_op({"op": "parse_log", "format": "apache_common"})(
+        rd.from_arrow(ap)).to_pandas()
+    assert out2["status"][0] == "200" and out2["path"][0] == "/apache_pb.gif"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_op({"op": "parse_log", "format": "nope"})

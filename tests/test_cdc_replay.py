@@ -252,3 +252,18 @@ def test_snapshot_time_travel(ray_session, tmp_path):
     # the newest snapshot is the live table
     assert len(eng.snapshot_dataset(lsns[-1]).to_pandas()) == \
         len(eng.final_table())
+
+
+def test_changes_between_watermarks(ray_session, tmp_path):
+    from rayflow.cdc import ChangeLogSpec, generate_changelog
+    from rayflow.cdc.oracle import read_changelog_pandas
+    from rayflow.cdc.source import changes_between
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(n_convs=60, n_bands=3, seed=8))
+    full = read_changelog_pandas(log)
+    lo, hi = int(full["lsn"].quantile(0.3)), int(full["lsn"].quantile(0.8))
+    feed = changes_between(log, lo, hi).to_pandas()
+    want = full[(full["lsn"] > lo) & (full["lsn"] <= hi)]
+    assert sorted(feed["lsn"]) == sorted(want["lsn"])
+    assert len(changes_between(log, 10**9, 2 * 10**9).to_pandas()) == 0
