@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="stop after N consecutive empty polls "
                          "(default: effectively forever)")
     tl.add_argument("--num-cpus", type=int, default=None)
+    snap = sub.add_parser("snapshot", help="time-travel read: lake state "
+                                           "as of a committed watermark")
+    snap.add_argument("lake_dir")
+    snap.add_argument("--as-of", type=int, default=None,
+                      help="target LSN (default: list available watermarks)")
+    snap.add_argument("--num-cpus", type=int, default=None)
     ver = sub.add_parser("verify-lake",
                          help="check a lake's final state against a DuckDB "
                               "LWW oracle over the raw change log")
@@ -134,6 +140,19 @@ def main(argv: list[str] | None = None) -> int:
             report = audit_lake(args.log_dir, args.lake_dir)
             print(json.dumps(report))
             return 0 if report["match"] else 1
+        elif args.cmd == "snapshot":
+            from rayflow.cdc import CdcEngine
+
+            engine = CdcEngine(args.lake_dir)
+            if args.as_of is None:
+                print(json.dumps({"watermarks": engine.snapshot_lsns()}))
+            else:
+                snap_ds = engine.snapshot_dataset(args.as_of)
+                print(json.dumps({
+                    "as_of": args.as_of,
+                    "rows": snap_ds.count(),
+                    "schema": snap_ds.schema().names,
+                }))
         elif args.cmd == "tail":
             from rayflow.cdc import CdcEngine
 

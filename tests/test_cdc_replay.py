@@ -267,3 +267,33 @@ def test_changes_between_watermarks(ray_session, tmp_path):
     want = full[(full["lsn"] > lo) & (full["lsn"] <= hi)]
     assert sorted(feed["lsn"]) == sorted(want["lsn"])
     assert len(changes_between(log, 10**9, 2 * 10**9).to_pandas()) == 0
+
+
+def test_incremental_view_via_change_feed(ray_session, tmp_path):
+    """Incremental view maintenance with the change feed: a keyed view
+    maintained by applying each watermark interval's changes_between
+    slice equals the engine's snapshot at every watermark."""
+    from rayflow.cdc import CdcEngine, ChangeLogSpec, generate_changelog
+    from rayflow.cdc.source import changes_between
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(n_convs=50, n_bands=3, seed=12))
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.replay(log)
+    prev = -1
+    view: dict = {}     # (conv_id, turn_idx) -> live?
+    for wm in eng.snapshot_lsns():
+        feed = changes_between(log, prev, wm).to_pandas() \
+            .sort_values("lsn", ignore_index=True)
+        # the feed slice tiles the interval exactly and in order
+        assert (feed["lsn"] > prev).all() and (feed["lsn"] <= wm).all()
+        for r in feed.itertuples():
+            key = (r.conv_id, r.turn_idx)
+            if r.op == "delete":
+                view.pop(key, None)
+            else:
+                view[key] = True
+        snap = eng.snapshot_dataset(wm).to_pandas()
+        got = {tuple(k) for k in zip(snap["conv_id"], snap["turn_idx"])}
+        assert got == set(view), f"divergence at watermark {wm}"
+        prev = wm
