@@ -37,6 +37,20 @@ from typing import Any
 
 from rayflow import expr as E
 
+def _error_col() -> "E.Expr":
+    """The ``_error`` column, or all-null when no upstream op ever set
+    one — clean pipelines never materialize the column, and ``error()``/
+    ``errored()`` must read as null/false there, not raise."""
+    import pyarrow as _pa
+
+    def fn(t):
+        if "_error" in t.column_names:
+            return t.column("_error")
+        return _pa.nulls(t.num_rows, _pa.string())
+
+    return E.Expr(fn, "error")
+
+
 #: sentinel for ``root.x = deleted()``
 DELETED = object()
 
@@ -252,9 +266,9 @@ class _Parser:
                     return E.col(f"_meta_{s[1:-1]}")
                 args = self.call_args()
                 if val == "error":
-                    return E.col("_error")
+                    return _error_col()
                 if val == "errored":
-                    return E.F("not_null", E.col("_error"))
+                    return E.F("not_null", _error_col())
                 if val == "if":
                     if len(args) != 3:
                         raise SyntaxError("bloblang: if(cond, then, else)")
@@ -297,7 +311,6 @@ def parse_program(src: str) -> dict[str, Any]:
         if not m:
             mm = _META_ASSIGN_RE.match(line)
             if mm:
-                m = mm
                 name, rhs = f"_meta_{mm.group(1)}", mm.group(2)
                 out[name] = parse_expr(rhs)
                 continue

@@ -447,26 +447,37 @@ class CdcEngine:
         Partition state files are immutable pure functions of
         ``(part_id, band_hi)`` and superseded files stay on disk until
         :meth:`vacuum`, so a historical snapshot is just a different
-        file selection: per partition, the newest state file with
-        ``band_hi <= as_of_lsn``.  A partition untouched since then
-        reads the same (still-current) file; one created later is
-        absent.  O(listdir) planning, zero data movement — then the
+        file selection.  The selection is MANIFEST-driven, not a
+        directory glob: each lineage record names every partition's
+        state file at its commit, so the snapshot is the per-partition
+        latest file across records with ``lsn_hi <= as_of_lsn`` —
+        uncommitted orphan files can never leak in, and a selection
+        that references a vacuumed file raises instead of silently
+        returning partial history.  Zero data movement — then the
         identical streaming read path as :meth:`final_dataset`.
         """
-        import glob as _glob
-
         import ray.data as rd
 
-        files = []
-        for part_dir in sorted(
-                _glob.glob(os.path.join(self.lake_dir, "part-*"))):
-            best = None
-            for f in _glob.glob(os.path.join(part_dir, "state-*.parquet")):
-                band = int(os.path.basename(f)[len("state-"):-len(".parquet")])
-                if band <= as_of_lsn and (best is None or band > best[0]):
-                    best = (band, f)
-            if best is not None:
-                files.append(best[1])
+        if as_of_lsn >= self.manifest.committed_lsn:
+            # the newest watermark IS the live table — read it through
+            # the manifest's current files (valid even after compact()
+            # + vacuum() pruned the historical state files)
+            return self.final_dataset(include_meta=include_meta)
+        latest: dict[int, str] = {}
+        for rec in self.manifest.state.get("lineage", []):
+            if int(rec.get("lsn_hi", -1)) <= as_of_lsn:
+                for p in rec.get("partitions", []):
+                    latest[int(p["part_id"])] = p["file"]
+        files, missing = [], []
+        for pid in sorted(latest):
+            f = os.path.join(self.lake_dir, f"part-{pid:05d}", latest[pid])
+            (files if os.path.exists(f) else missing).append(f)
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot as of lsn {as_of_lsn}: {len(missing)} state "
+                f"file(s) no longer exist (e.g. {missing[0]}) — vacuum() "
+                "prunes superseded files, so time travel reaches only "
+                "un-vacuumed history")
         if not files:
             sch = self.manifest.schema
             empty = (lake_schema_for(sch) if sch else pa.schema([])).empty_table()

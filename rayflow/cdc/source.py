@@ -80,9 +80,18 @@ def changes_between(log_dir: str, lo_lsn: int, hi_lsn: int):
         import pyarrow as pa
 
         return rd.from_arrow(pa.table({"lsn": pa.array([], pa.int64())}))
+    import pyarrow as pa
+
+    from rayflow.schema import conform
+
+    # schema-evolved logs: later bands may add columns — unify from the
+    # footers (no data read) and conform every batch, as replay does
+    target = pa.unify_schemas([pq.read_schema(f) for f in files],
+                              promote_options="permissive")
     ds = rd.read_parquet(files)
 
     def clip(t):
+        t = conform(t, target)
         keep = pc.and_(pc.greater(t["lsn"], lo_lsn),
                        pc.less_equal(t["lsn"], hi_lsn))
         return t.filter(keep)

@@ -1218,10 +1218,19 @@ def _list_bool_fold(a, ufunc, empty_val):
     flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
     # null ELEMENTS are skipped (SQL aggregate semantics — the previous
     # numpy cast made nulls type-dependent: NaN→True in float lists,
-    # False in bool lists): any() masks them False, all() masks True
+    # False in bool lists): any() masks them False, all() masks True.
+    # truthiness per type: bool as-is, numbers != 0, strings non-empty
+    # (a bool CAST would try to parse strings and crash on "abc")
     elem_valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
-    raw = pc.fill_null(pc.cast(flat, pa.bool_(), safe=False),
-                       False).to_numpy(zero_copy_only=False).astype(bool)
+    ft = flat.type
+    if pa.types.is_boolean(ft):
+        truthy = pc.fill_null(flat, False)
+    elif pa.types.is_string(ft) or pa.types.is_large_string(ft):
+        truthy = pc.greater(pc.fill_null(pc.utf8_length(flat), 0), 0)
+    else:
+        truthy = pc.fill_null(pc.not_equal(flat, 0), False)
+    raw = pc.fill_null(truthy, False) \
+        .to_numpy(zero_copy_only=False).astype(bool)
     vals = (raw & elem_valid) if ufunc is np.logical_or \
         else (raw | ~elem_valid)
     lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
@@ -1400,9 +1409,14 @@ def _parse_url(a):
     from urllib.parse import urlsplit
 
     def one(s):
-        u = urlsplit(s)
-        return {"scheme": u.scheme or None, "host": u.hostname,
-                "port": u.port, "path": u.path or None,
-                "query": u.query or None, "fragment": u.fragment or None}
+        try:
+            u = urlsplit(s)
+            return {"scheme": u.scheme or None, "host": u.hostname,
+                    "port": u.port, "path": u.path or None,
+                    "query": u.query or None, "fragment": u.fragment or None}
+        except ValueError:
+            # malformed URL (bad port / invalid IPv6): null, don't kill
+            # the batch — the grok/parse_json convention
+            return None
 
     return _pyfall(one)(a)

@@ -762,7 +762,21 @@ def build_group_hll(*, keys: list[str], column: str, p: int = 12,
                 rows_k[k].append(v)
             blobs.append(
                 hll_registers(pa.array(g[column].astype(str)), p=p).tobytes())
-        return pa.table({**{k: pa.array(rows_k[k]) for k in keys},
+        # null keys come back from pandas as NaN (and int keys as float);
+        # rebuild each key column under its ORIGINAL Arrow type
+        key_cols = {}
+        for k in keys:
+            want = t.schema.field(k).type
+            vals = []
+            for v in rows_k[k]:
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    vals.append(None)
+                elif pa.types.is_integer(want):
+                    vals.append(int(v))
+                else:
+                    vals.append(v)
+            key_cols[k] = pa.array(vals, type=want)
+        return pa.table({**key_cols,
                          "regs": pa.array(blobs, pa.large_binary())})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -248,6 +248,12 @@ def lint(text_or_path: str) -> dict:
         if os.path.exists(text_or_path):
             with open(text_or_path) as f:
                 conf = yaml.safe_load(f)
+        elif "\n" not in text_or_path and \
+                text_or_path.endswith((".yaml", ".yml")):
+            # a path-looking argument that doesn't exist is a missing
+            # file, not YAML — don't mis-diagnose the common CLI typo
+            return {"ok": False, "errors": [
+                {"where": "config", "error": f"no such file: {text_or_path}"}]}
         else:
             conf = yaml.safe_load(text_or_path)
     except yaml.YAMLError as ex:
@@ -256,16 +262,24 @@ def lint(text_or_path: str) -> dict:
         return {"ok": False,
                 "errors": [{"where": "root", "error": "config must be a mapping"}]}
 
+    import ray
+
     def try_build(where: str, op_conf):
         if not isinstance(op_conf, dict) or "op" not in op_conf:
             errors.append({"where": where,
                            "error": "step must be a mapping with an 'op' key"})
             return
+        # lint must not publish resources: some builders ray.put their
+        # broadcast payloads at build time, which would boot a cluster
+        orig_put = ray.put
+        ray.put = lambda v, **kw: None
         try:
             build_op(op_conf)
         except Exception as ex:  # noqa: BLE001 - lint reports everything
             errors.append({"where": where,
                            "error": f"{type(ex).__name__}: {ex}"})
+        finally:
+            ray.put = orig_put
 
     if "input" in conf:
         try_build("input", conf["input"])

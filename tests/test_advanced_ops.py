@@ -373,3 +373,19 @@ def test_parse_log_syslog_and_apache(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         build_op({"op": "parse_log", "format": "nope"})
+
+
+def test_lint_missing_file_and_no_resource_publication():
+    from rayflow.pipeline import lint
+
+    missing = lint("no/such/confg.yaml")
+    assert not missing["ok"]
+    assert "no such file" in missing["errors"][0]["error"]
+    # decontaminate's builder normally ray.put()s its benchmark set;
+    # lint must bind args without publishing (no cluster boot)
+    rep = lint("""
+input: {op: read_parquet, paths: /tmp/x.parquet}
+steps:
+  - {op: decontaminate, bench: [aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaxx]}
+""")
+    assert rep["ok"], rep

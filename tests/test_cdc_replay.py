@@ -297,3 +297,40 @@ def test_incremental_view_via_change_feed(ray_session, tmp_path):
         got = {tuple(k) for k in zip(snap["conv_id"], snap["turn_idx"])}
         assert got == set(view), f"divergence at watermark {wm}"
         prev = wm
+
+
+def test_snapshot_after_compact_and_vacuum(ray_session, tmp_path):
+    """compact()+vacuum() prunes historical state files: the LIVE
+    watermark stays readable (manifest files), older watermarks raise a
+    clear error instead of silently returning partial history."""
+    import pytest
+
+    from rayflow.cdc import CdcEngine, ChangeLogSpec, generate_changelog
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(n_convs=40, n_bands=3, seed=4))
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.replay(log)
+    lsns = eng.snapshot_lsns()
+    live_rows = len(eng.final_table())
+    eng.compact()
+    eng.vacuum()
+    # newest watermark == live table, still served
+    assert len(eng.snapshot_dataset(lsns[-1]).to_pandas()) == live_rows
+    # historical watermark: clear refusal, not silent empty
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        eng.snapshot_dataset(lsns[0])
+
+
+def test_changes_between_schema_evolved_log(ray_session, tmp_path):
+    from rayflow.cdc import ChangeLogSpec, generate_changelog
+    from rayflow.cdc.source import changes_between
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(n_convs=60, n_bands=3, seed=6,
+                                          evolve_at_lsn=120))
+    feed = changes_between(log, -1, 10**9).to_pandas()
+    # the evolved column exists for every row (null before the switch)
+    assert "meta_model" in feed.columns
+    assert feed[feed["lsn"] < 120]["meta_model"].isna().all()
+    assert feed[feed["lsn"] >= 120]["meta_model"].notna().any()

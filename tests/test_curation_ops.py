@@ -610,3 +610,25 @@ def test_asof_join_empty_right_dataset(ray_session):
     out2 = build_op({"op": "asof_join", "right": schemaless, "on": "k",
                      "time_col": "t"})(rd.from_arrow(l)).to_pandas()
     assert len(out2) == 1 and "p" not in out2.columns
+
+
+def test_group_hll_null_keys(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "g": pa.array(["a", None, "a", None], pa.string()),
+        "u": pa.array([1, 2, 3, 2], pa.int64()),
+    })
+    out = build_op({"op": "group_hll", "keys": ["g"], "column": "u"})(
+        rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 2
+    null_row = out[out["g"].isna()]
+    assert len(null_row) == 1 and null_row["approx_distinct"].iloc[0] == 1
+    # int-typed null keys keep their Arrow type
+    tbl2 = pa.table({
+        "g": pa.array([7, None, 7], pa.int64()),
+        "u": pa.array([1, 2, 3], pa.int64()),
+    })
+    out2 = build_op({"op": "group_hll", "keys": ["g"], "column": "u"})(
+        rd.from_arrow(tbl2)).to_pandas()
+    assert len(out2) == 2

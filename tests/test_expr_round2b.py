@@ -192,3 +192,23 @@ def test_parse_url_struct():
                       "fragment": "frag"}
     assert got[1]["scheme"] == "ftp" and got[1]["port"] is None
     assert got[2] is None
+
+
+def test_parse_url_malformed_rows_null_not_crash():
+    t = pa.table({"u": pa.array([
+        "https://host:8a/x",      # non-numeric port
+        "http://[::1",            # invalid IPv6
+        "https://ok.example/a",
+    ])})
+    got = E.F("parse_url", E.col("u")).eval(t).to_pylist()
+    assert got[0] is None and got[1] is None
+    assert got[2]["host"] == "ok.example"
+
+
+def test_list_any_all_string_truthiness():
+    t = pa.table({"l": pa.array([["abc", ""], [""], ["x"]],
+                                pa.list_(pa.string()))})
+    assert E.F("list_any", E.col("l")).eval(t).to_pylist() == \
+        [True, False, True]
+    assert E.F("list_all", E.col("l")).eval(t).to_pylist() == \
+        [False, False, True]

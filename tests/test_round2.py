@@ -658,3 +658,9 @@ root.y = @topic
     assert "_meta_route" in prog
     assert prog["_meta_route"].eval(t).to_pylist() == ["1", "2"]
     assert prog["y"].eval(t).to_pylist() == ["a", "b"]
+
+
+def test_bloblang_error_fns_without_error_column():
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    assert parse_expr("error()").eval(t).to_pylist() == [None, None]
+    assert parse_expr("errored()").eval(t).to_pylist() == [False, False]
