@@ -292,3 +292,72 @@ def lint(text_or_path: str) -> dict:
     elif out is not None:
         try_build("output", out)
     return {"ok": not errors, "errors": errors}
+
+
+@register_op("export_partitioned")
+def build_export_partitioned(*, path: str, partition_col: str):
+    """RESUMABLE partitioned export: one directory per partition value
+    (``<col>=<v>/``), each committed atomically — data written to a
+    temp name, renamed, then a ``_SUCCESS`` marker placed.  A re-run
+    first enumerates markers and SKIPS finished partitions before any
+    compute (broadcast key-set filter), so a failed export resumes
+    where it stopped instead of rewriting the world; a partition that
+    crashed mid-write has no marker and is redone idempotently.
+
+    Returns a small stats Dataset of (partition, rows) actually written
+    this run.  Scale note: one keyed exchange co-locates each
+    partition; size partitions so one fits a worker (same rule as any
+    keyed group op)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def sink(ds):
+        os.makedirs(path, exist_ok=True)
+        done = set()
+        prefix = f"{partition_col}="
+        for d in os.listdir(path):
+            if d.startswith(prefix) and os.path.exists(
+                    os.path.join(path, d, "_SUCCESS")):
+                done.add(d[len(prefix):])
+        if done:
+            import pyarrow.compute as pc
+            import ray
+
+            done_ref = ray.put(pa.array(sorted(done)))
+
+            def drop_done(t: pa.Table) -> pa.Table:
+                from rayflow.ops.joins import _fetch
+
+                vals = _fetch(done_ref, lambda v: v)
+                key = pc.cast(t[partition_col], pa.string())
+                return t.filter(pc.invert(pc.is_in(key, value_set=vals)))
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+        def write_group(g: pd.DataFrame) -> pd.DataFrame:
+            v = g[partition_col].iloc[0]
+            d = os.path.join(path, f"{partition_col}={v}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".part.tmp.{os.getpid()}")
+            # hive layout: the partition value lives in the directory
+            # name, not (also) in the file — duplicate columns make
+            # readers' schema merges conflict
+            body = g.drop(columns=[partition_col])
+            pq.write_table(
+                pa.Table.from_pandas(body, preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(d, "part-0.parquet"))
+            with open(os.path.join(d, "_SUCCESS"), "w"):
+                pass
+            return pd.DataFrame({"partition": [str(v)], "rows": [len(g)]})
+
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
+        return ds.groupby(partition_col).map_groups(
+            write_group, batch_format="pandas")
+
+    return sink

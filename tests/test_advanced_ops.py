@@ -389,3 +389,31 @@ steps:
   - {op: decontaminate, bench: [aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaxx]}
 """)
     assert rep["ok"], rep
+
+
+def test_export_partitioned_resumes(ray_session, tmp_path):
+    """A failed export resumes: finished partitions (with _SUCCESS) are
+    skipped before any compute; unfinished ones are (re)written."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    tbl = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2),
+        "v": pa.array(range(9), pa.int64()),
+    })
+    out = str(tmp_path / "export")
+    stats = build_op({"op": "export_partitioned", "path": out,
+                      "partition_col": "k"})(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(stats["partition"]) == ["a", "b", "c"]
+    # simulate a crash that lost partition b: remove its marker
+    os.remove(os.path.join(out, "k=b", "_SUCCESS"))
+    stats2 = build_op({"op": "export_partitioned", "path": out,
+                       "partition_col": "k"})(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(stats2["partition"]) == ["b"]      # only b rewritten
+    # read-back equals the input
+    back = pq.read_table(out).to_pandas().sort_values("v",
+                                                      ignore_index=True)
+    assert list(back["v"]) == list(range(9))
+    assert sorted(back["k"].astype(str).unique()) == ["a", "b", "c"]
