@@ -632,3 +632,36 @@ def test_group_hll_null_keys(ray_session):
     out2 = build_op({"op": "group_hll", "keys": ["g"], "column": "u"})(
         rd.from_arrow(tbl2)).to_pandas()
     assert len(out2) == 2
+
+
+def test_curate_pack_export_end_to_end(ray_session, tmp_path):
+    """The full training-data story in one flow: curate the corpus,
+    pack the survivors into sequences, export resumably partitioned by
+    chunk — and read it back."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayflow import expr as E
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    ds = build_op({"op": "gopher_quality"})(ds)
+    ds = build_op({"op": "filter",
+                   "predicate": (E.col("n_words") >= 10)
+                   & (E.col("dup_word_frac") <= 0.6)})(ds)
+    ds = build_op({"op": "pii_redact"})(ds)
+    ds = build_op({"op": "select", "columns": ["doc_id", "text", "n_chars"]})(ds)
+    ds = build_op({"op": "pack_chunks", "size_col": "n_chars",
+                   "capacity": 5_000, "order_col": "doc_id",
+                   "bucket_rows": 64})(ds)
+    out = str(tmp_path / "corpus")
+    stats = build_op({"op": "export_partitioned", "path": out,
+                      "partition_col": "chunk_id"})(ds).to_pandas()
+    assert len(stats) >= 2                      # multiple sequence chunks
+    assert all(os.path.exists(os.path.join(out, f"chunk_id={p}", "_SUCCESS"))
+               for p in stats["partition"])
+    back = pq.read_table(out)
+    assert back.num_rows == int(stats["rows"].sum())
+    assert "text" in back.column_names
