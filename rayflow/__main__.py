@@ -134,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
             if result is not None:
                 n = result.count()
                 print(json.dumps({"rows": n, "schema": result.schema().names}))
+            else:
+                print(json.dumps({"ok": True, "note": "sink consumed result"}))
         elif args.cmd == "verify-lake":
             from rayflow.cdc.oracle import audit_lake
 
