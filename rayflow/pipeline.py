@@ -338,6 +338,20 @@ def build_export_partitioned(*, path: str, partition_col: str):
             ds = ds.map_batches(drop_done, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
+        def reject_null_keys(t: pa.Table) -> pa.Table:
+            # Ray's groupby hangs on null keys (documented quirk), and a
+            # null can't name a directory — fail fast with a clear error
+            import pyarrow.compute as pc
+
+            if pc.any(pc.is_null(t[partition_col])).as_py():
+                raise ValueError(
+                    f"export_partitioned: null values in partition column "
+                    f"{partition_col!r}; filter or fill them first")
+            return t
+
+        ds = ds.map_batches(reject_null_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
         def write_group(g: pd.DataFrame) -> pd.DataFrame:
             v = g[partition_col].iloc[0]
             d = os.path.join(path, f"{partition_col}={v}")

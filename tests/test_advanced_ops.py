@@ -417,3 +417,12 @@ def test_export_partitioned_resumes(ray_session, tmp_path):
                                                       ignore_index=True)
     assert list(back["v"]) == list(range(9))
     assert sorted(back["k"].astype(str).unique()) == ["a", "b", "c"]
+
+
+def test_export_partitioned_rejects_null_keys(ray_session, tmp_path):
+    import ray.data as rd
+
+    tbl = pa.table({"k": pa.array(["a", None]), "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="null values in partition column"):
+        build_op({"op": "export_partitioned", "path": str(tmp_path / "x"),
+                  "partition_col": "k"})(rd.from_arrow(tbl)).to_pandas()
