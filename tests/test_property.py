@@ -286,3 +286,53 @@ def test_list_any_all_match_python_skipping_nulls(a):
                 for x in a]
     assert got_any == want_any
     assert got_all == want_all
+
+
+# -- distributed prefix-sum (pack_chunks) vs serial reference ---------------
+
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=120),
+       st.integers(100, 2000), st.sampled_from([4, 16, 64]))
+@settings(max_examples=15, deadline=None)
+def test_pack_chunks_property(sizes, capacity, bucket_rows):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(sizes)), pa.int64()),
+        "nsz": pa.array(sizes, pa.int64()),
+    })
+    out = build_op({
+        "op": "pack_chunks", "size_col": "nsz", "capacity": capacity,
+        "order_col": "doc_id", "bucket_rows": bucket_rows,
+    })(rd.from_arrow(tbl).repartition(3)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    before = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    assert list(out["chunk_id"]) == list(before // capacity)
+
+
+# -- histogram percentile combiner vs numpy reference -----------------------
+
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.integers(0, 100)),
+                min_size=2, max_size=200),
+       st.sampled_from([0.1, 0.5, 0.9, 1.0]))
+@settings(max_examples=15, deadline=None)
+def test_group_percentile_property(rows, q):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    tbl = pa.table({
+        "g": pa.array([r[0] for r in rows]),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    out = build_op({
+        "op": "group_percentile", "keys": ["g"], "value_col": "v",
+        "quantiles": [q],
+    })(rd.from_arrow(tbl).repartition(3)).to_pandas().set_index("g")
+    name = f"p{int(q * 100)}"
+    for g in set(r[0] for r in rows):
+        s = np.sort([r[1] for r in rows if r[0] == g])
+        rank = max(1, int(np.ceil(q * len(s))))
+        assert out.loc[g, name] == s[rank - 1]
