@@ -97,6 +97,18 @@ _METHOD_ALIASES: dict[str, str] = {
     "without": "struct_without",
     "with": "struct_with",
     "get": "struct_get",
+    # array methods under their Bloblang names (receiver = the list)
+    "join": "list_join",
+    "sum": "list_sum",
+    "unique": "list_unique",
+    "sort": "list_sort",
+    "append": "list_append",
+    "any": "list_any",
+    "all": "list_all",
+    "flatten": "list_flatten",
+    "zip": "list_zip",
+    "map_each": "list_map",
+    "filter": "list_filter",
 }
 
 

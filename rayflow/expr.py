@@ -1420,3 +1420,35 @@ def _parse_url(a):
             return None
 
     return _pyfall(one)(a)
+
+
+# -- polymorphic string/list dispatch ---------------------------------------
+# Bloblang's reverse()/length()/contains() work on strings AND arrays;
+# re-register them with a type switch so the text syntax matches.
+
+
+def _is_list_type(a) -> bool:
+    t = a.type if isinstance(a, (pa.Array, pa.ChunkedArray)) else None
+    return t is not None and (pa.types.is_list(t) or pa.types.is_large_list(t))
+
+
+_utf8_reverse, _utf8_length = pc.utf8_reverse, pc.utf8_length
+
+
+@register_fn("reverse")
+def _reverse_poly(a):
+    return _list_reverse(a) if _is_list_type(a) else _utf8_reverse(a)
+
+
+@register_fn("length")
+def _length_poly(a):
+    if _is_list_type(a):
+        return pc.cast(pc.list_value_length(a), pa.int64())
+    return _utf8_length(a)
+
+
+@register_fn("contains")
+def _contains_poly(a, v):
+    if _is_list_type(a):
+        return _list_contains(a, v)
+    return pc.match_substring(a, v.as_py() if isinstance(v, pa.Scalar) else v)

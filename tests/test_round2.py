@@ -664,3 +664,25 @@ def test_bloblang_error_fns_without_error_column():
     t = pa.table({"x": pa.array([1, 2], pa.int64())})
     assert parse_expr("error()").eval(t).to_pylist() == [None, None]
     assert parse_expr("errored()").eval(t).to_pylist() == [False, False]
+
+
+def test_bloblang_polymorphic_and_array_methods():
+    t = pa.table({
+        "s": pa.array(["abc", "xy"]),
+        "l": pa.array([[3, 1, 2], [5]], pa.list_(pa.int64())),
+        "w": pa.array([["b", "a"], ["c"]], pa.list_(pa.string())),
+    })
+    assert parse_expr("this.s.reverse()").eval(t).to_pylist() == ["cba", "yx"]
+    assert parse_expr("this.l.reverse()").eval(t).to_pylist() == \
+        [[2, 1, 3], [5]]
+    assert parse_expr("this.s.length()").eval(t).to_pylist() == [3, 2]
+    assert parse_expr("this.l.length()").eval(t).to_pylist() == [3, 1]
+    assert parse_expr('this.s.contains("b")').eval(t).to_pylist() == \
+        [True, False]
+    assert parse_expr("this.l.contains(5)").eval(t).to_pylist() == \
+        [False, True]
+    assert parse_expr('this.w.join("-")').eval(t).to_pylist() == ["b-a", "c"]
+    assert parse_expr("this.l.sum()").eval(t).to_pylist() == [6.0, 5.0]
+    assert parse_expr("this.l.sort()").eval(t).to_pylist() == [[1, 2, 3], [5]]
+    assert parse_expr("this.l.append(9)").eval(t).to_pylist() == \
+        [[3, 1, 2, 9], [5, 9]]
