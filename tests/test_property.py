@@ -336,3 +336,46 @@ def test_group_percentile_property(rows, q):
         s = np.sort([r[1] for r in rows if r[0] == g])
         rank = max(1, int(np.ceil(q * len(s))))
         assert out.loc[g, name] == s[rank - 1]
+
+
+# -- as-of join vs serial merge_asof reference ------------------------------
+
+@given(st.integers(0, 2**31 - 1), st.sampled_from(["backward", "forward"]),
+       st.sampled_from(["auto", "shuffle"]))
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_serial_reference(seed, direction, strategy):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(1, 60)), int(rng.integers(0, 40))
+    l = pd.DataFrame({
+        "k": rng.integers(0, 4, nl),
+        "t": rng.integers(0, 100, nl),
+        "v": np.arange(nl),
+    })
+    # unique (k, t) on the right: tie order is engine-dependent otherwise
+    r = pd.DataFrame({
+        "k": rng.integers(0, 4, nr),
+        "t": rng.integers(0, 100, nr),
+        "price": np.arange(nr) * 10,
+    }).drop_duplicates(["k", "t"])
+    got = build_op({
+        "op": "asof_join", "right": rd.from_pandas(r), "on": "k",
+        "time_col": "t", "direction": direction, "strategy": strategy,
+    })(rd.from_pandas(l)).to_pandas() \
+        .sort_values(["k", "t", "v"], ignore_index=True)
+    parts = []
+    for k, lg in l.groupby("k"):
+        rg = r[r["k"] == k].sort_values("t")
+        lg = lg.sort_values("t", kind="stable")
+        if rg.empty:
+            m = lg.assign(price=np.nan)
+        else:
+            m = pd.merge_asof(lg, rg[["t", "price"]], on="t",
+                              direction=direction)
+        parts.append(m)
+    want = pd.concat(parts).sort_values(["k", "t", "v"], ignore_index=True)
+    assert got["price"].fillna(-1).tolist() == \
+        want["price"].fillna(-1).tolist()
