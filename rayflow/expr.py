@@ -1452,3 +1452,32 @@ def _contains_poly(a, v):
     if _is_list_type(a):
         return _list_contains(a, v)
     return pc.match_substring(a, v.as_py() if isinstance(v, pa.Scalar) else v)
+
+
+register_fn("log")(pc.ln)  # Bloblang log() = natural log (log10 separate)
+
+
+@register_fn("format_string")
+def _format_string(fmt, *arrays):
+    """printf-style formatting (Bloblang ``format``): the format string
+    is a scalar, the %-placeholders fill element-wise."""
+    f = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
+    cols = []
+    n = None
+    for a in arrays:
+        if isinstance(a, pa.Scalar):
+            cols.append(None)
+        else:
+            arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            cols.append(arr.to_pylist())
+            n = len(arr)
+    if n is None:
+        vals = tuple(a.as_py() for a in arrays)
+        return pa.scalar(f % vals)
+    out = []
+    for i in range(n):
+        vals = tuple(
+            (a.as_py() if isinstance(a, pa.Scalar) else cols[j][i])
+            for j, a in enumerate(arrays))
+        out.append(None if any(v is None for v in vals) else f % vals)
+    return pa.array(out, pa.string())

@@ -429,12 +429,18 @@ def build_grok(*, column: str, pattern: str, drop_source: bool = False):
 
 @register_op("json_schema")
 def build_json_schema(*, column: str, required: list[str],
-                      types: dict[str, type] | None = None):
-    """Validate a JSON-string column against a minimal schema spec
-    (required keys + python types) — the ``json_schema`` processor's
-    semantics without a jsonschema dependency.  Failures set ``_error``
-    (route with ``catch``)."""
+                      types: dict[str, type] | None = None,
+                      enums: dict[str, list] | None = None,
+                      minimums: dict[str, float] | None = None,
+                      maximums: dict[str, float] | None = None):
+    """Validate a JSON-string column against a schema spec — required
+    keys, python types, enum membership, numeric minimum/maximum (the
+    ``json_schema`` processor's common constraint set, no jsonschema
+    dependency).  Failures set ``_error`` (route with ``catch``)."""
     types = types or {}
+    enum_sets = {k: set(v) for k, v in (enums or {}).items()}
+    minimums = minimums or {}
+    maximums = maximums or {}
 
     def apply(ds):
         def fn(t: pa.Table) -> pa.Table:
@@ -450,9 +456,23 @@ def build_json_schema(*, column: str, required: list[str],
                             if k not in doc:
                                 err = f"json_schema: missing key {k}"
                                 break
+                            v = doc[k]
                             want = types.get(k)
-                            if want is not None and not isinstance(doc[k], want):
+                            if want is not None and not isinstance(v, want):
                                 err = f"json_schema: {k} wrong type"
+                                break
+                            if k in enum_sets and v not in enum_sets[k]:
+                                err = f"json_schema: {k} not in enum"
+                                break
+                            if k in minimums and (
+                                    not isinstance(v, (int, float))
+                                    or v < minimums[k]):
+                                err = f"json_schema: {k} below minimum"
+                                break
+                            if k in maximums and (
+                                    not isinstance(v, (int, float))
+                                    or v > maximums[k]):
+                                err = f"json_schema: {k} above maximum"
                                 break
                 except (json.JSONDecodeError, TypeError):
                     err = "json_schema: invalid json"

@@ -426,3 +426,24 @@ def test_export_partitioned_rejects_null_keys(ray_session, tmp_path):
     with pytest.raises(Exception, match="null values in partition column"):
         build_op({"op": "export_partitioned", "path": str(tmp_path / "x"),
                   "partition_col": "k"})(rd.from_arrow(tbl)).to_pandas()
+
+
+def test_json_schema_enum_and_range(ray_session):
+    import ray.data as rd
+
+    docs = pa.table({"raw": pa.array([
+        '{"lvl": "info", "n": 5}',
+        '{"lvl": "nope", "n": 5}',
+        '{"lvl": "warn", "n": 999}',
+        '{"lvl": "info", "n": -1}',
+    ])})
+    out = build_op({
+        "op": "json_schema", "column": "raw", "required": ["lvl", "n"],
+        "enums": {"lvl": ["info", "warn", "error"]},
+        "minimums": {"n": 0}, "maximums": {"n": 100},
+    })(rd.from_arrow(docs)).to_pandas()
+    errs = out["_error"].tolist()
+    assert errs[0] is None
+    assert "not in enum" in errs[1]
+    assert "above maximum" in errs[2]
+    assert "below minimum" in errs[3]

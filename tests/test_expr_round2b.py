@@ -212,3 +212,13 @@ def test_list_any_all_string_truthiness():
         [True, False, True]
     assert E.F("list_all", E.col("l")).eval(t).to_pylist() == \
         [False, False, True]
+
+
+def test_format_string_and_log_alias():
+    t = pa.table({"n": pa.array([3, None], pa.int64()),
+                  "s": pa.array(["cats", "dogs"])})
+    got = E.F("format_string", E.lit("%d %s found"),
+              E.col("n"), E.col("s")).eval(t).to_pylist()
+    assert got == ["3 cats found", None]
+    import math
+    assert abs(E.F("log", E.lit(math.e)).eval(t).as_py() - 1.0) < 1e-12
