@@ -667,3 +667,44 @@ def build_group_percentile(*, keys: list[str], value_col: str,
             finish, batch_size=None, **_PA_KW)
 
     return apply
+
+
+@register_op("noop")
+def build_noop():
+    """Identity processor (the reference's ``noop``)."""
+    return lambda ds: ds
+
+
+@register_op("sleep")
+def build_sleep(*, seconds: float):
+    """Per-batch delay (the reference's ``sleep``) — useful for
+    exercising backpressure and pipelining in tests; the streaming
+    executor keeps upstream stages productive while batches wait."""
+    import time as _time
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            _time.sleep(seconds)
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("log_stage")
+def build_log_stage(*, name: str = "stage", sample: int = 3):
+    """Observability tap (the reference's ``log`` processor): print a
+    per-batch row count and up to ``sample`` example rows to the worker
+    log, pass the data through unchanged."""
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            head = t.slice(0, min(sample, t.num_rows)).to_pylist()
+            print(f"[rayflow:{name}] batch rows={t.num_rows} sample={head}",
+                  flush=True)
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply

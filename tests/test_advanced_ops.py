@@ -447,3 +447,15 @@ def test_json_schema_enum_and_range(ray_session):
     assert "not in enum" in errs[1]
     assert "above maximum" in errs[2]
     assert "below minimum" in errs[3]
+
+
+def test_noop_sleep_log_stage(ray_session, capsys):
+    import ray.data as rd
+
+    tbl = pa.table({"v": pa.array([1, 2, 3], pa.int64())})
+    ds = rd.from_arrow(tbl)
+    assert build_op({"op": "noop"})(ds).to_pandas()["v"].tolist() == [1, 2, 3]
+    out = build_op({"op": "sleep", "seconds": 0.01})(ds).to_pandas()
+    assert sorted(out["v"]) == [1, 2, 3]
+    out2 = build_op({"op": "log_stage", "name": "t"})(ds).to_pandas()
+    assert sorted(out2["v"]) == [1, 2, 3]
