@@ -1953,3 +1953,29 @@ def near_dup_components(sf_dir: str):
         "node_a": "doc_a", "node_b": "doc_b", "id_col": "doc_id",
     })(ds)
     return out.select_columns(["doc_id", "keep_id"])
+
+
+@query(
+    "histogram_nchars",
+    """
+    SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY bin
+    """,
+)
+def histogram_nchars(sf_dir: str):
+    """Fixed-width histogram of document length — pure composition
+    (vectorized binning expression + the two-phase grouped count), no
+    dedicated operator needed; the dataset-profiling stat every corpus
+    report opens with."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["n_chars"])
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"bin": E.F("int64", E.F("floor",
+                 E.col("n_chars") / E.lit(50.0)))},
+        "select": ["bin"],
+    })(ds)
+    return build_op({
+        "op": "group_agg", "keys": ["bin"],
+        "aggs": [("count", None, "n")],
+    })(ds)
