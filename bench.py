@@ -178,6 +178,7 @@ def run_bench() -> dict:
 
     from rayflow.queries import QUERIES
 
+    stats_for = os.environ.get("RAYFLOW_BENCH_STATS")
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
@@ -189,6 +190,11 @@ def run_bench() -> dict:
         except AttributeError:
             pass
         result["queries"][name] = round(time.perf_counter() - t0, 3)
+        if stats_for and name == stats_for and hasattr(res, "stats"):
+            # per-stage executor breakdown (RAYFLOW_BENCH_STATS=<query>):
+            # the tuning feedback loop — stderr, so the JSON line stays clean
+            print(f"--- ds.stats() for {name} ---\n{res.stats()}",
+                  file=sys.stderr)
 
     ray.shutdown()
     return result
