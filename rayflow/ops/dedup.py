@@ -795,3 +795,53 @@ def build_group_hll(*, keys: list[str], column: str, p: int = 12,
         return partials.groupby(keys).map_groups(merge, batch_format="pandas")
 
     return apply
+
+
+@register_op("heavy_hitters")
+def build_heavy_hitters(*, column: str, k: int = 10, slack: int = 8):
+    """Approximate top-k most frequent values with a BOUNDED exchange:
+    each batch emits only its ``k × slack`` locally-heaviest values
+    (value, partial_count) — a space-saving-style partial — and one
+    small combine sums and ranks.  Exchange volume is O(k·slack) rows
+    per batch regardless of cardinality, unlike an exact global
+    value-count whose exchange grows with the vocabulary.
+
+    Guarantee: any value with true frequency ≥ 1/(k·slack) of a batch
+    appears in that batch's partial, so globally heavy values (the ones
+    top-k cares about) survive; ties near the cutoff may undercount —
+    the standard heavy-hitter trade-off.  Raise ``slack`` to tighten.
+    """
+    from rayflow.ops import build_op
+
+    keep = k * slack
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"value": pa.array([], pa.string()),
+                             "partial_count": pa.array([], pa.int64())})
+        col = pc.cast(t.column(column), pa.string())
+        counts = pa.table({"value": col}).group_by(
+            "value", use_threads=False).aggregate([([], "count_all")])
+        n = counts.num_rows
+        if n > keep:
+            order = pc.select_k_unstable(
+                counts, k=keep, sort_keys=[("count_all", "descending")])
+            counts = counts.take(order)
+        return pa.table({
+            "value": counts["value"],
+            "partial_count": pc.cast(counts["count_all"], pa.int64()),
+        })
+
+    def apply(ds):
+        partials = ds.map_batches(partial, **_PA_KW)
+        combined = build_op({
+            "op": "group_agg", "keys": ["value"],
+            "aggs": [("sum", "partial_count", "approx_count")],
+        })(partials)
+        ranked = build_op({
+            "op": "sort", "keys": ["approx_count", "value"],
+            "descending": [True, False],
+        })(combined)
+        return ranked.limit(k)
+
+    return apply

@@ -665,3 +665,20 @@ def test_curate_pack_export_end_to_end(ray_session, tmp_path):
     back = pq.read_table(out)
     assert back.num_rows == int(stats["rows"].sum())
     assert "text" in back.column_names
+
+
+def test_heavy_hitters_zipf(ray_session):
+    """On zipf-skewed data the approximate top-k equals the exact
+    top-k (heavy values are far above the partial cutoff)."""
+    import collections
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(44)
+    vals = [f"v{z}" for z in rng.zipf(1.5, size=30_000) if z < 10_000]
+    tbl = pa.table({"x": pa.array(vals)})
+    out = build_op({"op": "heavy_hitters", "column": "x", "k": 5})(
+        rd.from_arrow(tbl).repartition(6)).to_pandas()
+    exact = collections.Counter(vals).most_common(5)
+    assert list(out["value"]) == [v for v, _ in exact]
+    assert list(out["approx_count"]) == [c for _, c in exact]
