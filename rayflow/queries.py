@@ -1979,3 +1979,21 @@ def histogram_nchars(sf_dir: str):
         "op": "group_agg", "keys": ["bin"],
         "aggs": [("count", None, "n")],
     })(ds)
+
+
+@query(
+    "heavy_hitters_event_types",
+    """
+    SELECT event_type AS value, CAST(count(*) AS BIGINT) AS approx_count
+    FROM events GROUP BY event_type
+    ORDER BY approx_count DESC, value LIMIT 3
+    """,
+)
+def heavy_hitters_event_types(sf_dir: str):
+    """Heavy-hitters sketch over event types.  With cardinality below
+    the per-batch partial budget the sketch degrades gracefully to the
+    EXACT answer, so the SQL top-k is a valid oracle here; the bounded-
+    exchange behavior at high cardinality is pytest-covered on zipf
+    data."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return build_op({"op": "heavy_hitters", "column": "event_type", "k": 3})(ds)
