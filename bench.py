@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "asof_latest_click_value",
     "purchases_in_signup_window",
     "large_orders_q18",
+    "histogram_nchars",
+    "heavy_hitters_event_types",
 ]
 
 
