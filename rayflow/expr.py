@@ -1462,22 +1462,21 @@ def _format_string(fmt, *arrays):
     """printf-style formatting (Bloblang ``format``): the format string
     is a scalar, the %-placeholders fill element-wise."""
     f = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
-    cols = []
+    cols = []          # per arg: ("scalar", value) or ("col", pylist)
     n = None
     for a in arrays:
         if isinstance(a, pa.Scalar):
-            cols.append(None)
+            cols.append(("scalar", a.as_py()))
         else:
             arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-            cols.append(arr.to_pylist())
+            cols.append(("col", arr.to_pylist()))
             n = len(arr)
     if n is None:
-        vals = tuple(a.as_py() for a in arrays)
-        return pa.scalar(f % vals)
+        vals = tuple(v for _, v in cols)
+        return pa.scalar(None if any(v is None for v in vals) else f % vals,
+                         pa.string())
     out = []
     for i in range(n):
-        vals = tuple(
-            (a.as_py() if isinstance(a, pa.Scalar) else cols[j][i])
-            for j, a in enumerate(arrays))
+        vals = tuple(v if kind == "scalar" else v[i] for kind, v in cols)
         out.append(None if any(v is None for v in vals) else f % vals)
     return pa.array(out, pa.string())

@@ -456,24 +456,35 @@ def build_json_schema(*, column: str, required: list[str],
                             if k not in doc:
                                 err = f"json_schema: missing key {k}"
                                 break
-                            v = doc[k]
-                            want = types.get(k)
-                            if want is not None and not isinstance(v, want):
-                                err = f"json_schema: {k} wrong type"
-                                break
-                            if k in enum_sets and v not in enum_sets[k]:
-                                err = f"json_schema: {k} not in enum"
-                                break
-                            if k in minimums and (
-                                    not isinstance(v, (int, float))
-                                    or v < minimums[k]):
-                                err = f"json_schema: {k} below minimum"
-                                break
-                            if k in maximums and (
-                                    not isinstance(v, (int, float))
-                                    or v > maximums[k]):
-                                err = f"json_schema: {k} above maximum"
-                                break
+                        # constraints apply to every PRESENT key that
+                        # declares one — required or optional
+                        if err is None:
+                            constrained = (set(types) | set(enum_sets)
+                                           | set(minimums) | set(maximums))
+                            for k in constrained:
+                                if k not in doc:
+                                    continue
+                                v = doc[k]
+                                want = types.get(k)
+                                if want is not None and \
+                                        not isinstance(v, want):
+                                    err = f"json_schema: {k} wrong type"
+                                    break
+                                if k in enum_sets and v not in enum_sets[k]:
+                                    err = f"json_schema: {k} not in enum"
+                                    break
+                                # bool is an int subclass in Python but
+                                # not a number in JSON Schema terms
+                                is_num = isinstance(v, (int, float)) and \
+                                    not isinstance(v, bool)
+                                if k in minimums and (
+                                        not is_num or v < minimums[k]):
+                                    err = f"json_schema: {k} below minimum"
+                                    break
+                                if k in maximums and (
+                                        not is_num or v > maximums[k]):
+                                    err = f"json_schema: {k} above maximum"
+                                    break
                 except (json.JSONDecodeError, TypeError):
                     err = "json_schema: invalid json"
                 errs.append(err)

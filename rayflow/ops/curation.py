@@ -378,16 +378,11 @@ def build_ngram_topk(*, column: str = "text", n: int = 2, k: int = 20):
         })
 
     def apply(ds):
+        from rayflow.ops.kernels import sum_count_topk
+
         partials = ds.map_batches(partial, **_PA_KW)
-        combined = build_op({
-            "op": "group_agg", "keys": ["ngram"],
-            "aggs": [("sum", "n_occurrences", "n_occurrences")],
-        })(partials)
-        ranked = build_op({
-            "op": "sort", "keys": ["n_occurrences", "ngram"],
-            "descending": [True, False],
-        })(combined)
-        return ranked.limit(k)
+        return sum_count_topk(partials, key_col="ngram",
+                              count_col="n_occurrences", k=k)
 
     return apply
 

@@ -833,15 +833,12 @@ def build_heavy_hitters(*, column: str, k: int = 10, slack: int = 8):
         })
 
     def apply(ds):
-        partials = ds.map_batches(partial, **_PA_KW)
-        combined = build_op({
-            "op": "group_agg", "keys": ["value"],
-            "aggs": [("sum", "partial_count", "approx_count")],
-        })(partials)
-        ranked = build_op({
-            "op": "sort", "keys": ["approx_count", "value"],
-            "descending": [True, False],
-        })(combined)
-        return ranked.limit(k)
+        from rayflow.ops.kernels import sum_count_topk
+
+        partials = ds.map_batches(
+            lambda t: partial(t).rename_columns(["value", "approx_count"]),
+            **_PA_KW)
+        return sum_count_topk(partials, key_col="value",
+                              count_col="approx_count", k=k)
 
     return apply

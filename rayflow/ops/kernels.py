@@ -57,3 +57,20 @@ def collect_table(ds) -> pa.Table:
     types = list(sch.types)
     return pa.Table.from_arrays(
         [pa.array([], t) for t in types], names=names)
+
+
+def sum_count_topk(partials, *, key_col: str, count_col: str, k: int):
+    """Shared finish for count-based top-k ops (ngram_topk,
+    heavy_hitters): sum partial counts per key, rank descending with
+    the key as deterministic tiebreak, keep k."""
+    from rayflow.ops import build_op
+
+    combined = build_op({
+        "op": "group_agg", "keys": [key_col],
+        "aggs": [("sum", count_col, count_col)],
+    })(partials)
+    ranked = build_op({
+        "op": "sort", "keys": [count_col, key_col],
+        "descending": [True, False],
+    })(combined)
+    return ranked.limit(k)

@@ -459,3 +459,25 @@ def test_noop_sleep_log_stage(ray_session, capsys):
     assert sorted(out["v"]) == [1, 2, 3]
     out2 = build_op({"op": "log_stage", "name": "t"})(ds).to_pandas()
     assert sorted(out2["v"]) == [1, 2, 3]
+
+
+def test_json_schema_constraints_on_optional_keys(ray_session):
+    """Constraints must apply to PRESENT optional keys too, and JSON
+    booleans are not numbers."""
+    import ray.data as rd
+
+    docs = pa.table({"raw": pa.array([
+        '{"id": 1, "lvl": "bogus"}',     # optional enum violated
+        '{"id": 1, "n": -5}',            # optional minimum violated
+        '{"id": 1, "n": true}',          # bool is not a number
+        '{"id": 1}',                     # optional keys absent: fine
+    ])})
+    out = build_op({
+        "op": "json_schema", "column": "raw", "required": ["id"],
+        "enums": {"lvl": ["info", "warn"]}, "minimums": {"n": 0},
+    })(rd.from_arrow(docs)).to_pandas()
+    errs = out["_error"].tolist()
+    assert "not in enum" in errs[0]
+    assert "below minimum" in errs[1]
+    assert "below minimum" in errs[2]
+    assert errs[3] is None

@@ -222,3 +222,9 @@ def test_format_string_and_log_alias():
     assert got == ["3 cats found", None]
     import math
     assert abs(E.F("log", E.lit(math.e)).eval(t).as_py() - 1.0) < 1e-12
+
+
+def test_format_string_null_scalar_folds_to_null():
+    t = pa.table({"x": pa.array([1], pa.int64())})
+    got = E.F("format_string", E.lit("%d items"), E.lit(None)).eval(t)
+    assert got.as_py() is None
