@@ -876,9 +876,12 @@ def _list_filter(a, fn_name, *extra):
     lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     m = mask.to_numpy(zero_copy_only=False).astype(np.int64)
-    kept_lens = (np.add.reduceat(m, starts) if len(m) else
-                 np.zeros(len(lens), np.int64))
-    kept_lens[lens == 0] = 0  # reduceat artifacts on empty segments
+    # reduceat only over non-empty segments: a trailing empty row would put
+    # a start offset == len(m), which raises IndexError in np.add.reduceat
+    kept_lens = np.zeros(len(lens), np.int64)
+    nonempty = lens > 0
+    if len(m) and nonempty.any():
+        kept_lens[nonempty] = np.add.reduceat(m, starts[nonempty])
     offs = np.concatenate(([0], np.cumsum(kept_lens))).astype(np.int32)
     return pa.ListArray.from_arrays(
         pa.array(offs, pa.int32()), kept,

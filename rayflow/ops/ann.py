@@ -369,23 +369,37 @@ def build_embedding_near_dup(*, threshold: float = 0.9, dim: int = 64,
             zero_copy_batch=True, num_cpus=1,
         )
 
+        # unit vectors a,b with cos(a,b) >= t satisfy |a-b| <= sqrt(2-2t);
+        # a unit hyperplane can only separate them if their projections
+        # differ by > 2*margin, so assigning every vector within ±margin
+        # of the plane to BOTH sides loses NO pair above the threshold.
+        margin = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)) / 2.0)
+
         def pairs_of(ids: np.ndarray, m: np.ndarray, depth: int) -> list:
             """Quadratic verify, but buckets above ``max_bucket`` are
             recursively split by an extra seeded hyperplane first — the
             cap that keeps the per-bucket O(n²) bounded when a hot
-            bucket swallows a large slice of the corpus.  Vectors on
-            identical rays always share every plane sign, so exact-dup
-            recall survives arbitrary splitting; at the depth limit the
-            quadratic runs regardless (correctness over cost)."""
+            bucket swallows a large slice of the corpus.  The split is
+            LOSSLESS: near-boundary vectors (|proj| <= margin, derived
+            from the threshold above) go to both sides, so every
+            above-threshold pair lands together on at least one side
+            (duplicates are dropped in per_bucket).  If the margin
+            swallows the bucket (one tight cluster), splitting cannot
+            make progress and the quadratic runs regardless
+            (correctness over cost)."""
             if len(ids) > max_bucket and depth < max_split_depth:
                 rng = np.random.default_rng(seed + 1000 + depth)
                 plane = rng.standard_normal(m.shape[1])
-                side = (m @ plane) > 0
-                out = []
-                for sel in (side, ~side):
-                    if sel.sum() >= 2:
-                        out.extend(pairs_of(ids[sel], m[sel], depth + 1))
-                return out
+                plane /= np.linalg.norm(plane)
+                proj = m @ plane
+                left = proj <= margin
+                right = proj >= -margin
+                if max(left.sum(), right.sum()) < len(ids):
+                    out = []
+                    for sel in (left, right):
+                        if sel.sum() >= 2:
+                            out.extend(pairs_of(ids[sel], m[sel], depth + 1))
+                    return out
             sims = m @ m.T
             ia, ib = np.triu_indices(len(ids), k=1)
             mask = sims[ia, ib] >= threshold
@@ -402,8 +416,12 @@ def build_embedding_near_dup(*, threshold: float = 0.9, dim: int = 64,
             rows = pairs_of(ids, m, 0)
             if not rows:
                 return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-            return pd.DataFrame(rows, columns=["id_a", "id_b", "cos"]).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64})
+            # margin-overlap splitting may emit a fully-in-margin pair
+            # from both sides — dedupe on the canonical (id_a, id_b)
+            return (pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
+                    .drop_duplicates(["id_a", "id_b"])
+                    .astype({"id_a": np.int64, "id_b": np.int64,
+                             "cos": np.float64}))
 
         return indexed.groupby("lsh_bucket").map_groups(
             per_bucket, batch_format="pandas"

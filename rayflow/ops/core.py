@@ -427,7 +427,11 @@ def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]],
                 var = pc.divide(
                     pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
                     pc.subtract(n, 1.0))
-                out_cols[alias] = pc.sqrt(pc.max_element_wise(var, 0.0))
+                # n<=1 (single sample / all-null group): stddev_samp is
+                # NULL in SQL and the shuffle cross-check — don't clamp to 0
+                out_cols[alias] = pc.if_else(
+                    pc.less_equal(n, 1.0), pa.scalar(None, pa.float64()),
+                    pc.sqrt(pc.max_element_wise(var, 0.0)))
         return pa.table(out_cols)
 
     def apply(ds):
@@ -482,7 +486,9 @@ def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]],
                     var = pc.divide(
                         pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
                         pc.subtract(n, 1.0))
-                    out_cols[alias] = pc.sqrt(pc.max_element_wise(var, 0.0))
+                    out_cols[alias] = pc.if_else(
+                        pc.less_equal(n, 1.0), pa.scalar(None, pa.float64()),
+                        pc.sqrt(pc.max_element_wise(var, 0.0)))
             return pa.table(out_cols)
 
         return reduced.map_batches(finalize, **_PA_KW)

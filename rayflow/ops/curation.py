@@ -277,8 +277,11 @@ def build_decontaminate(*, bench, column: str = "text",
     import ray
 
     if mode == "substring":
-        snips = sorted({b[:snip_len] for b in bench
-                        if b is not None and len(b) >= snip_len})
+        # entries shorter than snip_len keep their full text as the
+        # snippet (min(len, snip_len) implicit in the slice) — dropping
+        # them would silently make short eval items un-flaggable; the
+        # prefilter already falls back to no-pruning for sub-window snips
+        snips = sorted({b[:snip_len] for b in bench if b})
         payload = ray.put(tuple(snips))
     elif mode == "ngram":
         hashes: set = set()

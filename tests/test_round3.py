@@ -1,0 +1,122 @@
+"""Round-3 regression tests: the four ADVICE r2 defects, then the
+round-3 punch-list items (vectorized stratified rank hash, chunked
+partitioned export, vectorized minhash verify, salted joins, PNG decode,
+sliding-window partials, incremental windowed views)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from rayflow import expr as E
+from rayflow.ops import build_op
+
+
+# -- ADVICE r2 #1: list_filter with trailing empty/null list rows -----------
+
+
+def test_list_filter_trailing_empty_rows():
+    # a trailing empty row puts a reduceat start offset == len(flat mask)
+    t = pa.table({"ls": pa.array([["a", "", "b"], []],
+                                 pa.list_(pa.string()))})
+    out = E.F("list_filter", E.col("ls"), "not_empty").eval(t).to_pylist()
+    assert out == [["a", "b"], []]
+    # trailing null row, and an all-empty batch
+    t2 = pa.table({"ls": pa.array([["x"], None], pa.list_(pa.string()))})
+    assert E.F("list_filter", E.col("ls"), "not_empty").eval(t2).to_pylist() \
+        == [["x"], None]
+    t3 = pa.table({"ls": pa.array([[], []], pa.list_(pa.string()))})
+    assert E.F("list_filter", E.col("ls"), "not_empty").eval(t3).to_pylist() \
+        == [[], []]
+
+
+# -- ADVICE r2 #2: group_agg std must be NULL for n<=1 groups ----------------
+
+
+@pytest.mark.parametrize("kwargs", [{}, {"partial_limit": 1}])
+def test_group_agg_std_single_sample_is_null(ray_session, kwargs):
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array(["solo", "pair", "pair", "allnull"]),
+        "v": pa.array([5.0, 1.0, 3.0, None]),
+    })
+    out = build_op({
+        "op": "group_agg", "keys": ["k"],
+        "aggs": [("std", "v", "sdv")], **kwargs,
+    })(rd.from_arrow(t)).to_pandas().set_index("k")["sdv"]
+    assert pd.isna(out["solo"])        # single sample: stddev_samp = NULL
+    assert pd.isna(out["allnull"])     # zero samples: NULL
+    assert out["pair"] == pytest.approx(np.std([1.0, 3.0], ddof=1))
+
+
+# -- ADVICE r2 #3: embedding_near_dup split must not drop near (non-exact)
+#    duplicate pairs across a hot-bucket split ------------------------------
+
+
+def test_embedding_near_dup_split_keeps_near_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    n, d = 300, 16
+    base = rng.standard_normal((n, d))
+    # planted NEAR (not exact) duplicates: tiny perturbation, cos > 0.999
+    near = base[:12] + rng.standard_normal((12, d)) * 1e-3
+    m = np.vstack([base, near])
+    ids = np.concatenate([np.arange(n), np.arange(12) + 1_000_000])
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float64())),
+    })
+    # 1 plane → 2 buckets of ~150; max_bucket=16 forces deep recursive
+    # splitting where the old sign-only split could separate near-pairs
+    out = build_op({
+        "op": "embedding_near_dup", "threshold": 0.99, "dim": d,
+        "n_planes": 1, "max_bucket": 16,
+    })(rd.from_arrow(tbl)).to_pandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    for i in range(12):
+        assert (i, i + 1_000_000) in found, f"near-pair {i} lost in split"
+    # overlap assignment must not emit duplicate pairs
+    assert len(out) == len(out.drop_duplicates(["id_a", "id_b"]))
+
+
+# -- ADVICE r2 #4: decontaminate keeps benchmark entries shorter than
+#    snip_len ----------------------------------------------------------------
+
+
+def test_decontaminate_short_bench_entries(ray_session):
+    import ray.data as rd
+
+    bench = ["tiny eval", "x" * 80]          # 9 chars < snip_len=40
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["contains the tiny eval string inside",
+                          "clean document with nothing to hide",
+                          "x" * 200]),
+    })
+    out = build_op({
+        "op": "decontaminate", "bench": bench, "mode": "substring",
+        "snip_len": 40,
+    })(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(out["contaminated"]) == [True, False, True]
+
+
+def test_decontaminate_short_bench_hashed_path(ray_session):
+    """Short entries must also survive the rolling-hash prefilter route
+    (it falls back to no-pruning when a snippet is sub-window)."""
+    import ray.data as rd
+
+    bench = [f"benchmark question number {i:04d} asks about topic {i * 3}"
+             for i in range(40)] + ["short q"]
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the short q appears here verbatim",
+                          "unrelated clean text"]),
+    })
+    out = build_op({
+        "op": "decontaminate", "bench": bench, "mode": "substring",
+        "snip_len": 40, "hash_threshold": 8,
+    })(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(out["contaminated"]) == [True, False]
