@@ -401,22 +401,31 @@ def build_stratified_sample(*, keys: list[str], n: int, id_col: str,
     Scale shape: a per-BATCH top-n partial first (each batch emits at
     most n rows per stratum it sees), so the keyed exchange carries
     O(n × strata × batches) rows, never the corpus; a final per-group
-    top-n finishes.  The corpus-subsampling quota step (per-source /
-    per-language caps) of a training-data pipeline."""
-    import hashlib
-
+    top-n finishes.  The rank hash is the vectorized single-block MD5
+    kernel (kernels.md5_rank64) carried as two uint64 columns whose
+    (hi, lo) order equals hexdigest order — no per-row hashlib loop.
+    The corpus-subsampling quota step (per-source / per-language caps)
+    of a training-data pipeline."""
     from rayflow.ops import build_op
+    from rayflow.ops.kernels import md5_rank64
+
+    h_hi, h_lo = hash_col + "_hi", hash_col + "_lo"
 
     def add_hash(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        hs = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
-        return t.append_column(hash_col, pa.array(hs, pa.string()))
+        ids = t.column(id_col)
+        if not (pa.types.is_string(ids.type) or pa.types.is_binary(ids.type)
+                or pa.types.is_large_string(ids.type)):
+            ids = pc.cast(ids, pa.string())  # SQL oracle hashes the VARCHAR
+        hi, lo = md5_rank64(
+            ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids)
+        return (t.append_column(h_hi, pa.array(hi, pa.uint64()))
+                 .append_column(h_lo, pa.array(lo, pa.uint64())))
 
     def topn(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = t.to_pandas()
-        df = (df.sort_values([hash_col, id_col])
+        df = (df.sort_values([h_hi, h_lo, id_col])
                 .groupby(list(keys), sort=False, dropna=False).head(n))
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -431,7 +440,7 @@ def build_stratified_sample(*, keys: list[str], n: int, id_col: str,
         partials = ds.map_batches(partial, **_PA_KW)
         out = partials.repartition(1).map_batches(
             topn, batch_size=None, **_PA_KW)
-        return out.drop_columns([hash_col])
+        return out.drop_columns([h_hi, h_lo])
 
     return apply
 

@@ -74,3 +74,185 @@ def sum_count_topk(partials, *, key_col: str, count_col: str, k: int):
         "descending": [True, False],
     })(combined)
     return ranked.limit(k)
+
+
+def md5_digests(strings: list) -> "np.ndarray":
+    """Vectorized MD5 over an array of SHORT strings (<= 55 utf-8
+    bytes, i.e. a single 512-bit block — ids, keys, short tokens).
+
+    Standard RFC-1321 MD5, all 64 rounds computed simultaneously
+    across rows with in-place numpy uint32 arithmetic (wrap-around
+    native); returns an (n, 16) uint8 digest matrix whose row-wise
+    lexicographic order equals hexdigest string order.  Rows longer
+    than 55 bytes (or None) fall back to hashlib.  Removes the one
+    O(rows) Python loop from stratified_sample's rank hash (~2x
+    hashlib-in-a-loop at 200k rows, with no per-row interpreter cost
+    growing under concurrency).
+    """
+    import hashlib
+
+    import numpy as np
+
+    import pyarrow as _pa
+
+    if isinstance(strings, (_pa.Array, _pa.ChunkedArray)):
+        arr = (strings.combine_chunks()
+               if isinstance(strings, _pa.ChunkedArray) else strings)
+        if _pa.types.is_large_string(arr.type) or \
+                _pa.types.is_large_binary(arr.type):
+            arr = arr.cast(_pa.string()) if _pa.types.is_large_string(
+                arr.type) else arr.cast(_pa.binary())
+        if _pa.types.is_string(arr.type) or _pa.types.is_binary(arr.type):
+            # zero-copy: the utf-8 payload is already one flat buffer
+            off = np.frombuffer(arr.buffers()[1], np.int32,
+                                count=len(arr) + 1, offset=4 * arr.offset)
+            data = arr.buffers()[2]
+            allflat = (np.frombuffer(data, np.uint8) if data is not None
+                       else np.zeros(0, np.uint8))
+            lens = (off[1:] - off[:-1]).astype(np.int64)
+            if arr.null_count:
+                valid = np.asarray(arr.is_valid())
+                lens = np.where(valid, lens, -1)
+            slow = np.flatnonzero(lens > 55)
+            slow_vals = [allflat[off[i]:off[i] + lens[i]].tobytes()
+                         for i in slow]
+            return _md5_pack_and_round(allflat, off[:-1].astype(np.int64),
+                                       lens, slow_vals, slow)
+        strings = strings.to_pylist()
+
+    enc = [None if s is None else
+           (s if isinstance(s, bytes) else str(s).encode("utf-8"))
+           for s in strings]
+    lens = np.array([-1 if b is None else len(b) for b in enc], dtype=np.int64)
+    flat = np.frombuffer(b"".join(b for b in enc if b is not None), np.uint8)
+    pos = np.where(lens >= 0, lens, 0)
+    starts = np.concatenate(([0], np.cumsum(pos)))[:-1]
+    slow = np.flatnonzero(lens > 55)
+    return _md5_pack_and_round(flat, starts, lens,
+                               [enc[i] for i in slow], slow)
+
+
+def _md5_pack_and_round(allflat, starts, lens, slow_vals, slow_idx):
+    """Shared MD5 core over a flat byte stream with per-row
+    (start, len) extents.  len < 0 rows are null (zero digest); rows in
+    ``slow_idx`` (> 55 bytes, multi-block) fall back to hashlib."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(lens)
+    out = np.zeros((n, 16), dtype=np.uint8)
+    for i, b in zip(slow_idx, slow_vals):
+        out[i] = np.frombuffer(hashlib.md5(b).digest(), np.uint8)
+    fast = (lens >= 0) & (lens <= 55)
+    idx = np.flatnonzero(fast)
+    m = len(idx)
+    if not m:
+        return out
+
+    # -- pack each message into its padded 64-byte block (flat scatter)
+    fl = lens[idx]
+    buf = np.zeros((m, 64), dtype=np.uint8)
+    total = int(fl.sum())
+    if total:
+        # flat gather/scatter: src = msg_start + within, dest = row*64 +
+        # within; 'within' folded into one arange via segment offsets
+        segstarts = np.concatenate(([0], np.cumsum(fl)))[:-1]
+        ar = np.arange(total, dtype=np.int64)
+        src = np.repeat(starts[idx] - segstarts, fl) + ar
+        dest = np.repeat(np.arange(m, dtype=np.int64) * 64 - segstarts,
+                         fl) + ar
+        buf.reshape(-1)[dest] = allflat[src]
+    buf[np.arange(m), fl] = 0x80
+    bitlen = (fl * 8).astype(np.uint64)
+    for j in range(8):
+        buf[:, 56 + j] = ((bitlen >> np.uint64(8 * j)) &
+                          np.uint64(0xFF)).astype(np.uint8)
+    M = np.ascontiguousarray(buf).view("<u4")  # (m, 16) LE words
+
+    # cache-resident chunks: the 64-round state (7 arrays + the message
+    # words) must fit L2 or the loop goes memory-bound — 8k rows ≈ 750 KB
+    # measured 3x faster than one full-width pass at 200k rows
+    dig = np.empty((m, 16), dtype=np.uint8)
+    CHUNK = 8192
+    for lo in range(0, m, CHUNK):
+        _md5_rounds_into(M[lo:lo + CHUNK], dig[lo:lo + CHUNK])
+    out[idx] = dig
+    return out
+
+
+_MD5_K = None
+
+
+def _md5_rounds_into(M, dig):
+    """RFC-1321 rounds over ``M`` (k, 16) LE words, digests into ``dig``
+    (k, 16) uint8 — in-place numpy uint32 ops, zero per-row Python."""
+    import numpy as np
+
+    global _MD5_K
+    if _MD5_K is None:
+        _MD5_K = np.floor(np.abs(np.sin(np.arange(1, 65, dtype=np.float64)))
+                          * 4294967296.0).astype(np.uint64).astype(np.uint32)
+    K = _MD5_K
+    S = [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + \
+        [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4
+    k = len(M)
+    MT = np.ascontiguousarray(M.T)  # (16, k): contiguous word columns
+    a = np.full(k, 0x67452301, np.uint32)
+    b = np.full(k, 0xEFCDAB89, np.uint32)
+    c = np.full(k, 0x98BADCFE, np.uint32)
+    d = np.full(k, 0x10325476, np.uint32)
+    a0, b0, c0, d0 = a.copy(), b.copy(), c.copy(), d.copy()
+    f = np.empty(k, np.uint32)
+    x = np.empty(k, np.uint32)
+    spare = np.empty(k, np.uint32)
+    for r in range(64):
+        # boolean mixers in their 3-op xor/and forms, all in-place
+        if r < 16:
+            np.bitwise_xor(c, d, out=f)
+            np.bitwise_and(f, b, out=f)
+            np.bitwise_xor(f, d, out=f)
+            g = r
+        elif r < 32:
+            np.bitwise_xor(b, c, out=f)
+            np.bitwise_and(f, d, out=f)
+            np.bitwise_xor(f, c, out=f)
+            g = (5 * r + 1) % 16
+        elif r < 48:
+            np.bitwise_xor(b, c, out=f)
+            np.bitwise_xor(f, d, out=f)
+            g = (3 * r + 5) % 16
+        else:
+            np.bitwise_not(d, out=f)
+            np.bitwise_or(f, b, out=f)
+            np.bitwise_xor(f, c, out=f)
+            g = (7 * r) % 16
+        f += a
+        f += np.uint32(K[r])
+        f += MT[g]
+        s, s2 = np.uint32(S[r]), np.uint32(32 - S[r])
+        rot = spare           # old `a` buffer, free after `f += a` above
+        np.right_shift(f, s2, out=x)
+        np.left_shift(f, s, out=rot)
+        np.bitwise_or(rot, x, out=rot)
+        rot += b
+        a, b, c, d, spare = d, rot, b, c, a
+    a0 += a
+    b0 += b
+    c0 += c
+    d0 += d
+    for w, word in enumerate((a0, b0, c0, d0)):
+        for j in range(4):
+            dig[:, 4 * w + j] = ((word >> np.uint32(8 * j)) &
+                                 np.uint32(0xFF)).astype(np.uint8)
+
+
+def md5_rank64(strings: list):
+    """(hi, lo) uint64 big-endian views of ``md5_digests`` — two int
+    columns whose (hi, lo) sort order equals md5 hexdigest string
+    order, for cheap rank-by-hash sorts without 32-char strings."""
+    import numpy as np
+
+    dig = md5_digests(strings)
+    be = dig.view(">u8").astype(np.uint64)  # (n, 2) big-endian words
+    return be[:, 0], be[:, 1]

@@ -120,3 +120,53 @@ def test_decontaminate_short_bench_hashed_path(ray_session):
         "snip_len": 40, "hash_threshold": 8,
     })(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
     assert list(out["contaminated"]) == [True, False]
+
+
+# -- punch-list #1: vectorized md5 rank hash ---------------------------------
+
+
+def test_md5_digests_matches_hashlib():
+    import hashlib
+
+    from rayflow.ops.kernels import md5_digests, md5_rank64
+
+    cases = ["", "a", "abc", "x" * 55, "x" * 56, "x" * 300, None,
+             "ünïcødé", "hello world"] + [str(i * 37) for i in range(200)]
+    for got_m in (md5_digests(cases), md5_digests(pa.array(cases)),
+                  md5_digests(pa.chunked_array([cases[:100], cases[100:]]))):
+        for i, s in enumerate(cases):
+            if s is None:
+                assert got_m[i].sum() == 0
+                continue
+            want = np.frombuffer(
+                hashlib.md5(s.encode("utf-8")).digest(), np.uint8)
+            assert (got_m[i] == want).all(), (i, s)
+    # (hi, lo) rank order == hexdigest string order
+    ids = [str(i) for i in range(500)]
+    hi, lo = md5_rank64(pa.array(ids))
+    by_rank = sorted(range(500), key=lambda i: (hi[i], lo[i]))
+    by_hex = sorted(range(500),
+                    key=lambda i: hashlib.md5(ids[i].encode()).hexdigest())
+    assert by_rank == by_hex
+
+
+def test_stratified_sample_no_per_row_hashlib(ray_session):
+    """The sampled rows must still be exactly the smallest-md5 rows
+    per stratum (the SQL oracle's ranking)."""
+    import hashlib
+
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "source": pa.array(["a", "b"] * 50),
+    })
+    out = build_op({
+        "op": "stratified_sample", "keys": ["source"], "n": 3,
+        "id_col": "doc_id",
+    })(rd.from_arrow(t)).to_pandas()
+    for src in ("a", "b"):
+        ids = [i for i in range(100) if ("a" if i % 2 == 0 else "b") == src]
+        want = sorted(ids, key=lambda v: hashlib.md5(str(v).encode())
+                      .hexdigest())[:3]
+        assert sorted(out[out["source"] == src]["doc_id"]) == sorted(want)
