@@ -297,20 +297,25 @@ def lint(text_or_path: str) -> dict:
 @register_op("export_partitioned")
 def build_export_partitioned(*, path: str, partition_col: str):
     """RESUMABLE partitioned export: one directory per partition value
-    (``<col>=<v>/``), each committed atomically — data written to a
-    temp name, renamed, then a ``_SUCCESS`` marker placed.  A re-run
-    first enumerates markers and SKIPS finished partitions before any
-    compute (broadcast key-set filter), so a failed export resumes
-    where it stopped instead of rewriting the world; a partition that
-    crashed mid-write has no marker and is redone idempotently.
+    (``<col>=<v>/``), hive layout.  STREAMING writes — every input
+    block appends its rows as ``part-<pid>-<seq>.parquet`` files into
+    the partition dirs it touches (temp name + rename), so no task
+    ever materializes a whole partition: a skewed value (one language
+    = 40% of the corpus) costs many small files, never worker memory.
+    There is NO keyed exchange at all — blocks stream straight from
+    the upstream operator to disk.
+
+    Commit protocol: after the streaming pass completes, a ``_SUCCESS``
+    marker is placed in every partition dir written this run.  A re-run
+    first enumerates markers, SKIPS finished partitions before any
+    compute (broadcast key-set filter), and CLEANS part files out of
+    unmarked dirs (uncommitted leftovers from a crashed run — redoing
+    them with fresh file names would otherwise duplicate rows).
 
     Returns a small stats Dataset of (partition, rows) actually written
-    this run.  Scale note: one keyed exchange co-locates each
-    partition; size partitions so one fits a worker (same rule as any
-    keyed group op)."""
+    this run."""
     import os
 
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -322,6 +327,14 @@ def build_export_partitioned(*, path: str, partition_col: str):
             if d.startswith(prefix) and os.path.exists(
                     os.path.join(path, d, "_SUCCESS")):
                 done.add(d[len(prefix):])
+        # clean uncommitted part files (crashed run): no marker means the
+        # partition is being redone from scratch this run
+        for d in os.listdir(path):
+            if d.startswith(prefix) and d[len(prefix):] not in done:
+                pdir = os.path.join(path, d)
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet") or f.startswith(".part"):
+                        os.remove(os.path.join(pdir, f))
         if done:
             import pyarrow.compute as pc
             import ray
@@ -352,26 +365,62 @@ def build_export_partitioned(*, path: str, partition_col: str):
         ds = ds.map_batches(reject_null_keys, batch_format="pyarrow",
                             zero_copy_batch=True)
 
-        def write_group(g: pd.DataFrame) -> pd.DataFrame:
-            v = g[partition_col].iloc[0]
-            d = os.path.join(path, f"{partition_col}={v}")
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f".part.tmp.{os.getpid()}")
+        def write_block(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if not t.num_rows:
+                return pa.table({"partition": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
+            keys = pc.cast(t[partition_col], pa.string())
+            enc = keys.combine_chunks().dictionary_encode()
+            vals = enc.dictionary.to_pylist()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
             # hive layout: the partition value lives in the directory
             # name, not (also) in the file — duplicate columns make
             # readers' schema merges conflict
-            body = g.drop(columns=[partition_col])
-            pq.write_table(
-                pa.Table.from_pandas(body, preserve_index=False), tmp)
-            os.replace(tmp, os.path.join(d, "part-0.parquet"))
-            with open(os.path.join(d, "_SUCCESS"), "w"):
+            body = t.drop_columns([partition_col])
+            counts = []
+            import uuid
+
+            import numpy as np
+            for ci, v in enumerate(vals):
+                idx = np.flatnonzero(codes == ci)
+                d = os.path.join(path, f"{partition_col}={v}")
+                os.makedirs(d, exist_ok=True)
+                # names only need uniqueness (results don't depend on
+                # them); a closure counter would reset per task copy
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                tmp = os.path.join(d, f".part.tmp.{name}")
+                pq.write_table(body.take(pa.array(idx, pa.int64())), tmp)
+                os.replace(tmp, os.path.join(d, name))
+                counts.append(len(idx))
+            return pa.table({"partition": pa.array([str(v) for v in vals]),
+                             "rows": pa.array(counts, pa.int64())})
+
+        stats = ds.map_batches(write_block, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        # the streaming pass must COMPLETE before any marker is placed —
+        # the stats table is tiny (values x blocks rows), so this
+        # materialization is the commit barrier, not a data copy
+        from rayflow.ops.kernels import collect_table
+
+        st = collect_table(stats.materialize())
+        agg = (st.group_by("partition").aggregate([("rows", "sum")])
+               if st.num_rows else st)
+        written = []
+        total = []
+        for i in range(agg.num_rows):
+            v = agg["partition"][i].as_py()
+            written.append(v)
+            total.append(agg["rows_sum"][i].as_py() if st.num_rows else 0)
+            with open(os.path.join(path, f"{partition_col}={v}",
+                                   "_SUCCESS"), "w"):
                 pass
-            return pd.DataFrame({"partition": [str(v)], "rows": [len(g)]})
+        import ray.data as rd
 
-        from rayflow.ops import prefer_push_shuffle
-
-        prefer_push_shuffle()
-        return ds.groupby(partition_col).map_groups(
-            write_group, batch_format="pandas")
+        return rd.from_arrow(pa.table({
+            "partition": pa.array(written, pa.string()),
+            "rows": pa.array(total, pa.int64()),
+        }))
 
     return sink
