@@ -302,17 +302,45 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
 
         cand_docs = ds.map_batches(cand_shingles, **_PA_KW).materialize()
 
-        def pair_jaccard(sa: list, sb: list) -> np.ndarray:
-            ja = np.empty(len(sa), dtype=np.float64)
-            for i, (xb, yb) in enumerate(zip(sa, sb)):
-                x = np.frombuffer(xb, dtype=np.int64)
-                y = np.frombuffer(yb, dtype=np.int64)
-                if not len(x) and not len(y):
-                    ja[i] = 1.0
-                    continue
-                inter = len(np.intersect1d(x, y, assume_unique=True))
-                ja[i] = inter / (len(x) + len(y) - inter)
-            return ja
+        def _flatpack(col):
+            """(flat int64 values, per-row lengths) from packed-binary
+            shingle sets — zero-copy off the Arrow buffers when given an
+            Array, one C-level join for a list of bytes."""
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if isinstance(col, pa.Array):
+                off = np.frombuffer(col.buffers()[1], np.int32,
+                                    count=len(col) + 1,
+                                    offset=4 * col.offset).astype(np.int64)
+                data = col.buffers()[2]
+                flat = (np.frombuffer(data, np.int64) if data is not None
+                        else np.zeros(0, np.int64))
+                # binary rows are laid out back-to-back between offsets
+                return flat[off[0] // 8: off[-1] // 8], \
+                    (off[1:] - off[:-1]) // 8
+            lens = np.fromiter((len(b) for b in col), np.int64,
+                               len(col)) // 8
+            return np.frombuffer(b"".join(col), np.int64), lens
+
+        def pair_jaccard(sa, sb) -> np.ndarray:
+            """Vectorized per-pair Jaccard over packed sorted-unique
+            int64 shingle sets: within a pair an element occurs at most
+            once per side, so |intersection| = number of adjacent
+            duplicates after ONE lexsort of (pair, value) over both
+            sides concatenated — no Python per pair."""
+            fx, lx = _flatpack(sa)
+            fy, ly = _flatpack(sb)
+            npair = len(lx)
+            idxs = np.arange(npair)
+            seg = np.concatenate([np.repeat(idxs, lx), np.repeat(idxs, ly)])
+            vals = np.concatenate([fx, fy])
+            order = np.lexsort((vals, seg))
+            seg_s, val_s = seg[order], vals[order]
+            dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
+            inter = np.bincount(seg_s[1:][dup], minlength=npair)
+            union = lx + ly - inter
+            # both-empty pair: defined as identical (J = 1)
+            return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
         if (cand_docs.size_bytes() or 0) <= broadcast_bytes_limit:
             # broadcast verify: candidate shingle table flows object
@@ -367,8 +395,7 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
         def verify_join(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return _empty_pairs()
-            ja = pair_jaccard(t.column("sh_a").to_pylist(),
-                              t.column("sh").to_pylist())
+            ja = pair_jaccard(t.column("sh_a"), t.column("sh"))
             keep = ja >= threshold
             return pa.table({
                 "doc_a": t.column("doc_a").filter(pa.array(keep)),
