@@ -216,11 +216,93 @@ def _tag_union_align(left_ds, right_ds, all_cols, ren, tag_col):
     return lt.union(rt)
 
 
+def _detect_hot_keys(ds, on: str, *, sample_fraction: float = 0.05,
+                     min_share: float = 0.125, seed: int = 42) -> list:
+    """Seeded sampled heavy-key scan of the left side: keys holding at
+    least ``min_share`` of the sampled rows.  One cheap extra pass;
+    only used when a join opts into ``auto_salt``."""
+    from rayflow.ops.kernels import collect_table
+
+    s = ds.random_sample(sample_fraction, seed=seed)
+
+    def cnt(t: pa.Table) -> pa.Table:
+        return t.select([on]).group_by([on]).aggregate([([], "count_all")])
+
+    tbl = collect_table(s.map_batches(cnt, **_PA_KW).materialize())
+    if not tbl.num_rows:
+        return []
+    g = tbl.group_by([on]).aggregate([("count_all", "sum")])
+    counts = g["count_all_sum"].to_numpy(zero_copy_only=False)
+    total = counts.sum()
+    keep = counts >= max(1.0, min_share * total)
+    return [v for v, k in zip(g[on].to_pylist(), keep) if k]
+
+
+def _salted_map_groups(both, *, on: str, side_col: str, salt_keys,
+                       num_salts: int, per_group):
+    """Key-grouped execution with optional hot-key salting (the CDC
+    merge's salt-then-re-merge, applied to the join co-location
+    exchange).  Hot LEFT rows are spread round-robin across
+    ``num_salts`` sub-groups; hot RIGHT rows (the state history /
+    interval set every left row must see) are REPLICATED into every
+    sub-group, so each sub-group computes exactly the rows its left
+    slice would have produced unsalted — the result set is identical,
+    but the hot key's work lands on ``num_salts`` tasks instead of one
+    straggler.  Replication cost: (num_salts - 1) extra copies of the
+    hot keys' right rows only."""
+    from rayflow.ops import prefer_push_shuffle
+
+    prefer_push_shuffle()
+    if not salt_keys or num_salts <= 1:
+        return both.groupby(on).map_groups(per_group, batch_format="pandas")
+
+    import numpy as np
+
+    hot_strs = sorted({str(v) for v in salt_keys})
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        key_str = pc.fill_null(pc.cast(t.column(on), pa.string()),
+                               "\x00null")
+        if t.num_rows == 0:
+            return t.append_column("_gk", key_str)
+        hot = pc.fill_null(
+            pc.is_in(key_str, value_set=pa.array(hot_strs, pa.string())),
+            False).to_numpy(zero_copy_only=False)
+        is_r = pc.fill_null(pc.equal(t.column(side_col), "r"),
+                            False).to_numpy(zero_copy_only=False)
+        # salt values don't affect the result (any split of left rows is
+        # valid), so round-robin is both balanced and type-agnostic
+        salt = np.where(hot & ~is_r,
+                        np.arange(t.num_rows, dtype=np.int64) % num_salts, 0)
+        salt_str = pa.array(np.char.mod("%d", salt))
+        gk = pc.binary_join_element_wise(key_str, salt_str, "#")
+        base = t.append_column("_gk", gk).filter(
+            pa.array(~(hot & is_r)))
+        out = [base]
+        hot_r = t.filter(pa.array(hot & is_r))
+        if hot_r.num_rows:
+            hr_key = pc.fill_null(pc.cast(hot_r.column(on), pa.string()),
+                                  "\x00null")
+            for s in range(num_salts):
+                gk_s = pc.binary_join_element_wise(hr_key, str(s), "#")
+                out.append(hot_r.append_column("_gk", gk_s))
+        return pa.concat_tables(out, promote_options="default")
+
+    salted = both.map_batches(add_salt, **_PA_KW)
+
+    def wrapper(g):
+        return per_group(g.drop(columns=["_gk"]))
+
+    return salted.groupby("_gk").map_groups(wrapper, batch_format="pandas")
+
+
 @register_op("asof_join")
 def build_asof_join(*, right, on: str, time_col: str,
                     direction: str = "backward", suffix: str = "_r",
                     strategy: str = "auto",
-                    broadcast_bytes_limit: int = 64 << 20):
+                    broadcast_bytes_limit: int = 64 << 20,
+                    salt_keys: list | None = None, num_salts: int = 8,
+                    auto_salt: bool = False):
     """As-of join — each left row picks the right row with the latest
     ``time_col`` ≤ its own (``direction="backward"``; ``"forward"`` =
     earliest ≥) within the same ``on`` key.  The enrichment shape Ray
@@ -239,8 +321,11 @@ def build_asof_join(*, right, on: str, time_col: str,
       tag both sides, align schemas (missing columns are typed nulls),
       union, then ONE hash exchange — ``groupby(on).map_groups``
       co-locates each key's rows and pandas ``merge_asof`` runs
-      locally.  Partitioning assumption: a single key's rows fit one
-      worker; salt hot keys upstream if not.
+      locally.  Hot keys: pass ``salt_keys=[...]`` (or
+      ``auto_salt=True`` for a seeded sampled heavy-key scan) to
+      spread each listed key over ``num_salts`` sub-groups — left
+      rows split round-robin, right state history replicated per
+      salt; identical results, no straggler task.
 
     Ties on equal ``time_col`` within a key resolve to the LAST right
     row in (time, original-order); pre-dedupe the right side on
@@ -361,10 +446,12 @@ def build_asof_join(*, right, on: str, time_col: str,
                 on=time_col, direction=direction)
             return merged[list(lg.columns)]
 
-        from rayflow.ops import prefer_push_shuffle
-
-        prefer_push_shuffle()
-        grouped = both.groupby(on).map_groups(per_key, batch_format="pandas")
+        hot = list(salt_keys or [])
+        if auto_salt and not hot:
+            hot = _detect_hot_keys(ds, on)
+        grouped = _salted_map_groups(both, on=on, side_col="_asof_side",
+                                     salt_keys=hot, num_salts=num_salts,
+                                     per_group=per_key)
 
         def restore_types(t: pa.Table) -> pa.Table:
             # pandas groups promote int columns with any NaN to float64;
@@ -393,7 +480,9 @@ def build_asof_join(*, right, on: str, time_col: str,
 
 @register_op("interval_join")
 def build_interval_join(*, right, on: str, time_col: str,
-                        start_col: str, end_col: str, suffix: str = "_r"):
+                        start_col: str, end_col: str, suffix: str = "_r",
+                        salt_keys: list | None = None, num_salts: int = 8,
+                        auto_salt: bool = False):
     """Range (interval) join: INNER-join each left row to every right
     interval ``[start_col, end_col]`` that contains its ``time_col``,
     within the same ``on`` key — the event-in-window enrichment
@@ -404,7 +493,9 @@ def build_interval_join(*, right, on: str, time_col: str,
     left times are sorted once; each interval finds its matching rows
     with two binary searches, so per-key cost is
     O(intervals · log rows + output pairs), never the cross product.
-    Partitioning assumption: one key's rows fit a worker.
+    Hot keys: ``salt_keys`` / ``auto_salt`` spread a listed key over
+    ``num_salts`` sub-groups (left rows split, intervals replicated) —
+    same results, no straggler task.
     """
     import numpy as np
     import pandas as pd
@@ -455,9 +546,11 @@ def build_interval_join(*, right, on: str, time_col: str,
                 out[c] = rsel[c]
             return out
 
-        from rayflow.ops import prefer_push_shuffle
-
-        prefer_push_shuffle()
-        return both.groupby(on).map_groups(per_key, batch_format="pandas")
+        hot = list(salt_keys or [])
+        if auto_salt and not hot:
+            hot = _detect_hot_keys(ds, on)
+        return _salted_map_groups(both, on=on, side_col="_iv_side",
+                                  salt_keys=hot, num_salts=num_salts,
+                                  per_group=per_key)
 
     return apply

@@ -263,3 +263,89 @@ def test_minhash_verify_paths_agree(ray_session):
         x, y = shingles(docs[int(r.doc_a)]), shingles(docs[int(r.doc_b)])
         want = len(x & y) / len(x | y)
         assert r.jaccard == pytest.approx(want, abs=1e-9)
+
+
+# -- punch-list #5: hot-key salting in asof_join / interval_join -------------
+
+
+def _zipf_asof_tables():
+    rng = np.random.default_rng(7)
+    n = 4000
+    # one key holds 50% of left rows
+    keys = np.where(rng.random(n) < 0.5, "HOT",
+                    np.char.add("k", rng.integers(0, 50, n).astype(str)))
+    left = pa.table({
+        "k": pa.array(keys.tolist()),
+        "t": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "v": pa.array(np.arange(n), pa.int64()),
+    })
+    rk, rt, rv = [], [], []
+    for key in set(keys.tolist()):
+        for j, tt in enumerate(sorted(rng.integers(0, 10_000, 8).tolist())):
+            rk.append(key)
+            rt.append(tt)
+            rv.append(hash(key) % 100 + j)
+    right = pa.table({"k": pa.array(rk), "t": pa.array(rt, pa.int64()),
+                      "rv": pa.array(rv, pa.int64())})
+    return left, right
+
+
+def test_asof_join_salted_equals_unsalted(ray_session):
+    import ray.data as rd
+
+    left, right = _zipf_asof_tables()
+
+    def run(**kw):
+        out = build_op({
+            "op": "asof_join", "right": rd.from_arrow(right), "on": "k",
+            "time_col": "t", "strategy": "shuffle", **kw,
+        })(rd.from_arrow(left)).to_pandas()
+        return out.sort_values(["k", "t", "v"], ignore_index=True)
+
+    base = run()
+    salted = run(salt_keys=["HOT"], num_salts=8)
+    pd.testing.assert_frame_equal(base, salted)
+    auto = run(auto_salt=True, num_salts=8)
+    pd.testing.assert_frame_equal(base, auto)
+
+
+def test_interval_join_salted_equals_unsalted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    keys = np.where(rng.random(n) < 0.5, "HOT",
+                    np.char.add("k", rng.integers(0, 30, n).astype(str)))
+    left = pa.table({
+        "k": pa.array(keys.tolist()),
+        "t": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        "v": pa.array(np.arange(n), pa.int64()),
+    })
+    rk, rs, re_ = [], [], []
+    for key in sorted(set(keys.tolist())):
+        for _ in range(4):
+            s = int(rng.integers(0, 900))
+            rk.append(key); rs.append(s); re_.append(s + 50)
+    right = pa.table({"k": pa.array(rk), "s": pa.array(rs, pa.int64()),
+                      "e": pa.array(re_, pa.int64())})
+
+    def run(**kw):
+        out = build_op({
+            "op": "interval_join", "right": rd.from_arrow(right), "on": "k",
+            "time_col": "t", "start_col": "s", "end_col": "e", **kw,
+        })(rd.from_arrow(left)).to_pandas()
+        return out.sort_values(list(out.columns), ignore_index=True)
+
+    base = run()
+    salted = run(salt_keys=["HOT"], num_salts=8)
+    pd.testing.assert_frame_equal(base, salted)
+
+
+def test_detect_hot_keys(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.joins import _detect_hot_keys
+
+    t = pa.table({"k": pa.array(["HOT"] * 5000 + ["a", "b", "c"] * 100)})
+    hot = _detect_hot_keys(rd.from_arrow(t), "k", sample_fraction=0.2)
+    assert hot == ["HOT"]
