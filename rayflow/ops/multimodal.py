@@ -90,6 +90,92 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px[::-1] if bottom_up else px
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL pure-stdlib PNG decode → (h, w, channels) uint8 array:
+    zlib-inflate the IDAT stream, then undo the five scanline filters
+    (none/sub/up/average/paeth) with numpy per row.  Supports the
+    common web cases — 8-bit grayscale (0), RGB (2), palette (3),
+    gray+alpha (4), RGBA (6), non-interlaced.  16-bit depth and Adam7
+    interlacing raise ``NotImplementedError`` where a codec library
+    would take over (upstream Benthos likewise shells image work out
+    to external tooling)."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace}: only 8-bit "
+            "non-interlaced decodes without a codec library")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG bad color type {color}")
+    raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG IDAT truncated")
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ft = int(ftypes[y])
+        cur = rows[y, 1:].astype(np.int64)
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:
+            line = cur
+        elif ft == 1:   # sub: per-lane cumulative sum mod 256
+            line = cur.reshape(-1, bpp).cumsum(axis=0) & 0xFF
+            line = line.reshape(-1)
+        elif ft == 2:   # up
+            line = (cur + up) & 0xFF
+        elif ft == 3:   # average — sequential in x (depends on left+up)
+            line = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (cur[x] + ((left + up[x]) >> 1)) & 0xFF
+        elif ft == 4:   # paeth — sequential in x
+            line = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = up[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                line[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG bad filter type {ft}")
+        out[y] = line.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        px = pal[px[..., 0]]
+    return px
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL PCM-16 WAV decode → ((n_samples, channels) int16, rate).
     Non-PCM / non-16-bit encodings raise ``NotImplementedError`` where
@@ -171,6 +257,11 @@ class MediaDecoder:
     def _real_decode(self, payload: bytes) -> np.ndarray:
         if payload[:2] == b"BM":
             return self._image_features(decode_bmp(payload))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            px = decode_png(payload)
+            if px.shape[2] < 3:            # gray / gray+alpha
+                px = np.repeat(px[..., :1], 3, axis=2)
+            return self._image_features(px[..., :3])
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, rate = decode_wav(payload)
             return self._audio_features(samples, rate)
@@ -178,7 +269,7 @@ class MediaDecoder:
             return self._fake_decode(payload)
         raise NotImplementedError(
             "payload needs a codec library not present in this "
-            "environment (only BMP/WAV decode natively); pass "
+            "environment (BMP/PNG/WAV decode natively); pass "
             "fallback_pseudo=True to keep the pipeline flowing")
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -312,6 +403,62 @@ def synth_png(width: int, height: int) -> bytes:
     return (b"\x89PNG\r\n\x1a\n"
             + struct.pack(">I", len(ihdr)) + chunk
             + struct.pack(">I", _z.crc32(chunk) & 0xFFFFFFFF))
+
+
+def synth_png_pixels(pixels: np.ndarray, color: int | None = None,
+                     filter_type: int = 0) -> bytes:
+    """REAL full PNG (header + IDAT + IEND) from an (h, w, c) uint8
+    array — round-trips through :func:`decode_png` bit-exactly.
+    ``filter_type`` applies the given scanline filter to every row
+    (0=none 1=sub 2=up 3=average 4=paeth), exercising each defilter
+    path in tests."""
+    import struct
+    import zlib as _z
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    if color is None:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    px = pixels.astype(np.int64)
+    flat = px.reshape(h, w * c)
+    bpp = c
+    rows = []
+    prev = np.zeros(w * c, np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            p = left + prev - upleft
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), \
+                np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        rows.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
 
 
 def synth_wav(rate: int = 16000, channels: int = 1,

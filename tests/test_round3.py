@@ -349,3 +349,85 @@ def test_detect_hot_keys(ray_session):
     t = pa.table({"k": pa.array(["HOT"] * 5000 + ["a", "b", "c"] * 100)})
     hot = _detect_hot_keys(rd.from_arrow(t), "k", sample_fraction=0.2)
     assert hot == ["HOT"]
+
+
+# -- punch-list #6: stdlib PNG pixel decode ----------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_bit_exact(filter_type, channels):
+    from rayflow.ops.multimodal import decode_png, synth_png_pixels
+
+    rng = np.random.default_rng(filter_type * 10 + channels)
+    px = rng.integers(0, 256, (13, 9, channels), dtype=np.uint8)
+    payload = synth_png_pixels(px, filter_type=filter_type)
+    back = decode_png(payload)
+    assert back.shape == px.shape
+    assert (back == px).all()
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib as _z
+
+    from rayflow.ops.multimodal import decode_png
+
+    # hand-build a 2x2 palette PNG: indices [[0,1],[2,0]]
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 1, 0, 2, 0])
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", pal) + chunk(b"IDAT", _z.compress(raw))
+               + chunk(b"IEND", b""))
+    px = decode_png(payload)
+    assert px.shape == (2, 2, 3)
+    assert (px[0, 0] == [255, 0, 0]).all()
+    assert (px[0, 1] == [0, 255, 0]).all()
+    assert (px[1, 0] == [0, 0, 255]).all()
+
+
+def test_png_unsupported_raises():
+    import struct
+    import zlib as _z
+
+    from rayflow.ops.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+    p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+         + chunk(b"IDAT", _z.compress(b"\0" * 26)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(p)
+
+
+def test_media_decode_real_png(ray_session):
+    """media_decode fake=False now really decodes PNG payloads: the
+    features must equal the BMP features of the same pixels (both
+    routes decode to identical RGB arrays)."""
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_bmp, synth_png_pixels
+
+    rng = np.random.default_rng(3)
+    px = [rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+          for _ in range(4)]
+    t = pa.table({
+        "media_id": pa.array(range(8), pa.int64()),
+        "media_type": pa.array(["image/png"] * 4 + ["image/bmp"] * 4),
+        "payload": pa.array(
+            [synth_png_pixels(p, filter_type=4) for p in px]
+            + [synth_bmp(p) for p in px], pa.large_binary()),
+    })
+    out = build_op({"op": "media_decode", "fake": False})(
+        rd.from_arrow(t)).to_pandas().sort_values("media_id")
+    feats = np.array(out["feature"].tolist())
+    assert np.allclose(feats[:4], feats[4:])        # png == bmp features
