@@ -255,22 +255,30 @@ class MediaDecoder:
                                 rms, zcr], hist])
 
     def _real_decode(self, payload: bytes) -> np.ndarray:
-        if payload[:2] == b"BM":
-            return self._image_features(decode_bmp(payload))
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            px = decode_png(payload)
-            if px.shape[2] < 3:            # gray / gray+alpha
-                px = np.repeat(px[..., :1], 3, axis=2)
-            return self._image_features(px[..., :3])
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            samples, rate = decode_wav(payload)
-            return self._audio_features(samples, rate)
-        if self.fallback:
-            return self._fake_decode(payload)
-        raise NotImplementedError(
-            "payload needs a codec library not present in this "
-            "environment (BMP/PNG/WAV decode natively); pass "
-            "fallback_pseudo=True to keep the pipeline flowing")
+        import zlib as _z
+
+        try:
+            if payload[:2] == b"BM":
+                return self._image_features(decode_bmp(payload))
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                px = decode_png(payload)
+                if px.shape[2] < 3:            # gray / gray+alpha
+                    px = np.repeat(px[..., :1], 3, axis=2)
+                return self._image_features(px[..., :3])
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                samples, rate = decode_wav(payload)
+                return self._audio_features(samples, rate)
+            raise NotImplementedError(
+                "payload needs a codec library not present in this "
+                "environment (BMP/PNG/WAV decode natively); pass "
+                "fallback_pseudo=True to keep the pipeline flowing")
+        except (NotImplementedError, ValueError, _z.error):
+            # absent codec OR corrupt payload: the fallback keeps the
+            # pipeline flowing either way (dead-lettering is the
+            # caller's job via reject_errored when it matters)
+            if self.fallback:
+                return self._fake_decode(payload)
+            raise
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column("payload").to_pylist()

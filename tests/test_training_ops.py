@@ -166,8 +166,8 @@ def test_media_decode_stub(ray_session):
     f1 = out.sort_values("media_id")["feature"].tolist()
     f2 = out2.sort_values("media_id")["feature"].tolist()
     assert all(np.allclose(a, b) for a, b in zip(f1, f2))
-    # codec-requiring formats (the fixture's png payloads) still raise
-    # on the real path, at the per-payload plug-in point
+    # PNG now decodes natively; a header-only (truncated) PNG is a
+    # corrupt payload and raises on the real path
     from rayflow.ops.multimodal import synth_png
 
     png_batch = pa.table({
@@ -175,7 +175,7 @@ def test_media_decode_stub(ray_session):
         "media_type": pa.array(["image/png"]),
         "payload": pa.array([synth_png(8, 8)], pa.large_binary()),
     })
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="missing IHDR/IDAT"):
         MediaDecoder(fake=False)(png_batch)
 
 
@@ -329,7 +329,8 @@ def test_media_decode_fallback_pseudo(ray_session):
 
     from rayflow.ops.multimodal import synth_media_table
 
-    # png payloads can't decode natively; fallback keeps the pipe flowing
+    # the fixture's pngs are header-only (corrupt); fallback keeps the
+    # pipe flowing for corrupt payloads and absent codecs alike
     ds = rd.from_arrow(synth_media_table(10, seed=2))
     out = build_op({"op": "media_decode", "feature_dim": 8, "fake": False,
                     "fallback_pseudo": True, "batch_size": 8,
