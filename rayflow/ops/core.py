@@ -309,6 +309,157 @@ def _agg(fn: str, col: str | None, alias: str):
 _DECOMPOSABLE = {"sum", "count", "min", "max", "mean", "std"}
 
 
+def agg_need(aggs) -> tuple[set, bool]:
+    """Partial-stat spec for a decomposable agg list: (col, kind) pairs
+    with kinds sum / cv (valid count) / sq (sum of squares) / min / max,
+    plus whether a plain row count is needed.  Shared by group_agg and
+    the sliding-window partial path."""
+    need: set[tuple[str, str]] = set()
+    need_count_all = False
+    for f, c, _ in aggs:
+        if f == "count":
+            need_count_all = True
+        elif f == "sum":
+            need.add((c, "sum"))
+        elif f == "mean":
+            need.update([(c, "sum"), (c, "cv")])
+        elif f == "min":
+            need.add((c, "min"))
+        elif f == "max":
+            need.add((c, "max"))
+        elif f == "std":
+            need.update([(c, "sum"), (c, "cv"), (c, "sq")])
+    return need, need_count_all
+
+
+def partial_table(t: pa.Table, keys: list[str], need: set,
+                  need_count_all: bool) -> pa.Table:
+    """One block's partial aggregates via Arrow's C ``group_by``
+    (columns named ``{col}_sum`` / ``{col}_count`` / ``{col}_min`` /
+    ``{col}_max`` / ``__sq_{col}_sum`` / ``count_all``)."""
+    spec = []
+    for col, kind in sorted(need):
+        if kind == "sq":
+            sq = f"__sq_{col}"
+            t = t.append_column(
+                sq, pc.multiply(pc.cast(t[col], pa.float64()),
+                                pc.cast(t[col], pa.float64())))
+            spec.append((sq, "sum"))
+        elif kind == "sum":
+            spec.append((col, "sum"))
+        elif kind == "cv":
+            spec.append((col, "count"))
+        elif kind == "min":
+            spec.append((col, "min"))
+        elif kind == "max":
+            spec.append((col, "max"))
+    if need_count_all:
+        spec.append(([], "count_all"))
+    return t.group_by(keys, use_threads=False).aggregate(spec)
+
+
+def combine_partials(t: pa.Table, keys: list[str], need: set,
+                     need_count_all: bool) -> pa.Table:
+    """Merge partial tables: group the concatenated partials by key,
+    summing sums/counts and min/max-ing extrema (output columns get a
+    second suffix, e.g. ``{col}_sum_sum``)."""
+    spec = []
+    for col, kind in sorted(need):
+        if kind == "sq":
+            spec.append((f"__sq_{col}_sum", "sum"))
+        elif kind == "sum":
+            spec.append((f"{col}_sum", "sum"))
+        elif kind == "cv":
+            spec.append((f"{col}_count", "sum"))
+        elif kind == "min":
+            spec.append((f"{col}_min", "min"))
+        elif kind == "max":
+            spec.append((f"{col}_max", "max"))
+    if need_count_all:
+        spec.append(("count_all", "sum"))
+    return t.group_by(keys, use_threads=False).aggregate(spec)
+
+
+def finalize_from_sums(g: pa.Table, keys: list[str], aggs) -> pa.Table:
+    """Final agg columns from combined partial sums (the
+    ``{col}_sum_sum``-style names of :func:`combine_partials` or the
+    keyed-aggregate fallback)."""
+    def f64(name):
+        return pc.cast(g[name], pa.float64())
+
+    out_cols: dict[str, pa.ChunkedArray] = {k: g[k] for k in keys}
+    for f, c, alias in aggs:
+        if f == "count":
+            out_cols[alias] = pc.cast(g["count_all_sum"], pa.int64())
+        elif f == "sum":
+            out_cols[alias] = g[f"{c}_sum_sum"]
+        elif f == "mean":
+            out_cols[alias] = pc.divide(f64(f"{c}_sum_sum"),
+                                        f64(f"{c}_count_sum"))
+        elif f == "min":
+            out_cols[alias] = g[f"{c}_min_min"]
+        elif f == "max":
+            out_cols[alias] = g[f"{c}_max_max"]
+        elif f == "std":
+            n = f64(f"{c}_count_sum")
+            s = f64(f"{c}_sum_sum")
+            sq = f64(f"__sq_{c}_sum_sum")
+            var = pc.divide(
+                pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
+                pc.subtract(n, 1.0))
+            # n<=1 (single sample / all-null group): stddev_samp is
+            # NULL in SQL and the shuffle cross-check — don't clamp to 0
+            out_cols[alias] = pc.if_else(
+                pc.less_equal(n, 1.0), pa.scalar(None, pa.float64()),
+                pc.sqrt(pc.max_element_wise(var, 0.0)))
+    return pa.table(out_cols)
+
+
+def reduce_partials(partials_ds, keys: list[str], aggs, need: set,
+                    need_count_all: bool, partial_limit: int):
+    """Shared combine plan over a Dataset of partial rows: when small,
+    ONE repartition(1) + Arrow combine (no shuffle machinery); when the
+    key space stays large, a keyed Ray aggregate over partials only."""
+    partials = partials_ds.materialize()
+    if partials.count() <= partial_limit:
+        def combine(t: pa.Table) -> pa.Table:
+            # canonical order: partial blocks arrive in nondeterministic
+            # task-completion order; sorting by every column makes the
+            # float accumulation order (and hence the last ULP of sums)
+            # identical across runs
+            if t.num_rows:
+                t = t.sort_by([(c, "ascending") for c in t.column_names])
+            return finalize_from_sums(
+                combine_partials(t, keys, need, need_count_all), keys, aggs)
+
+        return partials.repartition(1).map_batches(
+            combine, batch_size=None, **_PA_KW)
+    # high-cardinality fallback: keyed exchange over partials only
+    from ray.data.aggregate import Max, Min, Sum
+
+    from rayflow.ops import prefer_push_shuffle
+
+    prefer_push_shuffle()
+    built = []
+    for col, kind in sorted(need):
+        if kind == "sq":
+            built.append(Sum(f"__sq_{col}_sum",
+                             alias_name=f"__sq_{col}_sum_sum"))
+        elif kind == "sum":
+            built.append(Sum(f"{col}_sum", alias_name=f"{col}_sum_sum"))
+        elif kind == "cv":
+            built.append(Sum(f"{col}_count", alias_name=f"{col}_count_sum"))
+        elif kind == "min":
+            built.append(Min(f"{col}_min", alias_name=f"{col}_min_min"))
+        elif kind == "max":
+            built.append(Max(f"{col}_max", alias_name=f"{col}_max_max"))
+    if need_count_all:
+        built.append(Sum("count_all", alias_name="count_all_sum"))
+    reduced = partials.groupby(keys).aggregate(*built)
+    return reduced.map_batches(
+        lambda t: finalize_from_sums(t, keys, aggs), **_PA_KW)
+
+
 @register_op("group_agg")
 def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]],
                     mode: str = "auto", partial_limit: int = 2_000_000):
@@ -342,156 +493,15 @@ def build_group_agg(*, keys: list[str], aggs: list[tuple[str, str | None, str]],
     if mode == "shuffle" or not decomposable:
         return apply_shuffle
 
-    # partial spec: (col, kind) pairs; kinds sum/cv (valid count)/min/
-    # max/sq (sum of squares); plus a row count when count() is asked
-    need: set[tuple[str, str]] = set()
-    need_count_all = False
-    for f, c, _ in aggs:
-        if f == "count":
-            need_count_all = True
-        elif f == "sum":
-            need.add((c, "sum"))
-        elif f == "mean":
-            need.update([(c, "sum"), (c, "cv")])
-        elif f == "min":
-            need.add((c, "min"))
-        elif f == "max":
-            need.add((c, "max"))
-        elif f == "std":
-            need.update([(c, "sum"), (c, "cv"), (c, "sq")])
+    need, need_count_all = agg_need(aggs)
 
     def partial(t: pa.Table) -> pa.Table:
-        spec = []
-        for col, kind in sorted(need):
-            if kind == "sq":
-                sq = f"__sq_{col}"
-                t = t.append_column(
-                    sq, pc.multiply(pc.cast(t[col], pa.float64()),
-                                    pc.cast(t[col], pa.float64())))
-                spec.append((sq, "sum"))
-            elif kind == "sum":
-                spec.append((col, "sum"))
-            elif kind == "cv":
-                spec.append((col, "count"))
-            elif kind == "min":
-                spec.append((col, "min"))
-            elif kind == "max":
-                spec.append((col, "max"))
-        if need_count_all:
-            spec.append(([], "count_all"))
-        return t.group_by(keys, use_threads=False).aggregate(spec)
-
-    def combine(t: pa.Table) -> pa.Table:
-        # canonical order: partial blocks arrive in nondeterministic
-        # task-completion order; sorting by every column makes the
-        # float accumulation order (and hence the last ULP of sums)
-        # identical across runs
-        if t.num_rows:
-            t = t.sort_by([(c, "ascending") for c in t.column_names])
-        spec = []
-        for col, kind in sorted(need):
-            if kind == "sq":
-                spec.append((f"__sq_{col}_sum", "sum"))
-            elif kind == "sum":
-                spec.append((f"{col}_sum", "sum"))
-            elif kind == "cv":
-                spec.append((f"{col}_count", "sum"))
-            elif kind == "min":
-                spec.append((f"{col}_min", "min"))
-            elif kind == "max":
-                spec.append((f"{col}_max", "max"))
-        if need_count_all:
-            spec.append(("count_all", "sum"))
-        g = t.group_by(keys, use_threads=False).aggregate(spec)
-
-        def f64(name):
-            return pc.cast(g[name], pa.float64())
-
-        out_cols: dict[str, pa.ChunkedArray] = {k: g[k] for k in keys}
-        for f, c, alias in aggs:
-            if f == "count":
-                out_cols[alias] = pc.cast(g["count_all_sum"], pa.int64())
-            elif f == "sum":
-                out_cols[alias] = g[f"{c}_sum_sum"]
-            elif f == "mean":
-                out_cols[alias] = pc.divide(f64(f"{c}_sum_sum"),
-                                            f64(f"{c}_count_sum"))
-            elif f == "min":
-                out_cols[alias] = g[f"{c}_min_min"]
-            elif f == "max":
-                out_cols[alias] = g[f"{c}_max_max"]
-            elif f == "std":
-                n = f64(f"{c}_count_sum")
-                s = f64(f"{c}_sum_sum")
-                sq = f64(f"__sq_{c}_sum_sum")
-                var = pc.divide(
-                    pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
-                    pc.subtract(n, 1.0))
-                # n<=1 (single sample / all-null group): stddev_samp is
-                # NULL in SQL and the shuffle cross-check — don't clamp to 0
-                out_cols[alias] = pc.if_else(
-                    pc.less_equal(n, 1.0), pa.scalar(None, pa.float64()),
-                    pc.sqrt(pc.max_element_wise(var, 0.0)))
-        return pa.table(out_cols)
+        return partial_table(t, keys, need, need_count_all)
 
     def apply(ds):
-        partials = ds.map_batches(partial, **_PA_KW).materialize()
-        if partials.count() <= partial_limit:
-            return partials.repartition(1).map_batches(
-                combine, batch_size=None, **_PA_KW)
-        # high-cardinality fallback: keyed exchange over partials only
-        from ray.data.aggregate import Max, Min, Sum
-
-        from rayflow.ops import prefer_push_shuffle
-
-        prefer_push_shuffle()
-        built = []
-        for col, kind in sorted(need):
-            if kind == "sq":
-                built.append(Sum(f"__sq_{col}_sum",
-                                 alias_name=f"__sq_{col}_sum_sum"))
-            elif kind == "sum":
-                built.append(Sum(f"{col}_sum", alias_name=f"{col}_sum_sum"))
-            elif kind == "cv":
-                built.append(Sum(f"{col}_count", alias_name=f"{col}_count_sum"))
-            elif kind == "min":
-                built.append(Min(f"{col}_min", alias_name=f"{col}_min_min"))
-            elif kind == "max":
-                built.append(Max(f"{col}_max", alias_name=f"{col}_max_max"))
-        if need_count_all:
-            built.append(Sum("count_all", alias_name="count_all_sum"))
-        reduced = partials.groupby(keys).aggregate(*built)
-
-        def finalize(t: pa.Table) -> pa.Table:
-            def f64(name):
-                return pc.cast(t[name], pa.float64())
-
-            out_cols: dict[str, pa.ChunkedArray] = {k: t[k] for k in keys}
-            for f, c, alias in aggs:
-                if f == "count":
-                    out_cols[alias] = pc.cast(t["count_all_sum"], pa.int64())
-                elif f == "sum":
-                    out_cols[alias] = t[f"{c}_sum_sum"]
-                elif f == "mean":
-                    out_cols[alias] = pc.divide(f64(f"{c}_sum_sum"),
-                                                f64(f"{c}_count_sum"))
-                elif f == "min":
-                    out_cols[alias] = t[f"{c}_min_min"]
-                elif f == "max":
-                    out_cols[alias] = t[f"{c}_max_max"]
-                elif f == "std":
-                    n = f64(f"{c}_count_sum")
-                    s = f64(f"{c}_sum_sum")
-                    sq = f64(f"__sq_{c}_sum_sum")
-                    var = pc.divide(
-                        pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
-                        pc.subtract(n, 1.0))
-                    out_cols[alias] = pc.if_else(
-                        pc.less_equal(n, 1.0), pa.scalar(None, pa.float64()),
-                        pc.sqrt(pc.max_element_wise(var, 0.0)))
-            return pa.table(out_cols)
-
-        return reduced.map_batches(finalize, **_PA_KW)
+        partials = ds.map_batches(partial, **_PA_KW)
+        return reduce_partials(partials, keys, aggs, need, need_count_all,
+                               partial_limit)
 
     return apply
 

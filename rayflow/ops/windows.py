@@ -93,10 +93,24 @@ def explode_sliding(t: pa.Table, ts_col: str, size_s: float, slide_s: float,
 def build_window_sliding(*, ts_col: str, size_s: float, slide_s: float,
                          keys: list[str] | None = None,
                          aggs: list[tuple[str, str | None, str]] | None = None,
-                         out: str = "window_start"):
+                         out: str = "window_start",
+                         mode: str = "auto", partial_limit: int = 2_000_000):
+    """Sliding event-time windows.
+
+    With aggregates and ``size % slide == 0`` (aligned windows), the
+    default plan NEVER replicates rows: each block is pre-aggregated to
+    (slide-bucket, keys) partials first, and only those tiny partial
+    rows are replicated ``size/slide`` times before the final combine —
+    peak block memory is flat in the size/slide ratio (a 24h window
+    sliding by 1m replicates 1440x; partials make that ~buckets x keys
+    rows instead of the corpus).  Falls back to row replication
+    (``mode="explode"``, or automatically for non-decomposable aggs /
+    unaligned windows / no aggs)."""
     keys = keys or []
 
-    def apply(ds):
+    size_us, slide_us = int(size_s * 1e6), int(slide_s * 1e6)
+
+    def apply_explode(ds):
         ds = ds.map_batches(
             lambda t: explode_sliding(t, ts_col, size_s, slide_s, out), **_PA_KW
         )
@@ -105,6 +119,51 @@ def build_window_sliding(*, ts_col: str, size_s: float, slide_s: float,
         from rayflow.ops.core import build_group_agg
 
         return build_group_agg(keys=[out] + keys, aggs=aggs)(ds)
+
+    from rayflow.ops.core import _DECOMPOSABLE
+
+    aligned = slide_us > 0 and size_us % slide_us == 0
+    decomposable = bool(aggs) and all(f in _DECOMPOSABLE for f, _, _ in aggs)
+    if mode == "explode" or not (aligned and decomposable):
+        return apply_explode
+
+    from rayflow.ops.core import agg_need, partial_table, reduce_partials
+
+    need, need_count_all = agg_need(aggs)
+    ratio = size_us // slide_us
+    bucket = "__slide_bucket"
+
+    def partial_per_bucket(t: pa.Table) -> pa.Table:
+        us = _epoch_us(t.column(ts_col))
+        b = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()), slide_us)),
+                    pa.int64()), slide_us)
+        t = t.append_column(bucket, b)
+        return partial_table(t, [bucket] + keys, need, need_count_all)
+
+    def explode_partials(t: pa.Table) -> pa.Table:
+        # a window [w, w+size) with w aligned to slide contains the
+        # whole bucket [b, b+slide) iff w in {b - j*slide : 0 <= j < ratio}
+        n = t.num_rows
+        parents = np.repeat(np.arange(n, dtype=np.int64), ratio)
+        offs = np.tile(np.arange(ratio, dtype=np.int64), n)
+        b = t.column(bucket).to_numpy(zero_copy_only=False)
+        starts = b[parents] - offs * slide_us
+        rep = t.take(pa.array(parents)).drop_columns([bucket])
+        return rep.append_column(out, pa.array(starts, pa.int64()))
+
+    def apply(ds):
+        parts = (ds.map_batches(partial_per_bucket, **_PA_KW)
+                   .map_batches(explode_partials, **_PA_KW))
+        final = reduce_partials(parts, [out] + keys, aggs, need,
+                                need_count_all, partial_limit)
+
+        def ts_out(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index(out), out,
+                pc.cast(t[out], pa.timestamp("us")))
+
+        return final.map_batches(ts_out, **_PA_KW)
 
     return apply
 

@@ -431,3 +431,48 @@ def test_media_decode_real_png(ray_session):
         rd.from_arrow(t)).to_pandas().sort_values("media_id")
     feats = np.array(out["feature"].tolist())
     assert np.allclose(feats[:4], feats[4:])        # png == bmp features
+
+
+# -- punch-list #10: sliding-window partial-agg path -------------------------
+
+
+def test_window_sliding_partial_path_equals_explode(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    t = pa.table({
+        "ts": pa.array(
+            (np.datetime64("2024-01-01", "us")
+             + rng.integers(0, 86_400_000_000, n).astype("timedelta64[us]")),
+            pa.timestamp("us")),
+        "k": pa.array(rng.choice(["x", "y"], n).tolist()),
+        "v": pa.array(rng.normal(5, 2, n)),
+    })
+    spec = dict(op="window_sliding", ts_col="ts", size_s=3600 * 6,
+                slide_s=300,  # ratio 72: the explode path replicates 72x
+                keys=["k"],
+                aggs=[("sum", "v", "sv"), ("count", None, "n"),
+                      ("mean", "v", "mv"), ("std", "v", "sd"),
+                      ("min", "v", "mn"), ("max", "v", "mx")])
+    a = build_op(spec)(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["window_start", "k"], ignore_index=True)
+    b = build_op({**spec, "mode": "explode"})(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["window_start", "k"], ignore_index=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+
+
+def test_window_sliding_unaligned_falls_back(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "ts": pa.array([np.datetime64("2024-01-01T00:01:10", "us")],
+                       pa.timestamp("us")),
+        "v": pa.array([1.0]),
+    })
+    # size 90s, slide 60s: windows not aligned to buckets -> explode path
+    out = build_op({"op": "window_sliding", "ts_col": "ts", "size_s": 90,
+                    "slide_s": 60, "aggs": [("count", None, "n")]})(
+        rd.from_arrow(t)).to_pandas()
+    assert out["n"].sum() == 2   # t=70s is in windows [0,90) and [60,150)
