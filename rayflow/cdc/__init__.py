@@ -17,5 +17,7 @@ internal/checkpoint/capped.go⟩`` contiguous-ack offset checkpointing,
 
 from rayflow.cdc.changelog import ChangeLogSpec, generate_changelog
 from rayflow.cdc.replay import CdcEngine, ReplayStats
+from rayflow.cdc.views import TumblingWindowView
 
-__all__ = ["ChangeLogSpec", "generate_changelog", "CdcEngine", "ReplayStats"]
+__all__ = ["ChangeLogSpec", "generate_changelog", "CdcEngine", "ReplayStats",
+           "TumblingWindowView"]
