@@ -174,6 +174,65 @@ def _events_to_table(ev: dict[str, np.ndarray], lo: int, hi: int,
     return tbl
 
 
+def write_changelog_dataset(changes, log_dir: str, *, band_id: int = 0,
+                            n_bands: int = 1) -> dict:
+    """Distributed change-log writer: a Dataset of change rows (any
+    superset of :data:`CHANGE_SCHEMA`) lands as banded part files with
+    no driver-side materialization — each Ray block is lsn-sorted in
+    its task and written as one ``part-{lo}-lsn-{lo}-{hi}.parquet``
+    (block lo-lsns are unique because lsns are globally unique, so the
+    names never collide; a retried task overwrites its own file).
+
+    ``n_bands > 1`` range-partitions rows into contiguous LSN bands by
+    ``lsn % 1`` quantile-free striping: band = ``lsn * n_bands //
+    (max_lsn + 1)`` — cheap, contiguous, and replay-order-correct
+    because bands only need to be *disjoint and ordered*, not equal
+    sized.  Returns ``{"n_events", "n_files", "max_lsn"}``."""
+    import pyarrow.compute as _pc
+
+    os.makedirs(log_dir, exist_ok=True)
+    max_lsn = None
+    if n_bands > 1:
+        max_lsn = changes.max("lsn")
+    for b in range(n_bands):
+        os.makedirs(os.path.join(log_dir, f"band-{band_id + b:05d}"),
+                    exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        t = t.sort_by("lsn")
+        files, rows = [], []
+        if n_bands > 1:
+            band = _pc.cast(
+                _pc.floor(_pc.divide(
+                    _pc.multiply(_pc.cast(t["lsn"], pa.float64()),
+                                 float(n_bands)),
+                    float(max_lsn + 1))), pa.int64())
+        else:
+            band = pa.array(np.zeros(t.num_rows, np.int64))
+        for bv in _pc.unique(band):
+            sub = t.filter(_pc.equal(band, bv))
+            lo = int(sub["lsn"][0].as_py())
+            hi = int(sub["lsn"][-1].as_py())
+            path = os.path.join(
+                log_dir, f"band-{band_id + bv.as_py():05d}",
+                f"part-{lo:012d}-lsn-{lo:012d}-{hi:012d}.parquet")
+            pq.write_table(sub, path)
+            files.append(path)
+            rows.append(sub.num_rows)
+        return pa.table({"file": pa.array(files, pa.string()),
+                         "rows": pa.array(rows, pa.int64())})
+
+    written = changes.map_batches(write_block, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    n_files = written.count()
+    n_events = int(written.sum("rows")) if n_files else 0
+    return {"n_events": n_events, "n_files": n_files,
+            "max_lsn": max_lsn}
+
+
 def generate_changelog(log_dir: str, spec: ChangeLogSpec) -> dict:
     """Write the change log to ``log_dir``; returns summary stats."""
     ev = _synth_events(spec)

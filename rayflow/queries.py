@@ -522,8 +522,6 @@ def cdc_upsert_events(sf_dir: str):
     pool → exactly-once lake → read back (FIXTURES.md §3)."""
     import tempfile
 
-    import pyarrow.parquet as pq
-
     from rayflow.cdc.replay import CdcEngine
     from rayflow.schema import CHANGE_SCHEMA
 
@@ -556,16 +554,14 @@ def cdc_upsert_events(sf_dir: str):
 
     changes = ds.map_batches(to_changes, batch_format="pyarrow", zero_copy_batch=True)
 
-    # one-band change log on disk → full engine path (source → merge → sink)
+    # distributed one-band change log on disk (each block lands as its
+    # own part file — nothing materializes on the driver) → full engine
+    # path (source → merge → sink)
+    from rayflow.cdc.changelog import write_changelog_dataset
+
     work = tempfile.mkdtemp(prefix="rayflow-cdcq-")
     log_dir = os.path.join(work, "log")
-    band = os.path.join(log_dir, "band-00000")
-    os.makedirs(band)
-    tbl = pa.concat_tables(
-        [b for b in changes.iter_batches(batch_size=65536, batch_format="pyarrow")]
-    ).sort_by("lsn")
-    lo, hi = tbl["lsn"][0].as_py(), tbl["lsn"][-1].as_py()
-    pq.write_table(tbl, os.path.join(band, f"part-0000-lsn-{lo:012d}-{hi:012d}.parquet"))
+    write_changelog_dataset(changes, log_dir)
 
     engine = CdcEngine(os.path.join(work, "lake"), num_partitions=8, auto_salt=False)
     engine.replay(log_dir)
