@@ -66,10 +66,15 @@ class CdcEngine:
         auto_salt: bool = True,
         salt_sample_fraction: float = 0.05,
         seed: int = 42,
+        merge_placement: str = "spread",
     ):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.merge_concurrency = merge_concurrency
+        #: MergePool actor-placement strategy (see
+        #: :class:`rayflow.cdc.streaming.MergePool`) — "spread" |
+        #: "group_spread" | "group_pack" | "default"
+        self.merge_placement = merge_placement
         self.auto_salt = auto_salt
         self.salt_sample_fraction = salt_sample_fraction
         self.seed = seed
@@ -182,6 +187,7 @@ class CdcEngine:
             pool = MergePool(
                 num_actors=n_actors,
                 fail_after_applies=getattr(self, "_test_fail_after_applies", None),
+                placement=self.merge_placement,
             )
 
         groups = [

@@ -334,3 +334,26 @@ def test_changes_between_schema_evolved_log(ray_session, tmp_path):
     assert "meta_model" in feed.columns
     assert feed[feed["lsn"] < 120]["meta_model"].isna().all()
     assert feed[feed["lsn"] >= 120]["meta_model"].notna().any()
+
+
+@pytest.mark.parametrize("placement", ["group_spread", "group_pack",
+                                       "default"])
+def test_merge_placement_modes_agree(changelog, tmp_path, placement):
+    """Every MergePool placement strategy yields the same lake state as
+    the default SPREAD (single-node here — validates the API path and
+    that the placement group is reserved and released)."""
+    log_dir, _ = changelog
+    base = CdcEngine(str(tmp_path / "lake_spread"), num_partitions=4)
+    base.replay(log_dir)
+    e = CdcEngine(str(tmp_path / f"lake_{placement}"), num_partitions=4,
+                  merge_placement=placement)
+    e.replay(log_dir)
+    pd.testing.assert_frame_equal(_engine_result(base), _engine_result(e))
+
+
+def test_merge_placement_unknown_raises(changelog, tmp_path):
+    log_dir, _ = changelog
+    e = CdcEngine(str(tmp_path / "lake"), num_partitions=4,
+                  merge_placement="rack_local")
+    with pytest.raises(ValueError, match="unknown placement"):
+        e.replay(log_dir)
