@@ -523,6 +523,87 @@ def cdc_upsert_events(sf_dir: str):
     import tempfile
 
     from rayflow.cdc.replay import CdcEngine
+
+    changes = _events_as_changes(sf_dir)
+
+    # distributed one-band change log on disk (each block lands as its
+    # own part file — nothing materializes on the driver) → full engine
+    # path (source → merge → sink)
+    from rayflow.cdc.changelog import write_changelog_dataset
+
+    work = tempfile.mkdtemp(prefix="rayflow-cdcq-")
+    log_dir = os.path.join(work, "log")
+    write_changelog_dataset(changes, log_dir)
+
+    engine = CdcEngine(os.path.join(work, "lake"), num_partitions=8, auto_salt=False)
+    engine.replay(log_dir)
+    return engine.final_dataset(include_meta=True)
+
+
+@query(
+    "incremental_window_view",
+    """
+    WITH changes AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  ELSE 4 END AS INTEGER)     AS turn_idx,
+             event_type                      AS role,
+             ts,
+             event_id                        AS lsn,
+             CASE WHEN value < 10 THEN 'delete' ELSE 'update' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY lsn DESC) AS rn
+      FROM changes
+    ), final AS (
+      SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                          * 3600000000) AS window_start,
+           role,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           CAST(SUM(turn_idx) AS DOUBLE) AS s,
+           AVG(CAST(turn_idx AS DOUBLE)) AS m
+    FROM final
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def incremental_window_view(sf_dir: str):
+    """Maintained windowed aggregate over the CDC stream: the events
+    change log is written as THREE lsn bands, replayed band-by-band,
+    and a :class:`TumblingWindowView` (hourly, keyed by role) is
+    refreshed at each commit by delta/retraction folding — the result
+    returned is the incrementally-maintained state, which the oracle
+    checks against a from-scratch windowed aggregate of the LWW-final
+    rows."""
+    import tempfile
+
+    from rayflow.cdc.changelog import write_changelog_dataset
+    from rayflow.cdc.replay import CdcEngine
+    from rayflow.cdc.views import TumblingWindowView
+
+    changes = _events_as_changes(sf_dir)
+    work = tempfile.mkdtemp(prefix="rayflow-viewq-")
+    log_dir = os.path.join(work, "log")
+    write_changelog_dataset(changes, log_dir, n_bands=3)
+    eng = CdcEngine(os.path.join(work, "lake"), num_partitions=8,
+                    auto_salt=False)
+    view = TumblingWindowView(
+        eng, log_dir, ts_col="ts", size_s=3600.0, keys=["role"],
+        aggs=[("count", None, "n"), ("sum", "turn_idx", "s"),
+              ("mean", "turn_idx", "m")])
+    while eng.replay(log_dir, max_bands=1).bands_applied:
+        view.refresh()
+    return view.result()
+
+
+def _events_as_changes(sf_dir: str):
+    """The ``events`` table dressed as a CDC change stream (event_id ≙
+    lsn, (user_id, event_type) ≙ key, value<10 ≙ delete) — shared by
+    the CDC-over-driver-data queries."""
     from rayflow.schema import CHANGE_SCHEMA
 
     rd = _rd()
@@ -552,20 +633,8 @@ def cdc_upsert_events(sf_dir: str):
         })
         return out.cast(CHANGE_SCHEMA)
 
-    changes = ds.map_batches(to_changes, batch_format="pyarrow", zero_copy_batch=True)
-
-    # distributed one-band change log on disk (each block lands as its
-    # own part file — nothing materializes on the driver) → full engine
-    # path (source → merge → sink)
-    from rayflow.cdc.changelog import write_changelog_dataset
-
-    work = tempfile.mkdtemp(prefix="rayflow-cdcq-")
-    log_dir = os.path.join(work, "log")
-    write_changelog_dataset(changes, log_dir)
-
-    engine = CdcEngine(os.path.join(work, "lake"), num_partitions=8, auto_salt=False)
-    engine.replay(log_dir)
-    return engine.final_dataset(include_meta=True)
+    return ds.map_batches(to_changes, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------
