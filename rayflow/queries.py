@@ -226,10 +226,13 @@ def sharded_join_mktsegment(sf_dir: str):
     both sides shuffled on the key."""
     orders = _rd().read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     customer = _rd().read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    # shard count at THIS scale: fixed per-shard exchange overhead
+    # dominates (interleaved sweep: 4 beats 8 by ~0.3s, 16/32 worse);
+    # at real scale size shards by build-side bytes / worker heap
     ds = build_op({
         "op": "sharded_join", "right": customer,
         "on": ["o_custkey"], "right_on": ["c_custkey"],
-        "how": "inner", "num_partitions": 8,
+        "how": "inner", "num_partitions": 4,
     })(orders)
     ds = build_op({
         "op": "group_agg", "keys": ["c_mktsegment"],
