@@ -212,21 +212,26 @@ class CdcEngine:
                 )
 
                 if pool is not None:
-                    from rayflow.cdc.streaming import ReadNormalizeRoute
+                    from rayflow.cdc.streaming import (
+                        make_read_normalize_route,
+                    )
 
                     paths = rd.from_items(
                         [{"path": f} for f in files],
                         override_num_blocks=len(files),
                     )
                     routed = paths.map_batches(
-                        ReadNormalizeRoute(normalize, pool.actors, pool.num_actors),
+                        make_read_normalize_route(
+                            normalize, pool.actors, pool.num_actors),
                         batch_size=1,
                         batch_format="pyarrow",
                         zero_copy_batch=True,
                         # cap routing tasks only above the SMT cliff; an
                         # explicit cap below it just constrains the scheduler
+                        # (RAYFLOW_ROUTE_TASKS overrides for sweeps)
                         **(
-                            {"concurrency": 20}
+                            {"concurrency": int(os.environ.get(
+                                "RAYFLOW_ROUTE_TASKS", "14"))}
                             if int(ray.cluster_resources().get("CPU", 8)) > 20
                             else {}
                         ),
