@@ -109,6 +109,8 @@ _METHOD_ALIASES: dict[str, str] = {
     "zip": "list_zip",
     "map_each": "list_map",
     "filter": "list_filter",
+    "enumerated": "list_enumerated",
+    "collapse": "struct_collapse",
 }
 
 

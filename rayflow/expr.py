@@ -1483,3 +1483,201 @@ def _format_string(fmt, *arrays):
         vals = tuple(v if kind == "scalar" else v[i] for kind, v in cols)
         out.append(None if any(v is None for v in vals) else f % vals)
     return pa.array(out, pa.string())
+
+
+# -- round-3 long-tail surface (upstream methods.go parity) ----------------
+
+
+@register_fn("re_find_all")
+def _re_find_all(a, pattern):
+    """All regex matches per string → ``list<string>`` (Bloblang
+    ``re_find_all``).  Fully vectorized: wrap every match in a sentinel
+    via one RE2 replace (``\\1`` backref), split on the sentinel, keep
+    the odd-index elements of each list — no per-row Python.  Input
+    occurrences of the sentinel char (U+001E, record separator) are
+    stripped first so alignment can't corrupt."""
+    pat = pattern.as_py() if isinstance(pattern, pa.Scalar) else pattern
+    scalar_in = isinstance(a, pa.Scalar)
+    s = pa.array([a.as_py()], pa.string()) if scalar_in else (
+        a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+    SEP = "\x1e"
+    s2 = pc.replace_substring(s, pattern=SEP, replacement="")
+    wrapped = pc.replace_substring_regex(
+        s2, pattern=f"({pat})", replacement=f"{SEP}\\1{SEP}")
+    parts = pc.split_pattern(wrapped, SEP)
+    arr = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) \
+        else parts
+    lens = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = np.arange(int(lens.sum())) - np.repeat(starts, lens)
+    flat = pc.list_flatten(arr)
+    kept = flat.filter(pa.array(pos % 2 == 1))
+    offs = np.concatenate(([0], np.cumsum(lens // 2))).astype(np.int32)
+    out = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), kept,
+        mask=pc.is_null(s) if s.null_count else None)
+    return out[0] if scalar_in else out
+
+
+@register_fn("list_enumerated")
+def _list_enumerated(a):
+    """Bloblang ``enumerated``: each element becomes
+    ``{index, value}`` (index within its row's list)."""
+    arr = _list_arr(a)
+    lens = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = np.arange(int(lens.sum())) - np.repeat(starts, lens)
+    flat = pc.list_flatten(arr)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(pos, pa.int64()), flat], names=["index", "value"])
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), struct,
+        mask=pc.is_null(arr) if arr.null_count else None)
+
+
+@register_fn("list_last")
+def _list_last(a):
+    """Last element per list (null for empty/null rows) — the
+    ``index(-1)`` idiom."""
+    arr = _list_arr(a)
+    lens = pc.list_value_length(arr)
+    # list_element has no negative indexing: gather from the flat child
+    ln = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    ends = np.cumsum(ln) - 1
+    valid = ln > 0
+    idx = pa.array(np.where(valid, ends, 0), pa.int64())
+    flat = pc.list_flatten(arr)
+    if len(flat) == 0:
+        return pa.nulls(len(arr), arr.type.value_type)
+    taken = flat.take(idx)
+    return pc.if_else(pa.array(valid), taken,
+                      pa.nulls(len(arr), taken.type))
+
+
+def _fnv(a, bits):
+    """FNV-1a over UTF-8 bytes, vectorized in lockstep across rows
+    (one numpy pass per byte position over still-active rows; zero-copy
+    off the Arrow binary buffers).  Cost O(max_len) passes — meant for
+    keys/ids; prefer hash_md5's block kernel for long documents."""
+    if bits == 32:
+        dt, prime, basis = np.uint32, np.uint32(0x01000193), np.uint32(0x811C9DC5)
+    else:
+        dt, prime, basis = (np.uint64, np.uint64(0x100000001B3),
+                            np.uint64(0xCBF29CE484222325))
+    scalar_in = isinstance(a, pa.Scalar)
+    s = pa.array([a.as_py()], pa.string()) if scalar_in else (
+        a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+    b = pc.cast(s, pa.binary())
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    offs = np.frombuffer(b.buffers()[1], np.int32,
+                         count=len(b) + 1, offset=b.offset * 4).astype(np.int64)
+    data = np.frombuffer(b.buffers()[2], np.uint8) if b.buffers()[2] \
+        else np.empty(0, np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    h = np.full(len(b), basis, dt)
+    max_len = int(lens.max()) if len(lens) else 0
+    for j in range(max_len):
+        act = lens > j
+        if not act.any():
+            break
+        hv = h[act]
+        np.multiply(np.bitwise_xor(hv, data[starts[act] + j].astype(dt)),
+                    prime, out=hv, casting="unsafe")
+        h[act] = hv
+    out_t = pa.uint32() if bits == 32 else pa.uint64()
+    out = pa.array(h, out_t,
+                   mask=pc.is_null(s).to_numpy(zero_copy_only=False)
+                   if s.null_count else None)
+    return out[0] if scalar_in else out
+
+
+register_fn("hash_fnv32a")(lambda a: _fnv(a, 32))
+register_fn("hash_fnv64a")(lambda a: _fnv(a, 64))
+register_fn("hash_sha384")(_pyfall(lambda s: _hl.sha384(s.encode()).hexdigest()))
+register_fn("hash_hmac_sha1")(_pyfall(
+    lambda s, key: __import__("hmac").new(
+        key.encode(), s.encode(), _hl.sha1).hexdigest()))
+register_fn("hash_hmac_sha512")(_pyfall(
+    lambda s, key: __import__("hmac").new(
+        key.encode(), s.encode(), _hl.sha512).hexdigest()))
+
+# scalar payload codecs (per-value by nature — binary codec work, like
+# the ops-level compress/decompress but usable inside a mapping)
+register_fn("compress_zlib")(_pyfall(
+    lambda s: _zl.compress(s.encode() if isinstance(s, str) else s)))
+register_fn("decompress_zlib")(_pyfall(
+    lambda s: _zl.decompress(s if isinstance(s, (bytes, bytearray))
+                             else s.encode()).decode()))
+register_fn("compress_gzip")(_pyfall(
+    lambda s: __import__("gzip").compress(
+        s.encode() if isinstance(s, str) else s, mtime=0)))
+register_fn("decompress_gzip")(_pyfall(
+    lambda s: __import__("gzip").decompress(
+        s if isinstance(s, (bytes, bytearray)) else s.encode()).decode()))
+
+
+@register_fn("parse_form_url_encoded")
+def _parse_form_url_encoded(a):
+    """``k=v&k2=v2`` form bodies → ``list<struct<key,value>>`` (order
+    preserved, repeated keys kept — Bloblang's object-with-arrays
+    semantics flattened to pairs)."""
+    from urllib.parse import parse_qsl
+
+    scalar_in = isinstance(a, pa.Scalar)
+    vals = [a.as_py()] if scalar_in else (
+        a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    ).to_pylist()
+    t = pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())]))
+    out = pa.array(
+        [None if v is None else
+         [{"key": k, "value": w} for k, w in parse_qsl(v,
+                                                       keep_blank_values=True)]
+         for v in vals], t)
+    return out[0] if scalar_in else out
+
+
+@register_fn("ts_add_iso8601")
+def _ts_add_iso8601(a, dur):
+    """Timestamp + ISO-8601 duration string (scalar), e.g.
+    ``ts_add_iso8601(ts, 'PT1H30M')``."""
+    d = dur.as_py() if isinstance(dur, pa.Scalar) else dur
+    ns = _parse_duration_iso(pa.scalar(d)).as_py()
+    us = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.add(us, ns // 1000), pa.timestamp("us"))
+
+
+@register_fn("ts_sub_iso8601")
+def _ts_sub_iso8601(a, dur):
+    d = dur.as_py() if isinstance(dur, pa.Scalar) else dur
+    ns = _parse_duration_iso(pa.scalar(d)).as_py()
+    us = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.subtract(us, ns // 1000), pa.timestamp("us"))
+
+
+@register_fn("struct_collapse")
+def _struct_collapse(a):
+    """Bloblang ``collapse()``: flatten nested structs into dotted-path
+    fields (``{a: {b: 1}} → {"a.b": 1}``).  Pure child-array re-pack —
+    no row materialization."""
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if not pa.types.is_struct(arr.type):
+        raise TypeError(f"struct_collapse needs a struct column, got {arr.type}")
+
+    def walk(prefix, sa):
+        cols = []
+        for f in sa.type:
+            child = sa.field(f.name)
+            name = f"{prefix}.{f.name}" if prefix else f.name
+            if pa.types.is_struct(child.type):
+                cols.extend(walk(name, child))
+            else:
+                cols.append((name, child))
+        return cols
+
+    cols = walk("", arr)
+    return pa.StructArray.from_arrays(
+        [c for _, c in cols], names=[n for n, _ in cols])
