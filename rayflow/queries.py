@@ -661,6 +661,35 @@ def token_count_docs(sf_dir: str):
 
 
 @query(
+    "extract_long_words",
+    """
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '[a-z]{8,}'), ' ')
+               AS long_words,
+           CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT)
+               AS n_long
+    FROM documents
+    """,
+)
+def extract_long_words(sf_dir: str):
+    """The vectorized ``re_find_all`` kernel over the corpus (both
+    engines are RE2, so semantics line up exactly)."""
+    from rayflow.expr import _REGISTRY as FN
+
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = FN["re_find_all"](t["text"], pa.scalar("[a-z]{8,}"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "long_words": FN["list_join"](words, pa.scalar(" ")),
+            "n_long": pc.cast(pc.list_value_length(words), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@query(
     "quality_metrics_docs",
     """
     SELECT doc_id,
