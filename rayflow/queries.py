@@ -664,8 +664,8 @@ def token_count_docs(sf_dir: str):
     "extract_long_words",
     """
     SELECT doc_id,
-           array_to_string(regexp_extract_all(text, '[a-z]{8,}'), ' ')
-               AS long_words,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{8,}'),
+                                    ' '), '') AS long_words,
            CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT)
                AS n_long
     FROM documents
