@@ -176,6 +176,231 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """GIF-variant LZW decompression → uint8 palette-index array.
+    Sequential by nature (each code extends the dictionary), so this
+    runs per payload inside the ``media_decode`` actor pool — the
+    parallelism axis is payloads, not bytes."""
+    clear = 1 << min_code_size
+    end_code = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size and pos < n:
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end_code:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream (first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """REAL pure-stdlib GIF decode → ``(frames, delays_ms)``: each frame
+    a composited full-logical-screen ``(h, w, 3)`` uint8 array.  Handles
+    87a/89a, global+local color tables, interlacing, transparency and
+    disposal methods 0-3 — the full static/animated web-GIF core."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos:pos + 3 * size],
+                            np.uint8).reshape(size, 3)
+        pos += 3 * size
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    transparent: int | None = None
+    delay_ms = 0
+    disposal = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:                      # trailer
+            break
+        if b0 == 0x21:                      # extension
+            label = payload[pos]
+            pos += 1
+            blocks = []
+            while True:
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                blocks.append(payload[pos:pos + sz])
+                pos += sz
+            if label == 0xF9 and blocks:    # graphic control
+                gce = blocks[0]
+                delay_ms = struct.unpack("<H", gce[1:3])[0] * 10
+                disposal = (gce[0] >> 2) & 7
+                transparent = gce[3] if gce[0] & 1 else None
+        elif b0 == 0x2C:                    # image descriptor
+            il, it, iw, ih, iflags = struct.unpack(
+                "<HHHHB", payload[pos:pos + 9])
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                size = 2 << (iflags & 7)
+                pal = np.frombuffer(payload[pos:pos + 3 * size],
+                                    np.uint8).reshape(size, 3)
+                pos += 3 * size
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += payload[pos:pos + sz]
+                pos += sz
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF frame data truncated")
+            idx = idx[:iw * ih].reshape(ih, iw)
+            if iflags & 0x40:               # interlaced: pass order 8/8 .. 1/2
+                rows = np.concatenate([np.arange(0, ih, 8),
+                                       np.arange(4, ih, 8),
+                                       np.arange(2, ih, 4),
+                                       np.arange(1, ih, 2)])
+                de = np.empty_like(idx)
+                de[rows] = idx
+                idx = de
+            region = canvas[it:it + ih, il:il + iw]
+            prev_region = region.copy()
+            rgb = pal[np.minimum(idx, len(pal) - 1)]
+            if transparent is not None:
+                region[:] = np.where((idx != transparent)[..., None],
+                                     rgb, region)
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+            if disposal == 2:               # restore background
+                canvas[it:it + ih, il:il + iw] = (
+                    gct[bg] if gct is not None and bg < len(gct) else 0)
+            elif disposal == 3:             # restore previous
+                canvas[it:it + ih, il:il + iw] = prev_region
+            transparent, delay_ms, disposal = None, 0, 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames, delays
+
+
+def synth_gif(frames: list[np.ndarray], delays_ms: list[int] | None = None,
+              transparent_from: np.ndarray | None = None) -> bytes:
+    """Deterministic pure-stdlib GIF encoder (test/bench fixture — the
+    inverse of :func:`decode_gif`).  Builds one global palette from all
+    frames (≤256 distinct colors) and writes each frame as a full-screen
+    image with fixed-width LZW codes, emitting CLEAR before the decoder
+    dictionary would widen them — the classic "uncompressed GIF"
+    technique, bit-exact under any conformant decoder."""
+    import struct
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
+    if len(colors) > 256:
+        raise ValueError("synth_gif supports at most 256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+    pal_n = 1 << bits
+    pal = np.zeros((pal_n, 3), np.uint8)
+    pal[:len(colors)] = colors
+    # color → index via lexicographic searchsorted over the sorted uniques
+    keys = (colors[:, 0].astype(np.int64) << 16) | \
+           (colors[:, 1].astype(np.int64) << 8) | colors[:, 2]
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    mcs = bits
+    clear, end_code = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    # keep the decoder's table below 2^(mcs+1): CLEAR every (clear-2) codes
+    flush_every = max(clear - 2, 1)
+    for fi, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        delay = (delays_ms[fi] if delays_ms else 0) // 10
+        out += bytes([0x21, 0xF9, 4, 0, delay & 0xFF, (delay >> 8) & 0xFF,
+                      0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        fk = (f[..., 0].astype(np.int64) << 16) | \
+             (f[..., 1].astype(np.int64) << 8) | f[..., 2].astype(np.int64)
+        idx = np.searchsorted(keys, fk.reshape(-1))
+        out.append(mcs)
+        acc = nbits = 0
+        packed = bytearray()
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= int(code) << nbits
+            nbits += code_size
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for i, v in enumerate(idx):
+            if i and i % flush_every == 0:
+                emit(clear)
+            emit(v)
+        emit(end_code)
+        if nbits:
+            packed.append(acc & 0xFF)
+        for off in range(0, len(packed), 255):
+            chunk = packed[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL PCM-16 WAV decode → ((n_samples, channels) int16, rate).
     Non-PCM / non-16-bit encodings raise ``NotImplementedError`` where
@@ -265,6 +490,9 @@ class MediaDecoder:
                 if px.shape[2] < 3:            # gray / gray+alpha
                     px = np.repeat(px[..., :1], 3, axis=2)
                 return self._image_features(px[..., :3])
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                frames, _delays = decode_gif(payload)
+                return self._image_features(frames[0])
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 samples, rate = decode_wav(payload)
                 return self._audio_features(samples, rate)
@@ -501,13 +729,14 @@ def synth_bmp(pixels: np.ndarray) -> bytes:
 
 
 def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Fully DECODABLE media fixture: alternating 24-bit BMPs (seeded
-    random pixels) and PCM-16 WAVs (seeded noise) — exercises the real
-    decode path end-to-end with no external data or codec."""
+    """Fully DECODABLE media fixture: cycling 24-bit BMPs (seeded random
+    pixels), PCM-16 WAVs (seeded noise) and animated 16-color GIFs —
+    exercises the real decode paths end-to-end with no external data or
+    codec."""
     rng = np.random.default_rng(seed)
     types, payloads, widths, heights, durs = [], [], [], [], []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 0:
             w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payloads.append(synth_bmp(px))
@@ -515,6 +744,17 @@ def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
             widths.append(w)
             heights.append(h)
             durs.append(0)
+        elif i % 3 == 2:
+            w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            nf = int(rng.integers(2, 5))
+            frames = [(rng.integers(0, 16, (h, w, 1), dtype=np.uint8)
+                       .repeat(3, axis=2) * 17) for _ in range(nf)]
+            delays = [int(rng.integers(1, 20)) * 10 for _ in range(nf)]
+            payloads.append(synth_gif(frames, delays_ms=delays))
+            types.append("image/gif")
+            widths.append(w)
+            heights.append(h)
+            durs.append(sum(delays))
         else:
             ns = int(rng.integers(400, 3200))
             pcm = rng.integers(-20000, 20000, (ns, 1), dtype=np.int16)
@@ -531,6 +771,54 @@ def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
         "height": pa.array(heights, pa.int32()),
         "duration_ms": pa.array(durs, pa.int32()),
     })
+
+
+@register_op("gif_frames")
+def build_gif_frames(*, payload_col: str = "payload", batch_size: int = 32,
+                     concurrency: int = 2, fallback_skip: bool = False):
+    """REAL animated-frame extraction: explode each GIF payload into one
+    row per decoded frame (frame_ms = cumulative delay) with per-frame
+    pixel stats — the working form of the ``media_frame_sample`` stub
+    for the one animated container the stdlib can decode.  Actor pool
+    (decode is per-payload sequential LZW); non-GIF payloads raise, or
+    are skipped with ``fallback_skip=True``."""
+
+    class GifFrames:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, fidx, fms, hh, ww, mean = [], [], [], [], [], []
+            for i in range(t.num_rows):
+                payload = t.column(payload_col)[i].as_py()
+                mid = t.column("media_id")[i].as_py()
+                try:
+                    frames, delays = decode_gif(payload)
+                except ValueError:
+                    if fallback_skip:
+                        continue
+                    raise
+                ts = 0
+                for j, (f, d) in enumerate(zip(frames, delays)):
+                    ids.append(mid)
+                    fidx.append(j)
+                    fms.append(ts)
+                    hh.append(f.shape[0])
+                    ww.append(f.shape[1])
+                    mean.append(float(f.mean()))
+                    ts += d
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_ms": pa.array(fms, pa.int32()),
+                "height": pa.array(hh, pa.int32()),
+                "width": pa.array(ww, pa.int32()),
+                "px_mean": pa.array(mean, pa.float64()),
+            })
+
+    def apply(ds):
+        return ds.map_batches(GifFrames, batch_size=batch_size,
+                              concurrency=concurrency,
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+    return apply
 
 
 @register_op("media_frame_sample")

@@ -476,3 +476,94 @@ def test_window_sliding_unaligned_falls_back(ray_session):
                     "slide_s": 60, "aggs": [("count", None, "n")]})(
         rd.from_arrow(t)).to_pandas()
     assert out["n"].sum() == 2   # t=70s is in windows [0,90) and [60,150)
+
+
+# -- GIF codec + frame extraction ------------------------------------------
+
+
+def test_gif_roundtrip_single():
+    from rayflow.ops.multimodal import decode_gif, synth_gif
+
+    rng = np.random.default_rng(7)
+    f = rng.integers(0, 4, (13, 17, 1), dtype=np.uint8).repeat(3, axis=2) * 60
+    frames, delays = decode_gif(synth_gif([f]))
+    assert len(frames) == 1 and np.array_equal(frames[0], f)
+
+
+def test_gif_roundtrip_animated_with_delays():
+    from rayflow.ops.multimodal import decode_gif, synth_gif
+
+    rng = np.random.default_rng(8)
+    frames_in = [np.stack([rng.integers(0, 256, (9, 11), dtype=np.uint8)] * 3,
+                          axis=2) for _ in range(4)]
+    g = synth_gif(frames_in, delays_ms=[100, 50, 200, 0])
+    frames, delays = decode_gif(g)
+    assert len(frames) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(frames, frames_in))
+    assert delays == [100, 50, 200, 0]
+
+
+def test_gif_250_distinct_colors():
+    from rayflow.ops.multimodal import decode_gif, synth_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (250, 3), dtype=np.uint8)
+    f = pal[rng.integers(0, 250, (31, 29))]
+    frames, _ = decode_gif(synth_gif([f]))
+    assert np.array_equal(frames[0], f)
+
+
+def test_gif_too_many_colors_raises():
+    from rayflow.ops.multimodal import synth_gif
+
+    rng = np.random.default_rng(10)
+    f = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)  # ~>256 colors
+    with pytest.raises(ValueError, match="256"):
+        synth_gif([f])
+
+
+def test_gif_not_a_gif_raises():
+    from rayflow.ops.multimodal import decode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG....")
+
+
+def test_gif_frames_op(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+    from rayflow.ops.multimodal import synth_real_media_table
+
+    tbl = synth_real_media_table(18, seed=4)
+    gifs = tbl.filter(
+        pa.compute.equal(tbl["media_type"], "image/gif"))
+    ds = rd.from_arrow(gifs)
+    out = build_op({"op": "gif_frames"})(ds).to_pandas() \
+        .sort_values(["media_id", "frame_idx"], ignore_index=True)
+    assert len(out) > len(gifs)  # animated: >1 frame per payload
+    # frame_ms is the cumulative delay, starting at 0 per media_id
+    for _, grp in out.groupby("media_id"):
+        assert grp["frame_idx"].tolist() == list(range(len(grp)))
+        assert grp["frame_ms"].iloc[0] == 0
+        assert grp["frame_ms"].is_monotonic_increasing
+        w = grp["width"].iloc[0]
+        assert (grp["width"] == w).all()
+
+
+def test_media_decode_handles_gif(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+    from rayflow.ops.multimodal import synth_real_media_table
+
+    tbl = synth_real_media_table(12, seed=5)
+    out = build_op({"op": "media_decode", "feature_dim": 16, "fake": False,
+                    "batch_size": 8, "concurrency": 2})(
+        rd.from_arrow(tbl)).to_pandas()
+    g = out[out["media_type"] == "image/gif"]
+    assert len(g) > 0
+    ref = tbl.to_pandas().set_index("media_id")
+    for _, row in g.iterrows():
+        assert row["feature"][0] == ref.loc[row["media_id"]]["width"]
+        assert row["feature"][1] == ref.loc[row["media_id"]]["height"]
