@@ -351,23 +351,6 @@ def build_parse_xml(*, column: str, out_prefix: str = "",
     return apply
 
 
-def _absent_serde(op_name: str, lib: str):
-    @register_op(op_name)
-    def build(**kw):
-        raise ImportError(
-            f"{op_name}: requires the '{lib}' library, which is not in "
-            f"this container. The Arrow/Parquet/JSON/CSV/XML serde "
-            f"surface is native; install {lib} to enable this processor.")
-    return build
-
-
-# registered so `ops()` shows the full reference serde surface with an
-# honest unavailability error instead of silently missing names
-_absent_serde("parse_msgpack", "msgpack")
-_absent_serde("parse_avro", "fastavro")
-_absent_serde("parse_protobuf", "protobuf")
-
-
 @register_op("batch_policy")
 def build_batch_policy(*, count: int | None = None,
                        bytes_budget: int | None = None,
