@@ -2094,3 +2094,75 @@ def heavy_hitters_event_types(sf_dir: str):
     data."""
     ds = _rd().read_parquet(_t(sf_dir, "events"), columns=["event_type"])
     return build_op({"op": "heavy_hitters", "column": "event_type", "k": 3})(ds)
+
+
+_SERDE_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+def _serde_roundtrip(sf_dir: str, fmt_conf: dict, parse_conf: dict):
+    """Shared body for the serde round-trip queries: events → encode to
+    a binary payload column → DROP the originals → decode → aggregate.
+    The aggregate matching the plain-SQL oracle proves the wire
+    round-trip is lossless for ints, strings and doubles — the driver-
+    checkable property of a binary codec."""
+    ds = _rd().read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    ds = build_op(fmt_conf)(ds).select_columns(["payload"])
+    ds = build_op(parse_conf)(ds)
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"value": E.F("float64", E.col("value"))},
+    })(ds)
+    ds = build_op({
+        "op": "group_agg", "keys": ["event_type"],
+        "aggs": [("count", None, "n"), ("sum", "value", "sum_value")],
+    })(ds)
+    return _round_cols(ds, ["sum_value"])
+
+
+@query("serde_msgpack_roundtrip", _SERDE_ORACLE)
+def serde_msgpack_roundtrip(sf_dir: str):
+    """MessagePack wire round-trip (`msgpack` processor pair): encode
+    each event as a msgpack map, decode with the pure-spec codec, and
+    aggregate — values must survive bit-exact for the oracle hash to
+    match."""
+    return _serde_roundtrip(
+        sf_dir, {"op": "format_msgpack"}, {"op": "parse_msgpack"})
+
+
+@query("serde_avro_roundtrip", _SERDE_ORACLE)
+def serde_avro_roundtrip(sf_dir: str):
+    """Avro object-container round-trip (`avro` processor pair) with the
+    deflate codec — each row becomes a self-describing one-record
+    container file, exercising header metadata, sync markers and zlib
+    block compression alongside the binary datum encoding."""
+    schema = {
+        "type": "record", "name": "Event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+        ],
+    }
+    return _serde_roundtrip(
+        sf_dir,
+        {"op": "format_avro", "schema": schema, "container": True,
+         "codec": "deflate"},
+        {"op": "parse_avro"})
+
+
+@query("serde_protobuf_roundtrip", _SERDE_ORACLE)
+def serde_protobuf_roundtrip(sf_dir: str):
+    """Protobuf wire-format round-trip (`protobuf` processor pair): the
+    field spec plays the compiled descriptor's role on both sides."""
+    spec = {1: ("event_id", "uint64"), 2: ("event_type", "string"),
+            3: ("value", "double")}
+    return _serde_roundtrip(
+        sf_dir,
+        {"op": "format_protobuf", "spec": spec},
+        {"op": "parse_protobuf", "spec": spec})
