@@ -6,15 +6,17 @@ resize / feature-extract run as actor-pool ``map_batches`` stages with
 SMALL batch sizes (payload bytes × batch_size × concurrency must fit the
 worker heap — the block-sizing rule for wide binary rows).
 
-Decode is REAL for the formats that need no codec library —
-uncompressed 24-bit BMP and PCM-16 WAV are decoded to actual
-pixels/samples with numpy + stdlib struct and featurized from them —
-and STUBBED for codec-requiring formats (png/jpeg/video): with
-``fake=True`` (default) every payload gets a deterministic
-pseudo-decode derived from its bytes; with ``fake=False`` BMP/WAV
-decode for real and the rest raise ``NotImplementedError`` at the
-exact point Pillow/ffmpeg would plug in (or fall back to the pseudo
-path with ``fallback_pseudo=True``).
+Decode is REAL for every image/audio format the engine emits —
+uncompressed 24-bit BMP, PNG (stdlib zlib + the five scanline
+filters), GIF (LZW), baseline JPEG (``rayflow/ops/jpeg.py``, pure
+numpy Huffman+DCT from the public T.81 spec) and PCM-16 WAV are
+decoded to actual pixels/samples and featurized from them.  Only
+genuinely library-bound formats (video containers, progressive
+JPEG, non-PCM audio) still raise ``NotImplementedError`` at the
+exact point ffmpeg would plug in; with ``fake=True`` (default) every
+payload gets a deterministic pseudo-decode derived from its bytes,
+and ``fallback_pseudo=True`` keeps real pipelines flowing past
+undecodable payloads.
 """
 
 from __future__ import annotations
@@ -438,9 +440,9 @@ class MediaDecoder:
 
     ``fake=True`` (default): deterministic pseudo-features for every
     payload (pipeline plumbing without any codec).  ``fake=False``:
-    REAL decode — uncompressed BMP and PCM WAV are decoded with
+    REAL decode — BMP/PNG/GIF/baseline-JPEG/PCM-WAV are decoded with
     numpy/stdlib and featurized from actual pixels/samples; formats
-    that need an absent codec (png/jpeg/video) raise
+    that need an absent codec (video, progressive JPEG) raise
     ``NotImplementedError`` per payload, or fall back to the pseudo
     path when ``fallback_pseudo=True``."""
 
@@ -493,13 +495,19 @@ class MediaDecoder:
             if payload[:6] in (b"GIF87a", b"GIF89a"):
                 frames, _delays = decode_gif(payload)
                 return self._image_features(frames[0])
+            if payload[:2] == b"\xff\xd8":
+                from rayflow.ops.jpeg import decode_jpeg
+                px = decode_jpeg(payload)
+                if px.shape[2] < 3:                # grayscale
+                    px = np.repeat(px, 3, axis=2)
+                return self._image_features(px)
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 samples, rate = decode_wav(payload)
                 return self._audio_features(samples, rate)
             raise NotImplementedError(
                 "payload needs a codec library not present in this "
-                "environment (BMP/PNG/WAV decode natively); pass "
-                "fallback_pseudo=True to keep the pipeline flowing")
+                "environment (BMP/PNG/GIF/JPEG/WAV decode natively); "
+                "pass fallback_pseudo=True to keep the pipeline flowing")
         except (NotImplementedError, ValueError, _z.error):
             # absent codec OR corrupt payload: the fallback keeps the
             # pipeline flowing either way (dead-lettering is the
@@ -730,13 +738,15 @@ def synth_bmp(pixels: np.ndarray) -> bytes:
 
 def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
     """Fully DECODABLE media fixture: cycling 24-bit BMPs (seeded random
-    pixels), PCM-16 WAVs (seeded noise) and animated 16-color GIFs —
-    exercises the real decode paths end-to-end with no external data or
-    codec."""
+    pixels), PCM-16 WAVs (seeded noise), animated 16-color GIFs and
+    baseline JPEGs — exercises the real decode paths end-to-end with no
+    external data or codec."""
+    from rayflow.ops.jpeg import synth_jpeg
+
     rng = np.random.default_rng(seed)
     types, payloads, widths, heights, durs = [], [], [], [], []
     for i in range(n):
-        if i % 3 == 0:
+        if i % 4 == 0:
             w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payloads.append(synth_bmp(px))
@@ -744,7 +754,16 @@ def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
             widths.append(w)
             heights.append(h)
             durs.append(0)
-        elif i % 3 == 2:
+        elif i % 4 == 3:
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(synth_jpeg(
+                px, quality=90, subsample=bool(i % 8 == 7)))
+            types.append("image/jpeg")
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+        elif i % 4 == 2:
             w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
             nf = int(rng.integers(2, 5))
             frames = [(rng.integers(0, 16, (h, w, 1), dtype=np.uint8)

@@ -567,3 +567,113 @@ def test_media_decode_handles_gif(ray_session):
     for _, row in g.iterrows():
         assert row["feature"][0] == ref.loc[row["media_id"]]["width"]
         assert row["feature"][1] == ref.loc[row["media_id"]]["height"]
+
+
+# -- baseline JPEG codec (rayflow/ops/jpeg.py) --------------------------------
+
+
+def _gradient_rgb(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([xx * 255 / (w - 1), yy * 255 / (h - 1),
+                     (xx + yy) * 255 / (w + h - 2)], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,tol", [(95, 1.0), (85, 2.0), (60, 4.0)])
+def test_jpeg_roundtrip_rgb(quality, tol):
+    """Lossy but tight: smooth gradients survive synth->decode with a
+    small mean absolute error that shrinks with quality."""
+    from rayflow.ops.jpeg import decode_jpeg, synth_jpeg
+
+    img = _gradient_rgb(40, 56)
+    out = decode_jpeg(synth_jpeg(img, quality=quality))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < tol
+
+
+def test_jpeg_roundtrip_grayscale():
+    from rayflow.ops.jpeg import decode_jpeg, synth_jpeg
+
+    g = _gradient_rgb(33, 47)[..., 0]
+    out = decode_jpeg(synth_jpeg(g, quality=90))
+    assert out.shape == (33, 47, 1)
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).mean() < 1.0
+
+
+def test_jpeg_roundtrip_subsampled_and_restarts():
+    """4:2:0 chroma (interleaved multi-block MCUs + upsampling) and
+    restart markers (DC predictor resets, RSTn destuffing)."""
+    from rayflow.ops.jpeg import decode_jpeg, synth_jpeg
+
+    img = _gradient_rgb(37, 41)            # odd dims: partial edge MCUs
+    out = decode_jpeg(synth_jpeg(img, quality=85, subsample=True,
+                                 restart_interval=3))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_jpeg_noise_roundtrip_all_paths():
+    """Random pixels stress every Huffman code length (incl. the Annex
+    K.3 length-limit fold) and ZRL/EOB runs."""
+    from rayflow.ops.jpeg import decode_jpeg, synth_jpeg
+
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (29, 35, 3), dtype=np.uint8)
+    out = decode_jpeg(synth_jpeg(noisy, quality=95))
+    assert out.shape == noisy.shape
+    # noise has no spatial coherence: q95 4:4:4 still lands close
+    assert np.abs(out.astype(int) - noisy.astype(int)).mean() < 6.0
+
+
+def test_jpeg_progressive_raises():
+    from rayflow.ops.jpeg import decode_jpeg, synth_jpeg
+
+    data = bytearray(synth_jpeg(_gradient_rgb(16, 16)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2                     # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_media_decode_real_jpeg(ray_session):
+    """media_decode fake=False decodes JPEG payloads for real: feature
+    head is the true (w, h) and the histogram features sit close to the
+    BMP features of the same pixels (lossy, so allclose with slack)."""
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_bmp
+    from rayflow.ops.jpeg import synth_jpeg
+
+    img = _gradient_rgb(24, 32)
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "media_type": pa.array(["image/jpeg", "image/bmp"]),
+        "payload": pa.array([synth_jpeg(img, quality=95), synth_bmp(img)],
+                            pa.large_binary()),
+    })
+    out = build_op({"op": "media_decode", "fake": False})(
+        rd.from_arrow(t)).to_pandas().sort_values("media_id")
+    feats = np.array(out["feature"].tolist())
+    assert feats[0][0] == 32.0 and feats[0][1] == 24.0
+    assert abs(feats[0][2] - feats[1][2]) < 1.0       # mean intensity
+    assert np.abs(feats[0][4:] - feats[1][4:]).sum() < 0.15
+
+
+def test_media_fixture_includes_jpeg(ray_session):
+    """synth_real_media_table now cycles JPEG in; media_probe reads its
+    true dimensions from the SOF header and media_decode features it."""
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_real_media_table
+
+    tbl = synth_real_media_table(16, seed=11)
+    jt = tbl.filter(pc.equal(tbl["media_type"], "image/jpeg"))
+    assert jt.num_rows >= 3
+    probed = build_op({"op": "media_probe"})(
+        rd.from_arrow(tbl)).to_pandas().set_index("media_id")
+    ref = tbl.to_pandas().set_index("media_id")
+    for mid in jt["media_id"].to_pylist():
+        assert probed.loc[mid]["probe_format"] == "jpeg"
+        assert probed.loc[mid]["probe_width"] == ref.loc[mid]["width"]
+        assert probed.loc[mid]["probe_height"] == ref.loc[mid]["height"]
