@@ -504,6 +504,13 @@ class MediaDecoder:
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 samples, rate = decode_wav(payload)
                 return self._audio_features(samples, rate)
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                from rayflow.ops.avi import decode_avi
+                frames, _fps = decode_avi(payload)
+                px = frames[0]
+                if px.shape[2] < 3:
+                    px = np.repeat(px, 3, axis=2)
+                return self._image_features(px)
             raise NotImplementedError(
                 "payload needs a codec library not present in this "
                 "environment (BMP/PNG/GIF/JPEG/WAV decode natively); "
@@ -573,6 +580,12 @@ def probe_media_header(payload: bytes) -> tuple[str, int, int] | None:
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
         return ("bmp", w, abs(h))
+    if len(payload) >= 12 and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"AVI ":
+        from rayflow.ops.avi import probe_avi
+
+        got = probe_avi(payload)
+        return ("avi", got[0], got[1]) if got else ("avi", 0, 0)
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # find the fmt chunk: channels @+2, sample rate @+4
         pos = 12
@@ -738,15 +751,27 @@ def synth_bmp(pixels: np.ndarray) -> bytes:
 
 def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
     """Fully DECODABLE media fixture: cycling 24-bit BMPs (seeded random
-    pixels), PCM-16 WAVs (seeded noise), animated 16-color GIFs and
-    baseline JPEGs — exercises the real decode paths end-to-end with no
-    external data or codec."""
+    pixels), PCM-16 WAVs (seeded noise), animated 16-color GIFs,
+    baseline JPEGs and MJPEG AVI clips — exercises the real decode
+    paths end-to-end with no external data or codec."""
+    from rayflow.ops.avi import synth_avi
     from rayflow.ops.jpeg import synth_jpeg
 
     rng = np.random.default_rng(seed)
     types, payloads, widths, heights, durs = [], [], [], [], []
     for i in range(n):
-        if i % 4 == 0:
+        if i % 5 == 4:
+            w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            nf = int(rng.integers(2, 5))
+            fps = float(rng.integers(5, 20))
+            clip = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    for _ in range(nf)]
+            payloads.append(synth_avi(clip, fps=fps))
+            types.append("video/avi")
+            widths.append(w)
+            heights.append(h)
+            durs.append(int(nf * 1000.0 / fps))
+        elif i % 4 == 0:
             w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payloads.append(synth_bmp(px))
@@ -841,29 +866,76 @@ def build_gif_frames(*, payload_col: str = "payload", batch_size: int = 32,
 
 
 @register_op("media_frame_sample")
-def build_media_frame_sample(*, every_ms: int = 1000):
-    """Video → frame rows (stubbed): one output row per sampled frame
-    timestamp, payload sliced deterministically.  Real frame extraction
-    plugs into the marked kernel."""
+def build_media_frame_sample(*, every_ms: int = 1000,
+                             batch_size: int = 16, concurrency: int = 2):
+    """Video → frame rows: one output row per ``every_ms`` of playback.
 
-    def apply(ds):
-        def fn(t: pa.Table) -> pa.Table:
+    REAL frame extraction for the containers that decode natively —
+    MJPEG AVI (``rayflow/ops/avi.py``) and animated GIF — emitting the
+    active frame's index and pixel stats at each sampled timestamp.
+    Other media types still get timestamp-only rows (null
+    frame_idx/stats) from the ``duration_ms`` column, so mixed tables
+    keep one schema.  Actor pool: decode is per-payload sequential."""
+
+    class FrameSampler:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from rayflow.ops.avi import decode_avi
+
             ids, types, stamps = [], [], []
+            fidx, hh, ww, mean = [], [], [], []
             for i in range(t.num_rows):
-                dur = t.column("duration_ms")[i].as_py() or 0
                 mid = t.column("media_id")[i].as_py()
                 mt = t.column("media_type")[i].as_py()
+                payload = t.column("payload")[i].as_py() \
+                    if "payload" in t.column_names else None
+                frames = bounds = None
+                if payload is not None and payload[:4] == b"RIFF" \
+                        and payload[8:12] == b"AVI ":
+                    fs, fps = decode_avi(payload)
+                    frames = fs
+                    bounds = [j * 1000.0 / fps for j in range(len(fs))]
+                    dur = int(len(fs) * 1000.0 / fps)
+                elif payload is not None and payload[:6] in (b"GIF87a",
+                                                             b"GIF89a"):
+                    fs, delays = decode_gif(payload)
+                    frames = fs
+                    bounds, acc = [], 0
+                    for d in delays:
+                        bounds.append(float(acc))
+                        acc += d
+                    dur = acc
+                else:
+                    dur = t.column("duration_ms")[i].as_py() or 0 \
+                        if "duration_ms" in t.column_names else 0
                 for ts in range(0, max(dur, 1), every_ms):
                     ids.append(mid)
                     types.append(mt)
                     stamps.append(ts)
+                    if frames is None:
+                        fidx.append(None)
+                        hh.append(None)
+                        ww.append(None)
+                        mean.append(None)
+                    else:
+                        j = int(np.searchsorted(bounds, ts, "right")) - 1
+                        f = frames[max(j, 0)]
+                        fidx.append(max(j, 0))
+                        hh.append(f.shape[0])
+                        ww.append(f.shape[1])
+                        mean.append(float(f.mean()))
             return pa.table({
                 "media_id": pa.array(ids, pa.int64()),
                 "media_type": pa.array(types, pa.string()),
                 "frame_ms": pa.array(stamps, pa.int32()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "height": pa.array(hh, pa.int32()),
+                "width": pa.array(ww, pa.int32()),
+                "px_mean": pa.array(mean, pa.float64()),
             })
 
-        return ds.map_batches(fn, batch_size=64, **{"batch_format": "pyarrow",
-                                                    "zero_copy_batch": True})
+    def apply(ds):
+        return ds.map_batches(FrameSampler, batch_size=batch_size,
+                              concurrency=concurrency,
+                              batch_format="pyarrow", zero_copy_batch=True)
 
     return apply

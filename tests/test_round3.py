@@ -677,3 +677,96 @@ def test_media_fixture_includes_jpeg(ray_session):
         assert probed.loc[mid]["probe_format"] == "jpeg"
         assert probed.loc[mid]["probe_width"] == ref.loc[mid]["width"]
         assert probed.loc[mid]["probe_height"] == ref.loc[mid]["height"]
+
+
+# -- MJPEG AVI container (rayflow/ops/avi.py) ---------------------------------
+
+
+def test_avi_roundtrip():
+    from rayflow.ops.avi import decode_avi, probe_avi, synth_avi
+
+    frames = [np.clip(_gradient_rgb(24, 32).astype(int) + 10 * t,
+                      0, 255).astype(np.uint8) for t in range(4)]
+    data = synth_avi(frames, fps=10, quality=92)
+    assert probe_avi(data) == (32, 24, 4)
+    out, fps = decode_avi(data)
+    assert fps == 10.0 and len(out) == 4
+    for a, b in zip(frames, out):
+        assert b.shape == a.shape
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+
+
+def test_avi_grayscale_and_errors():
+    from rayflow.ops.avi import decode_avi, synth_avi
+
+    g = [_gradient_rgb(16, 16)[..., 0] for _ in range(2)]
+    out, fps = decode_avi(synth_avi(g, fps=5))
+    assert out[0].shape == (16, 16, 1) and fps == 5.0
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="no video frames"):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_media_frame_sample_real_avi(ray_session):
+    """media_frame_sample decodes AVI payloads for real: frame_idx
+    advances with the timestamp grid and px stats come from actual
+    decoded frames."""
+    import ray.data as rd
+
+    from rayflow.ops.avi import synth_avi
+
+    # 6 frames at 5 fps = 1200 ms; sample every 200 ms -> idx 0..5
+    frames = [np.full((8, 12, 3), 40 * t, np.uint8) for t in range(6)]
+    t = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "media_type": pa.array(["video/avi"]),
+        "payload": pa.array([synth_avi(frames, fps=5)], pa.large_binary()),
+    })
+    out = build_op({"op": "media_frame_sample", "every_ms": 200})(
+        rd.from_arrow(t)).to_pandas().sort_values("frame_ms")
+    assert out["frame_idx"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert out["width"].tolist() == [12] * 6
+    # frame t is a constant plate of 40*t (JPEG-lossy, so near)
+    assert np.allclose(out["px_mean"].to_numpy(),
+                       [0, 40, 80, 120, 160, 200], atol=3.0)
+
+
+def test_media_frame_sample_mixed_schema(ray_session):
+    """Mixed media keeps ONE schema: non-video rows carry null
+    frame_idx/stats but still emit the every_ms timestamp grid."""
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_real_media_table
+
+    tbl = synth_real_media_table(20, seed=13)
+    out = build_op({"op": "media_frame_sample", "every_ms": 100})(
+        rd.from_arrow(tbl)).to_pandas()
+    vid = out[out["media_type"] == "video/avi"]
+    aud = out[out["media_type"] == "audio/wav"]
+    assert len(vid) > 0 and len(aud) > 0
+    assert vid["frame_idx"].notna().all()
+    assert aud["frame_idx"].isna().all()
+    assert (out["frame_ms"] % 100 == 0).all()
+
+
+def test_media_decode_and_probe_real_avi(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import synth_real_media_table
+
+    tbl = synth_real_media_table(20, seed=17)
+    vt = tbl.filter(pc.equal(tbl["media_type"], "video/avi"))
+    assert vt.num_rows >= 3
+    probed = build_op({"op": "media_probe"})(
+        rd.from_arrow(tbl)).to_pandas().set_index("media_id")
+    decoded = build_op({"op": "media_decode", "fake": False})(
+        rd.from_arrow(tbl)).to_pandas().set_index("media_id")
+    ref = tbl.to_pandas().set_index("media_id")
+    for mid in vt["media_id"].to_pylist():
+        assert probed.loc[mid]["probe_format"] == "avi"
+        assert probed.loc[mid]["probe_width"] == ref.loc[mid]["width"]
+        assert probed.loc[mid]["probe_height"] == ref.loc[mid]["height"]
+        # decode features: head is (w, h) of the decoded first frame
+        assert decoded.loc[mid]["feature"][0] == ref.loc[mid]["width"]
+        assert decoded.loc[mid]["feature"][1] == ref.loc[mid]["height"]
