@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "large_orders_q18",
     "histogram_nchars",
     "heavy_hitters_event_types",
+    # round-3 additions: wider TPC-H plan shapes
+    "returned_item_q10",
+    "priority_linestatus_q12",
+    "cust_order_dist_q13",
+    "promo_revenue_q14",
 ]
 
 

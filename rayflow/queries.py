@@ -2166,3 +2166,359 @@ def serde_protobuf_roundtrip(sf_dir: str):
         sf_dir,
         {"op": "format_protobuf", "spec": spec},
         {"op": "parse_protobuf", "spec": spec})
+
+
+# --------------------------------------------------------------------------
+# Round 3: wider TPC-H-shape plans — semi+agg (Q4), deep join top-k (Q10),
+# conditional aggregation (Q12), LEFT OUTER join distribution (Q13),
+# broadcast-dim ratio (Q14), anti join (Q22)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_q4(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS against the fact table.  The lineitem side
+    is too big to broadcast, so the semi join is distributed: filter →
+    distinct order keys (two-phase group_agg collapses duplicates
+    before the exchange) → sharded inner join — never a driver-side
+    key list."""
+    import datetime
+
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    orders = build_op({
+        "op": "filter",
+        "predicate": (E.col("o_orderdate") >= E.lit(datetime.datetime(1996, 1, 1)))
+        & (E.col("o_orderdate") < E.lit(datetime.datetime(1997, 1, 1))),
+    })(orders)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_discount"])
+    li = build_op({"op": "filter",
+                   "predicate": E.col("l_discount") > E.lit(0.05)})(li)
+    li_keys = build_op({
+        "op": "group_agg", "keys": ["l_orderkey"],
+        "aggs": [("count", None, "_n")],
+    })(li).select_columns(["l_orderkey"])
+
+    joined = build_op({
+        "op": "sharded_join", "right": li_keys,
+        "on": ["o_orderkey"], "right_on": ["l_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(orders)
+    return build_op({
+        "op": "group_agg", "keys": ["o_orderpriority"],
+        "aggs": [("count", None, "order_count")],
+    })(joined)
+
+
+@query(
+    "returned_item_q10",
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_q10(sf_dir: str):
+    """TPC-H Q10 shape: ONE fact-fact exchange (lineitem⋈orders on the
+    order key), aggregate down to per-customer revenue BEFORE touching
+    the dimensions, then broadcast customer+nation onto the small
+    aggregate — the dims never enter a shuffle."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = build_op({
+        "op": "filter",
+        "predicate": (E.col("o_orderdate") >= E.lit(datetime.datetime(1996, 1, 1)))
+        & (E.col("o_orderdate") < E.lit(datetime.datetime(1996, 7, 1))),
+    })(orders).select_columns(["o_orderkey", "o_custkey"])
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+    li = build_op({"op": "filter",
+                   "predicate": E.col("l_returnflag") == E.lit("R")})(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"rev": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_orderkey", "rev"],
+    })(li)
+
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(li)
+    per_cust = build_op({
+        "op": "group_agg", "keys": ["o_custkey"],
+        "aggs": [("sum", "rev", "revenue")],
+    })(joined)
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    cust = cust.join(nation, keys=["c_nationkey"],
+                     right_keys=["n_nationkey"]) \
+        .select(["c_custkey", "c_name", "c_acctbal", "n_name"])
+    out = build_op({"op": "broadcast_join", "small": cust,
+                    "on": ["o_custkey"], "right_on": ["c_custkey"]})(per_cust)
+    out = build_op({
+        "op": "mapping", "cols": {"c_custkey": E.col("o_custkey")},
+        "select": ["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"],
+    })(out)
+    out = _round_cols(out, ["revenue"])
+    out = build_op({"op": "sort", "keys": ["revenue", "c_custkey"],
+                    "descending": [True, False]})(out)
+    out = build_op({"op": "limit", "n": 20})(out)
+    return out.select_columns(["c_custkey", "c_name", "c_acctbal",
+                               "n_name", "revenue"])
+
+
+@query(
+    "priority_linestatus_q12",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def priority_linestatus_q12(sf_dir: str):
+    """TPC-H Q12 shape: fact-fact join then CASE-conditional counts —
+    the conditional is a vectorized if_else column computed inside
+    map_batches, so the aggregate stays a plain two-phase sum."""
+    import datetime
+
+    rd = _rd()
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+    li = build_op({
+        "op": "filter",
+        "predicate": (E.col("l_shipdate") >= E.lit(datetime.datetime(1997, 1, 1)))
+        & (E.col("l_shipdate") < E.lit(datetime.datetime(1998, 1, 1))),
+    })(li).select_columns(["l_orderkey", "l_linestatus"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(li)
+    flagged = build_op({
+        "op": "mapping",
+        "cols": {"is_high": E.F(
+            "if_else",
+            (E.col("o_orderpriority") == E.lit("1-URGENT"))
+            | (E.col("o_orderpriority") == E.lit("2-HIGH")),
+            E.lit(1), E.lit(0))},
+    })(joined)
+    flagged = build_op({
+        "op": "mapping",
+        "cols": {"is_low": E.lit(1) - E.col("is_high")},
+        "select": ["l_linestatus", "is_high", "is_low"],
+    })(flagged)
+    return build_op({
+        "op": "group_agg", "keys": ["l_linestatus"],
+        "aggs": [("sum", "is_high", "high_line_count"),
+                 ("sum", "is_low", "low_line_count")],
+    })(flagged)
+
+
+@query(
+    "cust_order_dist_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderstatus <> 'F'
+          GROUP BY c_custkey) counted
+    GROUP BY c_count
+    """,
+)
+def cust_order_dist_q13(sf_dir: str):
+    """TPC-H Q13 shape: LEFT OUTER join so zero-order customers keep a
+    row.  Orders are pre-aggregated to (custkey, count) partials before
+    the join, so the outer side joins against a table bounded by
+    customer cardinality; nulls become the 0 bucket."""
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderstatus"])
+    orders = build_op({
+        "op": "filter",
+        "predicate": E.col("o_orderstatus") != E.lit("F"),
+    })(orders)
+    counts = build_op({
+        "op": "group_agg", "keys": ["o_custkey"],
+        "aggs": [("count", None, "n_orders")],
+    })(orders)
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    joined = build_op({
+        "op": "sharded_join", "right": counts,
+        "on": ["c_custkey"], "right_on": ["o_custkey"],
+        "how": "left", "num_partitions": 4, "strategy": "auto",
+    })(cust)
+    filled = build_op({
+        "op": "mapping",
+        "cols": {"c_count": E.F("int64",
+                                E.F("fill_null", E.col("n_orders"), 0))},
+        "select": ["c_count"],
+    })(joined)
+    return build_op({
+        "op": "group_agg", "keys": ["c_count"],
+        "aggs": [("count", None, "custdist")],
+    })(filled)
+
+
+@query(
+    "promo_revenue_q14",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def promo_revenue_q14(sf_dir: str):
+    """TPC-H Q14 shape: broadcast the part dimension onto the pruned
+    lineitem scan, conditional revenue via if_else, then a single
+    global two-phase sum — no shuffle anywhere."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    li = build_op({
+        "op": "filter",
+        "predicate": (E.col("l_shipdate") >= E.lit(datetime.datetime(1997, 9, 1)))
+        & (E.col("l_shipdate") < E.lit(datetime.datetime(1997, 10, 1))),
+    })(li)
+    li = build_op({"op": "broadcast_join", "small": part,
+                   "on": ["l_partkey"], "right_on": ["p_partkey"]})(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {
+            "rev": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount")),
+            "_g": E.lit(1),
+        },
+    })(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"promo_rev": E.F(
+            "if_else", E.col("p_type") == E.lit("PROMO"),
+            E.col("rev"), E.lit(0.0))},
+        "select": ["_g", "rev", "promo_rev"],
+    })(li)
+    agg = build_op({
+        "op": "group_agg", "keys": ["_g"],
+        "aggs": [("sum", "promo_rev", "s_promo"), ("sum", "rev", "s_all")],
+    })(li)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"promo_revenue":
+                 E.lit(100.0) * E.col("s_promo") / E.col("s_all")},
+        "select": ["promo_revenue"],
+    })(agg)
+    return _round_cols(out, ["promo_revenue"], ndigits=6)
+
+
+@query(
+    "quiet_rich_customers_q22",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def quiet_rich_customers_q22(sf_dir: str):
+    """TPC-H Q22 shape: scalar subquery (global average, a tiny
+    driver-side reduce) + ANTI join.  The anti key set is distinct
+    customer keys from the filtered fact table — bounded by customer
+    cardinality by construction, so it broadcasts."""
+    rd = _rd()
+    urgent = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderpriority"])
+    urgent = build_op({
+        "op": "filter",
+        "predicate": E.col("o_orderpriority") == E.lit("1-URGENT"),
+    })(urgent)
+    urgent_keys = build_op({
+        "op": "group_agg", "keys": ["o_custkey"],
+        "aggs": [("count", None, "_n")],
+    })(urgent)
+    keys = [r["o_custkey"] for r in urgent_keys.take_all()]
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    pos = build_op({"op": "filter",
+                    "predicate": E.col("c_acctbal") > E.lit(0.0)})(cust)
+    stats = build_op({
+        "op": "mapping", "cols": {"_g": E.lit(1)},
+        "select": ["_g", "c_acctbal"],
+    })(pos)
+    stats = build_op({
+        "op": "group_agg", "keys": ["_g"],
+        "aggs": [("mean", "c_acctbal", "avg_bal")],
+    })(stats)
+    avg_bal = stats.take_all()[0]["avg_bal"]
+
+    rich = build_op({"op": "filter",
+                     "predicate": E.col("c_acctbal") > E.lit(avg_bal)})(cust)
+    quiet = build_op({"op": "broadcast_semi", "keys_ref": keys,
+                      "on": "c_custkey", "anti": True})(rich)
+    out = build_op({
+        "op": "group_agg", "keys": ["c_nationkey"],
+        "aggs": [("count", None, "numcust"),
+                 ("sum", "c_acctbal", "totacctbal")],
+    })(quiet)
+    return _round_cols(out, ["totacctbal"])
