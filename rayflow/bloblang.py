@@ -111,6 +111,11 @@ _METHOD_ALIASES: dict[str, str] = {
     "filter": "list_filter",
     "enumerated": "list_enumerated",
     "collapse": "struct_collapse",
+    "sort_by": "list_sort_by",
+    "find": "list_find",
+    "find_all": "list_find_all",
+    "exists": "struct_exists",
+    "squash": "struct_squash",
 }
 
 

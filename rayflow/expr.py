@@ -1681,3 +1681,108 @@ def _struct_collapse(a):
     cols = walk("", arr)
     return pa.StructArray.from_arrays(
         [c for _, c in cols], names=[n for n, _ in cols])
+
+
+# -- round-3 Bloblang tail: array sort_by/find, object exists/squash --------
+
+
+@register_fn("list_sort_by")
+def _list_sort_by(a, fn_name, descending=False, *extra):
+    """Bloblang ``sort_by``: order each row's elements by a registered
+    scalar key function.  Vectorized: key the flattened child array
+    once, then one stable lexsort keyed (row, key) reorders every
+    segment without a per-row Python sort."""
+    arr = _list_arr(a)
+    f = fn_name.as_py() if isinstance(fn_name, pa.Scalar) else fn_name
+    d = descending.as_py() if isinstance(descending, pa.Scalar) else descending
+    flat = pc.list_flatten(arr)
+    keys = _REGISTRY[f](flat, *extra)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False)
+    row_ids = np.repeat(np.arange(len(lens)), lens)
+    kn = keys.to_numpy(zero_copy_only=False)
+    if bool(d) or not np.issubdtype(kn.dtype, np.number):
+        # rank codes: order-preserving for any dtype (strings, unsigned,
+        # timestamps) and safely negatable for descending
+        if kn.dtype == object:
+            kn = kn.astype(str)
+        _, kn = np.unique(kn, return_inverse=True)
+        if bool(d):
+            kn = -kn
+    order = np.lexsort((kn, row_ids))
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), flat.take(pa.array(order)),
+        mask=pc.is_null(arr) if arr.null_count else None)
+
+
+@register_fn("list_find")
+def _list_find(a, fn_name, *extra):
+    """Bloblang ``find``: the first element of each row matching a
+    registered predicate, null when none matches.  One vectorized mask
+    over the flat child + a segment-min of matching positions."""
+    arr = _list_arr(a)
+    f = fn_name.as_py() if isinstance(fn_name, pa.Scalar) else fn_name
+    flat = pc.list_flatten(arr)
+    mask = _REGISTRY[f](flat, *extra)
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    if not pa.types.is_boolean(mask.type):
+        mask = pc.is_valid(mask)
+    m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+    lens = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = np.where(m, np.arange(len(m)), len(m))
+    first = np.full(len(lens), len(m), np.int64)
+    nonempty = lens > 0
+    if len(pos) and nonempty.any():
+        first[nonempty] = np.minimum.reduceat(pos, starts[nonempty])
+    found = first < np.concatenate((starts[1:], [len(m)]))
+    found &= first < len(m)
+    idx = pa.array(np.where(found, first, 0), pa.int64())
+    vals = flat.take(idx) if len(flat) else pa.nulls(len(lens), flat.type)
+    return pc.if_else(pa.array(found), vals, pa.nulls(len(lens), flat.type))
+
+
+@register_fn("list_find_all")
+def _list_find_all(a, fn_name, *extra):
+    """Bloblang ``find_all``: every matching element, in order — the
+    value-form of ``filter`` (kept as its own name for API parity)."""
+    return _list_filter(a, fn_name, *extra)
+
+
+@register_fn("struct_exists")
+def _struct_exists(a, key):
+    """Bloblang ``exists(path)`` over parsed-JSON struct columns: a key
+    "exists" when the struct row is valid and the field is non-null
+    (absent JSON keys parse to null fields)."""
+    k = key.as_py() if isinstance(key, pa.Scalar) else key
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if not pa.types.is_struct(arr.type):
+        raise TypeError(f"struct_exists needs a struct column, got {arr.type}")
+    if arr.type.get_field_index(k) < 0:
+        return pa.array([False] * len(arr), pa.bool_())
+    return pc.and_(pc.is_valid(arr), pc.is_valid(arr.field(k)))
+
+
+@register_fn("struct_squash")
+def _struct_squash(a):
+    """Bloblang ``squash``: merge each row's array-of-objects into one
+    object, later entries winning per key.  Per-row by necessity (the
+    result schema is the union of every row's keys)."""
+    arr = _list_arr(a)
+    rows = arr.to_pylist()
+    out = []
+    for r in rows:
+        if r is None:
+            out.append(None)
+            continue
+        merged: dict = {}
+        for item in r:
+            if isinstance(item, dict):
+                merged.update({k: v for k, v in item.items() if v is not None})
+        out.append(merged)
+    return pa.array(out)

@@ -897,3 +897,64 @@ def build_format_protobuf(*, spec: dict, target: str = "payload",
         return ds.map_batches(fn, batch_format="pyarrow")
 
     return apply
+
+
+@register_op("format_parquet")
+def build_format_parquet(*, target: str = "payload",
+                         columns: list[str] | None = None,
+                         compression: str = "zstd"):
+    """Batch → ONE Parquet-file payload row (``parquet_encode``
+    processor, ``⟨upstream: internal/impl/parquet/processor_encode.go⟩``).
+    Unlike the JSON-shaped codecs this one is Arrow-native: the batch
+    table is written straight into an in-memory Parquet file, no row
+    materialization."""
+    import pyarrow.parquet as pq
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            sub = t.select(columns) if columns is not None else t
+            buf = io.BytesIO()
+            pq.write_table(sub, buf, compression=compression)
+            return pa.table({
+                target: pa.array([buf.getvalue()], pa.binary()),
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply
+
+
+@register_op("parse_parquet")
+def build_parse_parquet(*, column: str = "payload",
+                        drop_source: bool = True):
+    """Parquet-file payload → its rows (``parquet_decode`` processor,
+    ``⟨upstream: internal/impl/parquet/processor_decode.go⟩``).
+    Arrow-native and typed: each payload is read zero-copy from its
+    buffer; parent columns are replicated onto the exploded rows."""
+    import pyarrow.parquet as pq
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            parts: list[pa.Table] = []
+            parents = [c for c in t.column_names if c != column] \
+                if drop_source else list(t.column_names)
+            for i, payload in enumerate(t.column(column).to_pylist()):
+                if payload is None:
+                    continue
+                if isinstance(payload, str):
+                    payload = bytes.fromhex(payload)
+                inner = pq.read_table(pa.BufferReader(payload))
+                for p in parents:
+                    inner = inner.append_column(
+                        p, pa.array([t.column(p)[i].as_py()] *
+                                    inner.num_rows,
+                                    t.schema.field(p).type))
+                parts.append(inner)
+            if not parts:
+                return pa.table({})
+            return pa.concat_tables(parts, promote_options="default")
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return apply

@@ -2522,3 +2522,13 @@ def quiet_rich_customers_q22(sf_dir: str):
                  ("sum", "c_acctbal", "totacctbal")],
     })(quiet)
     return _round_cols(out, ["totacctbal"])
+
+
+@query("serde_parquet_roundtrip", _SERDE_ORACLE)
+def serde_parquet_roundtrip(sf_dir: str):
+    """Parquet payload round-trip (`parquet_encode`/`parquet_decode`
+    processor pair): each batch becomes ONE in-memory Parquet file
+    payload, then explodes back to typed rows — Arrow-native on both
+    sides, so the aggregate must hash-match the plain scan."""
+    return _serde_roundtrip(
+        sf_dir, {"op": "format_parquet"}, {"op": "parse_parquet"})

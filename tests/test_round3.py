@@ -770,3 +770,69 @@ def test_media_decode_and_probe_real_avi(ray_session):
         # decode features: head is (w, h) of the decoded first frame
         assert decoded.loc[mid]["feature"][0] == ref.loc[mid]["width"]
         assert decoded.loc[mid]["feature"][1] == ref.loc[mid]["height"]
+
+
+# -- Bloblang tail: sort_by / find / find_all / exists / squash ---------------
+
+
+def test_list_sort_by_and_find():
+    t = pa.table({"ls": pa.array([["bb", "a", "ccc"], [], None, ["z", "yy"]],
+                                 pa.list_(pa.string()))})
+    assert E.F("list_sort_by", E.col("ls"), "length").eval(t).to_pylist() \
+        == [["a", "bb", "ccc"], [], None, ["z", "yy"]]
+    assert E.F("list_sort_by", E.col("ls"), "length", True).eval(t) \
+        .to_pylist() == [["ccc", "bb", "a"], [], None, ["yy", "z"]]
+    # string keys descending (rank-code path), stability on ties
+    assert E.F("list_sort_by", E.col("ls"), "lowercase", True).eval(t) \
+        .to_pylist() == [["ccc", "bb", "a"], [], None, ["z", "yy"]]
+    t2 = pa.table({"ls": pa.array([["x1", "y1", "x2"]], pa.list_(pa.string()))})
+    assert E.F("list_sort_by", E.col("ls"), "length").eval(t2).to_pylist() \
+        == [["x1", "y1", "x2"]]
+    # find: first match, null when no element matches / row empty / null
+    got = E.F("list_find", E.col("ls"), "not_empty").eval(t).to_pylist()
+    assert got == ["bb", None, None, "z"]
+
+
+def test_struct_exists_and_squash():
+    s = pa.table({"st": pa.array(
+        [{"a": 1, "b": None}, {"a": None, "b": 2}, None],
+        pa.struct([("a", pa.int64()), ("b", pa.int64())]))})
+    assert E.F("struct_exists", E.col("st"), "a").eval(s).to_pylist() \
+        == [True, False, False]
+    assert E.F("struct_exists", E.col("st"), "missing").eval(s).to_pylist() \
+        == [False, False, False]
+    q = pa.table({"ls": pa.array([[{"x": 1}, {"y": 2}, {"x": 3}], None])})
+    got = E.F("struct_squash", E.col("ls")).eval(q).to_pylist()
+    assert got[0]["x"] == 3 and got[0]["y"] == 2 and got[1] is None
+
+
+def test_bloblang_tail_method_syntax():
+    from rayflow.bloblang import parse_expr
+
+    t = pa.table({"tags": pa.array([["bb", "a", "ccc"]], pa.list_(pa.string()))})
+    ex = parse_expr('this.tags.sort_by("length").find("not_empty")')
+    assert ex.eval(t).to_pylist() == ["a"]
+
+
+def test_parquet_payload_roundtrip(ray_session):
+    """format_parquet packs a batch into one Parquet payload;
+    parse_parquet explodes it back with native types and replicated
+    parent columns."""
+    import ray.data as rd
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array(["x", "y", "z"]),
+                  "f": pa.array([1.5, None, -2.25], pa.float64())})
+    enc = build_op({"op": "format_parquet"})(rd.from_arrow(t))
+    encd = enc.to_pandas()
+    assert encd["payload"].map(len).gt(0).all()
+    assert encd["n_rows"].sum() == 3
+    dec = build_op({"op": "parse_parquet"})(enc).to_pandas() \
+        .sort_values("a", ignore_index=True)
+    assert dec["a"].tolist() == [1, 2, 3]
+    assert dec["b"].tolist() == ["x", "y", "z"]
+    assert dec["f"][0] == 1.5 and pd.isna(dec["f"][1])
+    # parent replication: keep the source column alongside
+    dec2 = build_op({"op": "parse_parquet", "drop_source": False})(enc) \
+        .to_pandas()
+    assert "payload" in dec2.columns and len(dec2) == 3
