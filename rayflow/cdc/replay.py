@@ -372,32 +372,52 @@ class CdcEngine:
         """Rewrite every live partition at the current unified lake
         schema (folds pre-evolution files forward) and bump their state
         version to the committed watermark.  Returns partitions rewritten.
-        Runs as a small Dataset over partition ids — each task rewrites
-        one partition file idempotently; commit is atomic as usual."""
-        import pyarrow.parquet as pq
+
+        Distributed: partition ids fan out as Ray tasks (chunked so a
+        4096-partition lake doesn't submit 4096 tiny tasks); each task
+        rewrites its partitions' files idempotently (write-temp +
+        ``os.replace``; the path is a pure function of ``(pid, hi)`` so
+        retries converge) and returns only the small stats records.  The
+        driver touches no table bytes — it gathers stats and publishes
+        ONE atomic manifest commit, same crash contract as a band."""
+        import ray
 
         from rayflow.cdc.merge import lake_schema_for
-        from rayflow.schema import conform as _conform
 
         files = self.manifest.partition_files()
         if not files or self.manifest.schema is None:
             return 0
         target = lake_schema_for(self.manifest.schema)
         hi = self.manifest.committed_lsn
-        part_stats = []
-        for pid, path in sorted(files.items()):
-            tbl = _conform(pq.read_table(path), target)
-            rec = {
-                "part_id": pid, "rows": tbl.num_rows,
-                "n_events": 0, "lsn_hi": hi,
-            }
-            part_dir = os.path.join(self.lake_dir, f"part-{pid:05d}")
-            final = os.path.join(part_dir, f"compact-{hi:012d}.parquet")
-            tmp = final + f".tmp.{os.getpid()}"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, final)
-            rec["file"] = final
-            part_stats.append(rec)
+        lake_dir = self.lake_dir
+
+        @ray.remote(num_cpus=1)
+        def compact_parts(items: list[tuple[int, str]]) -> list[dict]:
+            import pyarrow.parquet as _pq
+
+            from rayflow.schema import conform as _conform
+
+            recs = []
+            for pid, path in items:
+                tbl = _conform(_pq.read_table(path), target)
+                part_dir = os.path.join(lake_dir, f"part-{pid:05d}")
+                final = os.path.join(part_dir, f"compact-{hi:012d}.parquet")
+                tmp = final + f".tmp.{os.getpid()}"
+                _pq.write_table(tbl, tmp)
+                os.replace(tmp, final)
+                recs.append({"part_id": pid, "rows": tbl.num_rows,
+                             "n_events": 0, "lsn_hi": hi, "file": final})
+            return recs
+
+        items = sorted(files.items())
+        # ~4 chunks per CPU keeps tasks coarse enough to amortize overhead
+        # while still load-balancing skewed partition sizes
+        n_chunks = max(1, min(len(items),
+                              int(ray.cluster_resources().get("CPU", 8)) * 4))
+        step = (len(items) + n_chunks - 1) // n_chunks
+        chunks = [items[i:i + step] for i in range(0, len(items), step)]
+        part_stats = [rec for recs in ray.get(
+            [compact_parts.remote(c) for c in chunks]) for rec in recs]
         self.manifest.commit_band(
             band_hi=hi, schema=self.manifest.schema, part_stats=part_stats,
             salts={k: int(v) for k, v in self.manifest.state.get("salts", {}).items()},

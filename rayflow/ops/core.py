@@ -708,6 +708,46 @@ def build_sleep(*, seconds: float):
     return apply
 
 
+@register_op("rate_limit")
+def build_rate_limit(*, resource: str, rate: float | None = None,
+                     burst: float | None = None, cost: str = "rows",
+                     batch_size: int | None = None):
+    """Admission control against a shared budget (the reference's
+    ``rate_limit`` processor + ``local`` resource — count/interval
+    token bucket shared across pipeline stages).
+
+    One named reservation-bucket actor per ``resource`` (see
+    :class:`rayflow.state.RateLimiterImpl`); every batch debits
+    ``cost`` = its row count (``"rows"``) or 1 (``"batches"``) and
+    sleeps out its granted delay IN THE WORKER, so backpressure
+    propagates naturally through the streaming executor while the
+    actor itself only does O(1) bookkeeping per batch.  Use it to
+    protect a downstream system (an external store fed by a sink, a
+    subprocess stage) with a cluster-wide cap — the executor's own
+    backpressure bounds memory, not throughput."""
+    import time as _time
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            from rayflow.state import get_rate_limiter
+
+            import ray as _ray
+
+            handle = get_rate_limiter(resource, rate, burst)
+            n = float(t.num_rows) if cost == "rows" else 1.0
+            wait = _ray.get(handle.acquire.remote(n))
+            if wait > 0:
+                _time.sleep(wait)
+            return t
+
+        kw = dict(_PA_KW)
+        if batch_size is not None:
+            kw["batch_size"] = batch_size
+        return ds.map_batches(fn, **kw)
+
+    return apply
+
+
 @register_op("log_stage")
 def build_log_stage(*, name: str = "stage", sample: int = 3):
     """Observability tap (the reference's ``log`` processor): print a

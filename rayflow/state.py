@@ -138,3 +138,52 @@ def get_metrics(name: str = "default"):
     handle = actor_cls.options(name=key, get_if_exists=True).remote()
     _LOCAL_REGISTRY[key] = handle
     return handle
+
+
+class RateLimiterImpl:
+    """Reservation token bucket (the reference's ``rate_limit``
+    resource, ``local`` impl: count per interval).
+
+    ``acquire(n)`` never sleeps in the actor — it debits the bucket and
+    returns the seconds the CALLER must wait before proceeding, so the
+    actor round-trip stays microseconds and one limiter serves hundreds
+    of concurrent tasks without becoming the bottleneck.  Debt-style
+    accounting (tokens may go negative = reservations queued into the
+    future) guarantees the long-run admitted rate never exceeds
+    ``rate`` while ``burst`` bounds the instantaneous overshoot."""
+
+    def __init__(self, rate: float, burst: float | None = None):
+        self.rate = float(rate)
+        self.burst = float(burst) if burst is not None else float(rate)
+        self.tokens = self.burst
+        self.last = time.monotonic()
+
+    def acquire(self, n: float = 1.0) -> float:
+        now = time.monotonic()
+        self.tokens = min(self.burst, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        self.tokens -= float(n)
+        return max(0.0, -self.tokens / self.rate)
+
+    def snapshot(self) -> dict[str, float]:
+        return {"rate": self.rate, "burst": self.burst, "tokens": self.tokens}
+
+
+def get_rate_limiter(name: str, rate: float | None = None,
+                     burst: float | None = None):
+    """Get or create the named rate-limit actor (idempotent by name;
+    first creator's parameters win, like the reference's resource
+    config)."""
+    import ray
+
+    key = f"rayflow-ratelimit-{name}"
+    if key in _LOCAL_REGISTRY:
+        return _LOCAL_REGISTRY[key]
+    if rate is None:
+        handle = ray.get_actor(key)  # must already exist
+    else:
+        actor_cls = ray.remote(num_cpus=0)(RateLimiterImpl)
+        handle = actor_cls.options(name=key, get_if_exists=True).remote(
+            rate=rate, burst=burst)
+    _LOCAL_REGISTRY[key] = handle
+    return handle

@@ -836,3 +836,42 @@ def test_parquet_payload_roundtrip(ray_session):
     dec2 = build_op({"op": "parse_parquet", "drop_source": False})(enc) \
         .to_pandas()
     assert "payload" in dec2.columns and len(dec2) == 3
+
+
+# -- rate_limit: shared token-bucket admission control -----------------------
+
+
+def test_rate_limiter_reservation_math():
+    from rayflow.state import RateLimiterImpl
+
+    rl = RateLimiterImpl(rate=100.0, burst=50.0)
+    # burst admits instantly
+    assert rl.acquire(50.0) == 0.0
+    # past the burst, waits queue at 1/rate per token
+    w1 = rl.acquire(100.0)
+    w2 = rl.acquire(100.0)
+    assert 0.9 <= w1 <= 1.1
+    assert 1.9 <= w2 <= 2.1  # reservations accumulate into the future
+
+
+def test_rate_limit_op_caps_throughput(ray_session):
+    import time
+
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+    from rayflow.state import _LOCAL_REGISTRY
+
+    _LOCAL_REGISTRY.pop("rayflow-ratelimit-t3", None)
+    ds = rd.from_arrow(pa.table({"x": pa.array(range(400), pa.int64())}))
+    ds = ds.repartition(8)
+    op = build_op({"op": "rate_limit", "resource": "t3", "rate": 2000.0,
+                   "burst": 100.0, "batch_size": 50})
+    t0 = time.monotonic()
+    out = op(ds).materialize()
+    elapsed = time.monotonic() - t0
+    # 400 rows - 100 burst = 300 rows over the 2000/s budget => >= 0.15s;
+    # ambient load only makes it slower, so the lower bound is safe
+    assert elapsed >= 0.14
+    assert out.count() == 400
+    assert sorted(r["x"] for r in out.take_all()) == list(range(400))
