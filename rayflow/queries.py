@@ -2532,3 +2532,433 @@ def serde_parquet_roundtrip(sf_dir: str):
     sides, so the aggregate must hash-match the plain scan."""
     return _serde_roundtrip(
         sf_dir, {"op": "format_parquet"}, {"op": "parse_parquet"})
+
+
+@query(
+    "volume_shipping_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): both
+    nation filters broadcast onto their fact side BEFORE the one
+    fact-fact exchange, so only the two nations' rows (a tiny fraction)
+    enter the lineitem⋈orders join; the pair predicate + year extract
+    are vectorized columns; finish with a 3-key two-phase aggregate."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    pair = ("NATION_1", "NATION_2")
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.filter(pc.is_in(nation["n_name"], pa.array(pair)))
+
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.join(nation, keys=["s_nationkey"],
+                     right_keys=["n_nationkey"]).select(["s_suppkey", "n_name"]) \
+        .rename_columns(["s_suppkey", "supp_nation"])
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.join(nation, keys=["c_nationkey"],
+                     right_keys=["n_nationkey"]).select(["c_custkey", "n_name"]) \
+        .rename_columns(["c_custkey", "cust_nation"])
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    li = build_op({
+        "op": "filter",
+        "predicate": (E.col("l_shipdate") >= E.lit(datetime.datetime(1996, 1, 1)))
+        & (E.col("l_shipdate") < E.lit(datetime.datetime(1998, 1, 1))),
+    })(li)
+    li = build_op({"op": "broadcast_join", "small": supp, "how": "inner",
+                   "on": ["l_suppkey"], "right_on": ["s_suppkey"]})(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"volume": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount")),
+                 "l_year": E.F("year", E.col("l_shipdate"))},
+        "select": ["l_orderkey", "supp_nation", "volume", "l_year"],
+    })(li)
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    orders = build_op({"op": "broadcast_join", "small": cust, "how": "inner",
+                       "on": ["o_custkey"], "right_on": ["c_custkey"]})(orders)
+    orders = orders.select_columns(["o_orderkey", "cust_nation"])
+
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(li)
+    joined = build_op({
+        "op": "filter",
+        "predicate": ((E.col("supp_nation") == E.lit(pair[0]))
+                      & (E.col("cust_nation") == E.lit(pair[1])))
+        | ((E.col("supp_nation") == E.lit(pair[1]))
+           & (E.col("cust_nation") == E.lit(pair[0]))),
+    })(joined)
+    out = build_op({
+        "op": "group_agg", "keys": ["supp_nation", "cust_nation", "l_year"],
+        "aggs": [("sum", "volume", "revenue")],
+    })(joined)
+    return _round_cols(out, ["revenue"]).select_columns(
+        ["supp_nation", "cust_nation", "l_year", "revenue"])
+
+
+@query(
+    "market_share_q8",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region    ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def market_share_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): every dimension filter
+    (part type, customer region) broadcasts onto its fact side before
+    the single lineitem⋈orders exchange; the market-share division is
+    a conditional two-phase sum pair."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    part_keys = part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"))
+    supp = supp.join(nation, keys=["s_nationkey"], right_keys=["n_nationkey"]) \
+        .select(["s_suppkey", "n_name"]) \
+        .rename_columns(["s_suppkey", "supp_nation"])
+
+    region = pq.read_table(_t(sf_dir, "region"))
+    region = region.filter(pc.equal(region["r_name"], "EUROPE"))
+    nat_eu = nation.join(region, keys=["n_regionkey"],
+                         right_keys=["r_regionkey"], join_type="inner")
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust_keys = cust.join(nat_eu.select(["n_nationkey"]), keys=["c_nationkey"],
+                          right_keys=["n_nationkey"],
+                          join_type="inner")["c_custkey"]
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    li = build_op({"op": "broadcast_semi",
+                   "keys_ref": part_keys.to_pylist(),
+                   "on": "l_partkey"})(li)
+    li = build_op({"op": "broadcast_join", "small": supp, "how": "inner",
+                   "on": ["l_suppkey"], "right_on": ["s_suppkey"]})(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"volume": E.col("l_extendedprice")
+                 * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_orderkey", "supp_nation", "volume"],
+    })(li)
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = build_op({
+        "op": "filter",
+        "predicate": (E.col("o_orderdate") >= E.lit(datetime.datetime(1996, 1, 1)))
+        & (E.col("o_orderdate") < E.lit(datetime.datetime(1998, 1, 1))),
+    })(orders)
+    orders = build_op({"op": "broadcast_semi",
+                       "keys_ref": cust_keys.to_pylist(),
+                       "on": "o_custkey"})(orders)
+    orders = build_op({
+        "op": "mapping", "cols": {"o_year": E.F("year", E.col("o_orderdate"))},
+        "select": ["o_orderkey", "o_year"],
+    })(orders)
+
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(li)
+    joined = build_op({
+        "op": "mapping",
+        "cols": {"nat_vol": E.F(
+            "if_else", E.col("supp_nation") == E.lit("NATION_3"),
+            E.col("volume"), E.lit(0.0))},
+        "select": ["o_year", "volume", "nat_vol"],
+    })(joined)
+    agg = build_op({
+        "op": "group_agg", "keys": ["o_year"],
+        "aggs": [("sum", "nat_vol", "s_nat"), ("sum", "volume", "s_all")],
+    })(joined)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"mkt_share": E.col("s_nat") / E.col("s_all")},
+        "select": ["o_year", "mkt_share"],
+    })(agg)
+    return _round_cols(out, ["mkt_share"], ndigits=6)
+
+
+@query(
+    "top_supplier_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_q15(sf_dir: str):
+    """TPC-H Q15 shape (revenue view + max): the per-supplier aggregate
+    is bounded by supplier cardinality, so the "view" materializes as a
+    small Dataset; the scalar max is a driver-side reduce over it (like
+    Q22's scalar subquery), then the supplier dimension broadcasts onto
+    the one surviving row set."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    li = build_op({
+        "op": "filter",
+        "predicate": (E.col("l_shipdate") >= E.lit(datetime.datetime(1997, 1, 1)))
+        & (E.col("l_shipdate") < E.lit(datetime.datetime(1997, 4, 1))),
+    })(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"volume": E.col("l_extendedprice")
+                 * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_suppkey", "volume"],
+    })(li)
+    rev = build_op({
+        "op": "group_agg", "keys": ["l_suppkey"],
+        "aggs": [("sum", "volume", "total_revenue")],
+    })(li).materialize()
+    top = build_op({
+        "op": "mapping", "cols": {"_g": E.lit(1)},
+        "select": ["_g", "total_revenue"],
+    })(rev)
+    top = build_op({
+        "op": "group_agg", "keys": ["_g"],
+        "aggs": [("max", "total_revenue", "mx")],
+    })(top)
+    mx = top.take_all()[0]["mx"]
+    best = build_op({"op": "filter",
+                     "predicate": E.col("total_revenue") == E.lit(mx)})(rev)
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"])
+    out = build_op({"op": "broadcast_join", "small": supp, "how": "inner",
+                    "on": ["l_suppkey"], "right_on": ["s_suppkey"]})(best)
+    out = build_op({
+        "op": "mapping", "cols": {"s_suppkey": E.col("l_suppkey")},
+        "select": ["s_suppkey", "s_name", "total_revenue"],
+    })(out)
+    return _round_cols(out, ["total_revenue"])
+
+
+@query(
+    "supplier_cnt_q16",
+    """
+    SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size >= 25
+    GROUP BY p_brand, p_type
+    """,
+)
+def supplier_cnt_q16(sf_dir: str):
+    """TPC-H Q16 shape (distinct suppliers per part attribute — the
+    testdata has no partsupp table, so lineitem plays the association
+    role): part attrs broadcast onto the fact scan, then the exact
+    distinct count runs as the two-stage pattern — distinct triples
+    first (pre-aggregated inside map_batches, tiny exchange), count
+    second."""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part.filter(pc.and_(pc.not_equal(part["p_brand"], "Brand#1"),
+                               pc.greater_equal(part["p_size"], 25)))
+    part = part.select(["p_partkey", "p_brand", "p_type"])
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+    li = build_op({"op": "broadcast_join", "small": part, "how": "inner",
+                   "on": ["l_partkey"], "right_on": ["p_partkey"]})(li)
+    triples = build_op({
+        "op": "group_agg", "keys": ["p_brand", "p_type", "l_suppkey"],
+        "aggs": [("count", None, "_c")],
+    })(li)
+    out = build_op({
+        "op": "group_agg", "keys": ["p_brand", "p_type"],
+        "aggs": [("count", None, "supplier_cnt")],
+    })(triples)
+    return out.select_columns(["p_brand", "p_type", "supplier_cnt"])
+
+
+@query(
+    "small_qty_revenue_q17",
+    """
+    WITH thresh AS (
+      SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thresh ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#5' AND l_quantity < qty_thresh
+    """,
+)
+def small_qty_revenue_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity orders): correlated per-part
+    average becomes a first grouped pass over ONLY the brand's rows
+    (the per-part mean is unchanged by restricting to those parts —
+    semi-filter first, so the heavy pass reads a fraction of the fact),
+    broadcast back as a lookup, then a vectorized threshold filter and
+    one global sum.  No row leaves a worker un-aggregated."""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand"])
+    keys = part.filter(pc.equal(part["p_brand"], "Brand#5"))["p_partkey"]
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = build_op({"op": "broadcast_semi", "keys_ref": keys.to_pylist(),
+                   "on": "l_partkey"})(li).materialize()
+    thresh = build_op({
+        "op": "group_agg", "keys": ["l_partkey"],
+        "aggs": [("mean", "l_quantity", "avg_qty")],
+    })(li)
+    thresh = build_op({
+        "op": "mapping",
+        "cols": {"t_partkey": E.col("l_partkey"),
+                 "qty_thresh": E.lit(0.2) * E.col("avg_qty")},
+        "select": ["t_partkey", "qty_thresh"],
+    })(thresh)
+    thresh_tbl = pa.concat_tables(
+        [pa.table(b) for b in thresh.iter_batches(batch_format="pyarrow")])
+    li = build_op({"op": "broadcast_join", "small": thresh_tbl, "how": "inner",
+                   "on": ["l_partkey"], "right_on": ["t_partkey"]})(li)
+    li = build_op({
+        "op": "filter",
+        "predicate": E.col("l_quantity") < E.col("qty_thresh"),
+    })(li)
+    li = build_op({
+        "op": "mapping", "cols": {"_g": E.lit(1)},
+        "select": ["_g", "l_extendedprice"],
+    })(li)
+    agg = build_op({
+        "op": "group_agg", "keys": ["_g"],
+        "aggs": [("sum", "l_extendedprice", "s")],
+    })(li)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"avg_yearly": E.col("s") / E.lit(7.0)},
+        "select": ["avg_yearly"],
+    })(agg)
+    return _round_cols(out, ["avg_yearly"])
+
+
+@query(
+    "disjunctive_rev_q19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity >= 20 AND l_quantity <= 60)
+    """,
+)
+def disjunctive_rev_q19(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicate):
+    part attrs broadcast-gather onto the pruned fact scan, the whole
+    OR-of-ANDs evaluates as ONE vectorized boolean kernel, then a
+    global two-phase sum — zero shuffles."""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    part = part.filter(pc.is_in(part["p_brand"],
+                                pa.array(["Brand#1", "Brand#2", "Brand#3"])))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    li = build_op({"op": "broadcast_join", "small": part, "how": "inner",
+                   "on": ["l_partkey"], "right_on": ["p_partkey"]})(li)
+
+    def block(brand, lo_s, hi_s, lo_q, hi_q):
+        return ((E.col("p_brand") == E.lit(brand))
+                & (E.col("p_size") >= E.lit(lo_s))
+                & (E.col("p_size") <= E.lit(hi_s))
+                & (E.col("l_quantity") >= E.lit(float(lo_q)))
+                & (E.col("l_quantity") <= E.lit(float(hi_q))))
+
+    li = build_op({
+        "op": "filter",
+        "predicate": block("Brand#1", 1, 10, 1, 20)
+        | block("Brand#2", 5, 20, 10, 40)
+        | block("Brand#3", 10, 40, 20, 60),
+    })(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"_g": E.lit(1),
+                 "rev": E.col("l_extendedprice") * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["_g", "rev"],
+    })(li)
+    agg = build_op({
+        "op": "group_agg", "keys": ["_g"],
+        "aggs": [("sum", "rev", "revenue")],
+    })(li)
+    return _round_cols(agg, ["revenue"]).select_columns(["revenue"])
