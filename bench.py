@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "priority_linestatus_q12",
     "cust_order_dist_q13",
     "promo_revenue_q14",
+    "market_share_q8",        # deepest plan: 8 tables, one fact exchange
+    "small_qty_revenue_q17",  # correlated per-part average, two passes
 ]
 
 

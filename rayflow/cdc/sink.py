@@ -39,6 +39,12 @@ from rayflow.schema import schema_from_str, schema_to_str
 MANIFEST_NAME = "manifest.json"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed to this lake after we loaded the
+    manifest.  The commit was NOT applied; reload the manifest (and
+    recompute from the new watermark) before retrying."""
+
+
 class LakeManifest:
     def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
@@ -55,6 +61,11 @@ class LakeManifest:
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.state = json.load(f)
+        # optimistic-concurrency watermark: the manifest version we
+        # loaded from disk.  commit_band() re-checks it under the lake
+        # lock — a second writer that committed since we loaded makes
+        # our commit raise instead of silently clobbering its band.
+        self._disk_version = int(self.state["version"])
 
     # -- read side ---------------------------------------------------------
 
@@ -106,14 +117,38 @@ class LakeManifest:
         self._write()
 
     def _write(self) -> None:
+        """Publish under the lake lock with an optimistic version check.
+
+        The single-writer contract (one replay driver per lake) is the
+        design point; this guard turns an accidental second writer —
+        two `tail` daemons pointed at one lake, a human rerunning a
+        backfill while the daemon is live — from silent lost-update
+        corruption into a loud :class:`ConcurrentCommitError`.  The
+        ``flock`` makes read-check-replace atomic against other
+        checkers; the version check detects commits that landed between
+        our load and now.  Single-writer commits are unaffected."""
+        import fcntl
+
         os.makedirs(self.lake_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.lake_dir, prefix=".manifest.")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(self.state, f, indent=1)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self.path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        lock_path = os.path.join(self.lake_dir, ".manifest.lock")
+        with open(lock_path, "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            if os.path.exists(self.path):
+                with open(self.path) as f:
+                    disk_version = int(json.load(f)["version"])
+                if disk_version != self._disk_version:
+                    raise ConcurrentCommitError(
+                        f"lake {self.lake_dir}: manifest version moved "
+                        f"{self._disk_version} -> {disk_version} since this "
+                        f"writer loaded it; reload and retry")
+            fd, tmp = tempfile.mkstemp(dir=self.lake_dir, prefix=".manifest.")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(self.state, f, indent=1)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self.path)
+                self._disk_version = int(self.state["version"])
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)

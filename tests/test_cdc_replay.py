@@ -357,3 +357,48 @@ def test_merge_placement_unknown_raises(changelog, tmp_path):
                   merge_placement="rack_local")
     with pytest.raises(ValueError, match="unknown placement"):
         e.replay(log_dir)
+
+
+def test_concurrent_commit_detected(tmp_path):
+    """Two writers load the same manifest; the second commit (stale
+    loaded version) raises instead of silently clobbering the first
+    writer's band."""
+    import pyarrow as pa
+
+    from rayflow.cdc.sink import ConcurrentCommitError, LakeManifest
+
+    lake = str(tmp_path / "lake")
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
+    a = LakeManifest(lake)
+    a.commit_band(band_hi=10, schema=schema, part_stats=[], salts={},
+                  lineage={"band": 1}, num_partitions=4)
+
+    b = LakeManifest(lake)           # loads version 1
+    a2 = LakeManifest(lake)          # a second live writer, also at v1
+    b.commit_band(band_hi=20, schema=schema, part_stats=[], salts={},
+                  lineage={"band": 2})
+    with pytest.raises(ConcurrentCommitError, match="version moved"):
+        a2.commit_band(band_hi=20, schema=schema, part_stats=[], salts={},
+                       lineage={"band": "2-dup"})
+    # the loud failure preserved b's commit
+    fresh = LakeManifest(lake)
+    assert fresh.committed_lsn == 20
+    assert len(fresh.state["lineage"]) == 2
+    # reload-and-retry is the documented recovery: a fresh writer commits
+    fresh.commit_band(band_hi=30, schema=schema, part_stats=[], salts={},
+                      lineage={"band": 3})
+    assert LakeManifest(lake).committed_lsn == 30
+
+
+def test_same_writer_sequential_commits_unaffected(tmp_path):
+    import pyarrow as pa
+
+    from rayflow.cdc.sink import LakeManifest
+
+    lake = str(tmp_path / "lake2")
+    schema = pa.schema([("conv_id", pa.string())])
+    m = LakeManifest(lake)
+    for i in range(1, 4):
+        m.commit_band(band_hi=i * 10, schema=schema, part_stats=[], salts={},
+                      lineage={"band": i})
+    assert LakeManifest(lake).committed_lsn == 30
