@@ -382,10 +382,14 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
         j1 = pairs.join(cand_docs, join_type="inner",
                         num_partitions=join_partitions,
                         on=("doc_a",), right_on=(id_col,))
+        # canonical column ORDER as well as names: the hash-join emits
+        # per-partition blocks whose field order is not guaranteed
+        # stable, and j2's shuffle aggregator concatenates our output
+        # blocks — differing field order there is an ArrowInvalid.
         j1 = j1.map_batches(
             lambda t: t.rename_columns(
                 ["sh_a" if c == "sh" else c for c in t.column_names]
-            ).drop_columns([c for c in (id_col,) if c in t.column_names]),
+            ).select(["doc_a", "doc_b", "sh_a"]),
             **_PA_KW,
         )
         j2 = j1.join(cand_docs, join_type="inner",
