@@ -154,7 +154,11 @@ def run_bench() -> dict:
     rd.range(10_000).map_batches(lambda b: b).count()
 
     bands_per_commit = int(os.environ.get("RAYFLOW_BENCH_BANDS_PER_COMMIT", "8"))
-    repeats = int(os.environ.get("RAYFLOW_BENCH_REPEATS", "2"))
+    # 3 samples: this box's ambient noise swings single replay runs by
+    # 2-8x within an hour (measured 2026-08-17, round 3: same-commit
+    # samples 46.4s .. 4.6s while idle); min-of-3 keeps the headline a
+    # property of the engine, not of the neighbor's schedule
+    repeats = int(os.environ.get("RAYFLOW_BENCH_REPEATS", "3"))
     # Warm the page cache on the changelog once before timing: the
     # metric is SUSTAINED throughput, and a cold cache measures this
     # box's disk, not the engine (observed +50% on otherwise identical

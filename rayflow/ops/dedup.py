@@ -252,162 +252,320 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
         raw_pairs = bands.groupby("bucket").map_groups(
             bucket_pairs, batch_format="pandas"
         ).map_batches(lambda t: t, **_PA_KW).materialize()
-        n_raw = raw_pairs.count()
-        if n_raw == 0:
-            return rd.from_arrow(_empty_pairs())
+        return verify_candidate_pairs(
+            ds, raw_pairs, threshold=threshold, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+            driver_pair_limit=driver_pair_limit,
+            broadcast_bytes_limit=broadcast_bytes_limit,
+            join_partitions=join_partitions)
 
-        # distinct pairs across buckets (same pair can collide in several
-        # bands landing in different buckets): driver numpy dedup while
-        # the pair list is metadata-sized, distributed groupby otherwise
-        if n_raw <= driver_pair_limit:
-            from rayflow.ops.kernels import collect_table
+    return apply
 
-            pt = collect_table(raw_pairs)
-            ab = np.stack([pt["doc_a"].to_numpy(), pt["doc_b"].to_numpy()], axis=1)
-            ab = np.unique(ab, axis=0)
-            pairs = rd.from_arrow(pa.table({
-                "doc_a": pa.array(ab[:, 0], pa.int64()),
-                "doc_b": pa.array(ab[:, 1], pa.int64()),
-            }))
-            ids_needed = np.unique(ab)
-        else:
-            pairs = (
-                raw_pairs.groupby(["doc_a", "doc_b"]).count()
-                .drop_columns(["count()"])
-                .map_batches(lambda t: t, **_PA_KW)
-                .materialize()
-            )
-            acc: set[int] = set()
-            for b in pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-                acc.update(b["doc_a"].to_pylist())
-                acc.update(b["doc_b"].to_pylist())
-            ids_needed = np.sort(np.fromiter(acc, np.int64, len(acc)))
-        need_ref = ray.put(pa.array(ids_needed))
 
-        # 3. distributed shingle computation for candidate docs only
-        def cand_shingles(t: pa.Table) -> pa.Table:
-            need = _fetch(need_ref, lambda v: v)
-            t = t.filter(pc.is_in(t.column(id_col), value_set=need))
-            texts = t.column(text_col).to_numpy(zero_copy_only=False)
-            # packed as int64-LE bytes: Arrow's hash join rejects list<>
-            # payload columns, binary passes through fine
-            sets = [
-                np.sort(np.fromiter(s, np.int64, len(s))).tobytes()
-                for s in (_token_shingles(x or "", shingle_k) for x in texts)
-            ]
-            return pa.table({
-                id_col: t.column(id_col),
-                "sh": pa.array(sets, pa.binary()),
-            })
+def verify_candidate_pairs(ds, raw_pairs, *, threshold: float,
+                           shingle_k: int, text_col: str, id_col: str,
+                           driver_pair_limit: int,
+                           broadcast_bytes_limit: int,
+                           join_partitions: int):
+    """Exact-Jaccard verification shared by the sketch dedup ops.
 
-        cand_docs = ds.map_batches(cand_shingles, **_PA_KW).materialize()
+    ``raw_pairs`` is a Dataset of candidate (doc_a, doc_b) int64 rows
+    (duplicates allowed); returns a Dataset of (doc_a, doc_b, jaccard)
+    for pairs whose token-shingle Jaccard >= threshold.  Pair dedup is
+    driver-side numpy below ``driver_pair_limit`` else a distributed
+    groupby; shingle sets for candidate docs are computed distributed
+    and met either by broadcast (small candidate table) or by sharded
+    ``Dataset.join`` (the no-size-assumption path)."""
+    import ray
+    import ray.data as rd
 
-        def _flatpack(col):
-            """(flat int64 values, per-row lengths) from packed-binary
-            shingle sets — zero-copy off the Arrow buffers when given an
-            Array, one C-level join for a list of bytes."""
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            if isinstance(col, pa.Array):
-                off = np.frombuffer(col.buffers()[1], np.int32,
-                                    count=len(col) + 1,
-                                    offset=4 * col.offset).astype(np.int64)
-                data = col.buffers()[2]
-                flat = (np.frombuffer(data, np.int64) if data is not None
-                        else np.zeros(0, np.int64))
-                # binary rows are laid out back-to-back between offsets
-                return flat[off[0] // 8: off[-1] // 8], \
-                    (off[1:] - off[:-1]) // 8
-            lens = np.fromiter((len(b) for b in col), np.int64,
-                               len(col)) // 8
-            return np.frombuffer(b"".join(col), np.int64), lens
+    from rayflow.ops.joins import _fetch
 
-        def pair_jaccard(sa, sb) -> np.ndarray:
-            """Vectorized per-pair Jaccard over packed sorted-unique
-            int64 shingle sets: within a pair an element occurs at most
-            once per side, so |intersection| = number of adjacent
-            duplicates after ONE lexsort of (pair, value) over both
-            sides concatenated — no Python per pair."""
-            fx, lx = _flatpack(sa)
-            fy, ly = _flatpack(sb)
-            npair = len(lx)
-            idxs = np.arange(npair)
-            seg = np.concatenate([np.repeat(idxs, lx), np.repeat(idxs, ly)])
-            vals = np.concatenate([fx, fy])
-            order = np.lexsort((vals, seg))
-            seg_s, val_s = seg[order], vals[order]
-            dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
-            inter = np.bincount(seg_s[1:][dup], minlength=npair)
-            union = lx + ly - inter
-            # both-empty pair: defined as identical (J = 1)
-            return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    n_raw = raw_pairs.count()
+    if n_raw == 0:
+        return rd.from_arrow(_empty_pairs())
 
-        if (cand_docs.size_bytes() or 0) <= broadcast_bytes_limit:
-            # broadcast verify: candidate shingle table flows object
-            # store -> workers (driver holds only block refs); each
-            # verify task builds the id->shingles dict once per process
-            blocks = cand_docs.to_arrow_refs()
-            key = tuple(r.hex() for r in blocks)
+    # distinct pairs across buckets (same pair can collide in several
+    # bands landing in different buckets): driver numpy dedup while
+    # the pair list is metadata-sized, distributed groupby otherwise
+    if n_raw <= driver_pair_limit:
+        from rayflow.ops.kernels import collect_table
 
-            def build_index(_):
-                got = ray.get(list(blocks))
-                if not got:
-                    return {}
-                tbl = pa.concat_tables(got)
-                return dict(zip(tbl[id_col].to_pylist(), tbl["sh"].to_pylist()))
-
-            def verify_bcast(t: pa.Table) -> pa.Table:
-                if t.num_rows == 0:
-                    return _empty_pairs()
-                from rayflow.ops.joins import _BCAST_CACHE
-
-                if key not in _BCAST_CACHE:
-                    _BCAST_CACHE[key] = build_index(None)
-                idx = _BCAST_CACHE[key]
-                a_ids = t["doc_a"].to_pylist()
-                b_ids = t["doc_b"].to_pylist()
-                empty = b""
-                ja = pair_jaccard([idx.get(a, empty) for a in a_ids],
-                                  [idx.get(b, empty) for b in b_ids])
-                keep = ja >= threshold
-                return pa.table({
-                    "doc_a": t["doc_a"].filter(pa.array(keep)),
-                    "doc_b": t["doc_b"].filter(pa.array(keep)),
-                    "jaccard": pa.array(ja[keep], pa.float64()),
-                })
-
-            return pairs.map_batches(verify_bcast, **_PA_KW)
-
-        # sharded-join verify (the no-size-assumption 100 TB path)
-        j1 = pairs.join(cand_docs, join_type="inner",
-                        num_partitions=join_partitions,
-                        on=("doc_a",), right_on=(id_col,))
-        # canonical column ORDER as well as names: the hash-join emits
-        # per-partition blocks whose field order is not guaranteed
-        # stable, and j2's shuffle aggregator concatenates our output
-        # blocks — differing field order there is an ArrowInvalid.
-        j1 = j1.map_batches(
-            lambda t: t.rename_columns(
-                ["sh_a" if c == "sh" else c for c in t.column_names]
-            ).select(["doc_a", "doc_b", "sh_a"]),
-            **_PA_KW,
+        pt = collect_table(raw_pairs)
+        ab = np.stack([pt["doc_a"].to_numpy(), pt["doc_b"].to_numpy()], axis=1)
+        ab = np.unique(ab, axis=0)
+        pairs = rd.from_arrow(pa.table({
+            "doc_a": pa.array(ab[:, 0], pa.int64()),
+            "doc_b": pa.array(ab[:, 1], pa.int64()),
+        }))
+        ids_needed = np.unique(ab)
+    else:
+        pairs = (
+            raw_pairs.groupby(["doc_a", "doc_b"]).count()
+            .drop_columns(["count()"])
+            .map_batches(lambda t: t, **_PA_KW)
+            .materialize()
         )
-        j2 = j1.join(cand_docs, join_type="inner",
-                     num_partitions=join_partitions,
-                     on=("doc_b",), right_on=(id_col,))
+        acc: set[int] = set()
+        for b in pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            acc.update(b["doc_a"].to_pylist())
+            acc.update(b["doc_b"].to_pylist())
+        ids_needed = np.sort(np.fromiter(acc, np.int64, len(acc)))
+    need_ref = ray.put(pa.array(ids_needed))
 
-        def verify_join(t: pa.Table) -> pa.Table:
+    # 3. distributed shingle computation for candidate docs only
+    def cand_shingles(t: pa.Table) -> pa.Table:
+        need = _fetch(need_ref, lambda v: v)
+        t = t.filter(pc.is_in(t.column(id_col), value_set=need))
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        # packed as int64-LE bytes: Arrow's hash join rejects list<>
+        # payload columns, binary passes through fine
+        sets = [
+            np.sort(np.fromiter(s, np.int64, len(s))).tobytes()
+            for s in (_token_shingles(x or "", shingle_k) for x in texts)
+        ]
+        return pa.table({
+            id_col: t.column(id_col),
+            "sh": pa.array(sets, pa.binary()),
+        })
+
+    cand_docs = ds.map_batches(cand_shingles, **_PA_KW).materialize()
+
+    def _flatpack(col):
+        """(flat int64 values, per-row lengths) from packed-binary
+        shingle sets — zero-copy off the Arrow buffers when given an
+        Array, one C-level join for a list of bytes."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(col, pa.Array):
+            off = np.frombuffer(col.buffers()[1], np.int32,
+                                count=len(col) + 1,
+                                offset=4 * col.offset).astype(np.int64)
+            data = col.buffers()[2]
+            flat = (np.frombuffer(data, np.int64) if data is not None
+                    else np.zeros(0, np.int64))
+            # binary rows are laid out back-to-back between offsets
+            return flat[off[0] // 8: off[-1] // 8], \
+                (off[1:] - off[:-1]) // 8
+        lens = np.fromiter((len(b) for b in col), np.int64,
+                           len(col)) // 8
+        return np.frombuffer(b"".join(col), np.int64), lens
+
+    def pair_jaccard(sa, sb) -> np.ndarray:
+        """Vectorized per-pair Jaccard over packed sorted-unique
+        int64 shingle sets: within a pair an element occurs at most
+        once per side, so |intersection| = number of adjacent
+        duplicates after ONE lexsort of (pair, value) over both
+        sides concatenated — no Python per pair."""
+        fx, lx = _flatpack(sa)
+        fy, ly = _flatpack(sb)
+        npair = len(lx)
+        idxs = np.arange(npair)
+        seg = np.concatenate([np.repeat(idxs, lx), np.repeat(idxs, ly)])
+        vals = np.concatenate([fx, fy])
+        order = np.lexsort((vals, seg))
+        seg_s, val_s = seg[order], vals[order]
+        dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
+        inter = np.bincount(seg_s[1:][dup], minlength=npair)
+        union = lx + ly - inter
+        # both-empty pair: defined as identical (J = 1)
+        return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+    if (cand_docs.size_bytes() or 0) <= broadcast_bytes_limit:
+        # broadcast verify: candidate shingle table flows object
+        # store -> workers (driver holds only block refs); each
+        # verify task builds the id->shingles dict once per process
+        blocks = cand_docs.to_arrow_refs()
+        key = tuple(r.hex() for r in blocks)
+
+        def build_index(_):
+            got = ray.get(list(blocks))
+            if not got:
+                return {}
+            tbl = pa.concat_tables(got)
+            return dict(zip(tbl[id_col].to_pylist(), tbl["sh"].to_pylist()))
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return _empty_pairs()
-            ja = pair_jaccard(t.column("sh_a"), t.column("sh"))
+            from rayflow.ops.joins import _BCAST_CACHE
+
+            if key not in _BCAST_CACHE:
+                _BCAST_CACHE[key] = build_index(None)
+            idx = _BCAST_CACHE[key]
+            a_ids = t["doc_a"].to_pylist()
+            b_ids = t["doc_b"].to_pylist()
+            empty = b""
+            ja = pair_jaccard([idx.get(a, empty) for a in a_ids],
+                              [idx.get(b, empty) for b in b_ids])
             keep = ja >= threshold
             return pa.table({
-                "doc_a": t.column("doc_a").filter(pa.array(keep)),
-                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
                 "jaccard": pa.array(ja[keep], pa.float64()),
             })
 
-        return j2.map_batches(verify_join, **_PA_KW)
+        return pairs.map_batches(verify_bcast, **_PA_KW)
+
+    # sharded-join verify (the no-size-assumption 100 TB path)
+    j1 = pairs.join(cand_docs, join_type="inner",
+                    num_partitions=join_partitions,
+                    on=("doc_a",), right_on=(id_col,))
+    # canonical column ORDER as well as names: the hash-join emits
+    # per-partition blocks whose field order is not guaranteed
+    # stable, and j2's shuffle aggregator concatenates our output
+    # blocks — differing field order there is an ArrowInvalid.
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["sh_a" if c == "sh" else c for c in t.column_names]
+        ).select(["doc_a", "doc_b", "sh_a"]),
+        **_PA_KW,
+    )
+    j2 = j1.join(cand_docs, join_type="inner",
+                 num_partitions=join_partitions,
+                 on=("doc_b",), right_on=(id_col,))
+
+    def verify_join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_pairs()
+        ja = pair_jaccard(t.column("sh_a"), t.column("sh"))
+        keep = ja >= threshold
+        return pa.table({
+            "doc_a": t.column("doc_a").filter(pa.array(keep)),
+            "doc_b": t.column("doc_b").filter(pa.array(keep)),
+            "jaccard": pa.array(ja[keep], pa.float64()),
+        })
+
+    return j2.map_batches(verify_join, **_PA_KW)
+
+
+# -- exact n-gram Jaccard (prefix-filtered AllPairs) -------------------------
+
+
+def _pairs_lenfiltered(ids: np.ndarray, lens: np.ndarray,
+                       threshold: float) -> tuple[np.ndarray, np.ndarray]:
+    """All (doc_a < doc_b) pairs of a same-shingle run that survive the
+    length filter: J(A,B) >= t implies |A∩B| >= t·|A∪B| with
+    |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
+    min >= t·max is necessary.  Vectorized over the run."""
+    order = np.argsort(ids)
+    ids, lens = ids[order], lens[order]
+    ia, ib = np.triu_indices(len(ids), k=1)
+    la, lb = lens[ia], lens[ib]
+    # epsilon keeps the filter a NECESSARY condition under float
+    # rounding (0.7*10 -> 6.999..7.001); verify re-checks exactly
+    keep = np.minimum(la, lb) >= threshold * np.maximum(la, lb) - 1e-9
+    return ids[ia[keep]], ids[ib[keep]]
+
+
+@register_op("ngram_jaccard_dedup")
+def build_ngram_jaccard(*, threshold: float = 0.7, shingle_k: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_buckets: int = 256, hot_run_limit: int = 20_000,
+                        driver_pair_limit: int = 2_000_000,
+                        broadcast_bytes_limit: int = 64 << 20,
+                        join_partitions: int = 8):
+    """EXACT near-duplicate pairs by token-shingle Jaccard — no sketch,
+    no recall loss.  Returns every (doc_a, doc_b, jaccard) with
+    Jaccard >= threshold, unlike ``minhash_lsh_dedup`` which can miss
+    pairs near the threshold with banding probability.
+
+    Prefix-filtered AllPairs plan (Bayardo et al., WWW'07 / Chaudhuri
+    et al., ICDE'06 — public literature), ONE keyed shuffle:
+
+    1. ``map_batches``: per doc, the sorted crc32 shingle set; only the
+       PREFIX — the first ``floor((1-t)·L) + 1`` smallest shingles —
+       is emitted as (shingle, doc_id, set_len) rows.  Two sets with
+       J >= t under any fixed global order must share a prefix element
+       (if the smallest common element x were outside A's prefix, the
+       intersection would fit in A's last ceil(t·L)-1 slots — smaller
+       than the t·L the threshold requires).  The exchange therefore
+       carries ~(1-t) of the corpus shingle volume, not all of it.
+       Empty shingle sets emit one sentinel row so two empty docs still
+       meet (their Jaccard is defined as 1).
+    2. ``groupby(bucket)``: same ~n_buckets-group trick as MinHash LSH
+       (singleton shingles cost nothing); within a same-shingle run,
+       candidate pairs survive the length filter min >= t·max.
+    3. shared exact-Jaccard verify (`verify_candidate_pairs`):
+       broadcast or sharded-join, identical to the MinHash path.
+
+    Hash-value order is used as the global shingle order (needs no
+    statistics pass).  Document-frequency-ascending order — the
+    classic candidate-minimizing refinement — would first aggregate a
+    shingle→df table and re-rank prefixes by it; at 100 TB that table
+    itself is corpus-dictionary-sized, so it is left as an opt-in
+    refinement rather than the default.  A same-shingle run larger than
+    ``hot_run_limit`` raises (quadratic pair blowup) rather than
+    silently truncating — raise the threshold, enlarge the limit, or
+    use ``minhash_lsh_dedup`` for that corpus."""
+
+    def apply(ds):
+        import ray.data as rd
+
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
+
+        def prefix_rows(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            ids = t.column(id_col).to_numpy()
+            ssets = [_token_shingles(x or "", shingle_k) for x in texts]
+            lens = np.fromiter((len(s) for s in ssets), np.int64, len(ssets))
+            arrs = [
+                # +1e-9 so float rounding can only LENGTHEN the prefix
+                # (0.3*10 -> 2.999..; a short prefix would lose recall)
+                np.sort(np.fromiter(s, np.int64, len(s)))[
+                    : int((1.0 - threshold) * len(s) + 1e-9) + 1]
+                if s else np.array([-1], np.int64)
+                for s in ssets
+            ]
+            plens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+            flat = (np.concatenate(arrs) if arrs
+                    else np.zeros(0, np.int64))
+            return pa.table({
+                "sh": pa.array(flat, pa.int64()),
+                id_col: pa.array(np.repeat(ids, plens)),
+                "nsh": pa.array(np.repeat(lens, plens), pa.int64()),
+                "bucket": pa.array((flat % n_buckets).astype(np.int32)),
+            })
+
+        rows = ds.map_batches(prefix_rows, **_PA_KW)
+
+        def bucket_prefix_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            sh = g["sh"].to_numpy()
+            ids = g[id_col].to_numpy()
+            ls = g["nsh"].to_numpy()
+            order = np.argsort(sh, kind="stable")
+            sh, ids, ls = sh[order], ids[order], ls[order]
+            _, starts, counts = np.unique(sh, return_index=True,
+                                          return_counts=True)
+            frames = []
+            for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+                if c > hot_run_limit:
+                    raise ValueError(
+                        f"ngram_jaccard_dedup: shingle {sh[s]} occurs in "
+                        f"{c} document prefixes (> hot_run_limit="
+                        f"{hot_run_limit}); raise the threshold or the "
+                        f"limit, or use minhash_lsh_dedup for this corpus")
+                a, b = _pairs_lenfiltered(ids[s:s + c], ls[s:s + c],
+                                          threshold)
+                if len(a):
+                    frames.append(pd.DataFrame({"doc_a": a, "doc_b": b}))
+            if not frames:
+                return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                     "doc_b": pd.Series([], dtype=np.int64)})
+            return pd.concat(frames, ignore_index=True).drop_duplicates(
+                ignore_index=True)
+
+        raw_pairs = rows.groupby("bucket").map_groups(
+            bucket_prefix_pairs, batch_format="pandas"
+        ).map_batches(lambda t: t, **_PA_KW).materialize()
+        return verify_candidate_pairs(
+            ds, raw_pairs, threshold=threshold, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+            driver_pair_limit=driver_pair_limit,
+            broadcast_bytes_limit=broadcast_bytes_limit,
+            join_partitions=join_partitions)
 
     return apply
 

@@ -822,6 +822,47 @@ def minhash_near_dup(sf_dir: str):
 
 
 @query(
+    "ngram_jaccard_near_dup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        END AS s
+      FROM t
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), j AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN la + lb = 0 THEN 1.0
+                  ELSE CAST(inter AS DOUBLE) / (la + lb - inter) END AS jaccard
+      FROM p
+    )
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4
+    """,
+)
+def ngram_jaccard_near_dup(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (prefix-filtered AllPairs,
+    no sketch): unlike `minhash_near_dup` the oracle here is the op's
+    literal definition — every pair with shingle Jaccard >= 0.4 must
+    appear, including pairs just above the threshold where LSH banding
+    recall decays.  Threshold 0.4 deliberately sits below the MinHash
+    query's 0.5 so the two entries exercise different recall regimes."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return build_op({
+        "op": "ngram_jaccard_dedup", "threshold": 0.4, "shingle_k": 3,
+    })(ds)
+
+
+@query(
     "simhash_fingerprints",
     r"""
     WITH t AS (

@@ -875,3 +875,117 @@ def test_rate_limit_op_caps_throughput(ray_session):
     assert elapsed >= 0.14
     assert out.count() == 400
     assert sorted(r["x"] for r in out.take_all()) == list(range(400))
+
+
+# -- exact n-gram Jaccard (prefix-filtered AllPairs) --------------------------
+
+
+def _ngram_corpus(seed=11, n=60, planted=8):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(n)]
+    for i in range(planted):  # near-dups: change one word
+        w = docs[i].split()
+        w[0] = "zzz"
+        docs.append(" ".join(w))
+    return docs
+
+
+def _brute_pairs(docs, threshold, k=3):
+    """Independent quadratic ground truth over the engine's crc32
+    shingle sets."""
+    from rayflow.ops.dedup import _token_shingles, jaccard
+
+    sets = [_token_shingles(d, k) for d in docs]
+    out = []
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            j = jaccard(sets[a], sets[b])
+            if j >= threshold:
+                out.append((a, b, j))
+    return out
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """The exact op must return EVERY pair >= threshold (no sketch
+    recall loss), with bit-identical jaccard values."""
+    import ray.data as rd
+
+    docs = _ngram_corpus()
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = build_op({"op": "ngram_jaccard_dedup", "threshold": 0.45,
+                    "shingle_k": 3})(rd.from_arrow(t)).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    want = _brute_pairs(docs, 0.45)
+    assert list(zip(got.doc_a, got.doc_b)) == [(a, b) for a, b, _ in want]
+    for (_, r), (_, _, j) in zip(got.iterrows(), want):
+        assert r.jaccard == pytest.approx(j, abs=0)  # bit-identical
+
+
+def test_ngram_jaccard_sharded_path_agrees(ray_session):
+    import ray.data as rd
+
+    docs = _ngram_corpus(seed=13)
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    kw = dict(op="ngram_jaccard_dedup", threshold=0.45, shingle_k=3)
+    bc = build_op({**kw, "broadcast_bytes_limit": 1 << 30})(
+        rd.from_arrow(t)).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+    sh = build_op({**kw, "broadcast_bytes_limit": 0})(
+        rd.from_arrow(t)).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(bc, sh)
+    assert len(bc) >= 8
+
+
+def test_ngram_jaccard_empty_docs_pair(ray_session):
+    """Two empty/whitespace docs meet via the sentinel prefix row and
+    report Jaccard 1.0 (both-empty defined as identical)."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["", "   ", "real words here now"])})
+    got = build_op({"op": "ngram_jaccard_dedup", "threshold": 0.5})(
+        rd.from_arrow(t)).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+    assert list(zip(got.doc_a, got.doc_b)) == [(0, 1)]
+    assert got.jaccard.tolist() == [1.0]
+
+
+def test_ngram_jaccard_hot_run_raises(ray_session):
+    """A same-shingle run larger than hot_run_limit fails LOUD (no
+    silent truncation)."""
+    import ray.data as rd
+
+    docs = [f"common shingle base plus unique{i} tail{i}" for i in range(9)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    op = build_op({"op": "ngram_jaccard_dedup", "threshold": 0.2,
+                   "hot_run_limit": 4})
+    with pytest.raises(Exception, match="hot_run_limit"):
+        op(rd.from_arrow(t)).materialize()
+
+
+def test_ngram_jaccard_low_threshold_beats_lsh_recall(ray_session):
+    """At a low threshold the exact op keeps pairs whose Jaccard sits
+    far below what 16-band LSH reliably detects — the reason this op
+    exists next to minhash_lsh_dedup."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    base = list(rng.choice(vocab, size=40))
+    docs = [" ".join(base)]
+    w = list(base)
+    for i in range(0, 24, 2):   # heavy edit: ~60% of shingles survive
+        w[i] = f"edit{i}"
+    docs.append(" ".join(w))
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(docs)})
+    got = build_op({"op": "ngram_jaccard_dedup", "threshold": 0.2})(
+        rd.from_arrow(t)).to_pandas()
+    want = _brute_pairs(docs, 0.2)
+    assert len(want) == 1 and len(got) == 1
+    assert got.jaccard[0] == pytest.approx(want[0][2], abs=0)
