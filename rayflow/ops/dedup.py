@@ -171,7 +171,8 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
                       concurrency: int = 2, n_buckets: int = 256,
                       join_partitions: int = 8,
                       driver_pair_limit: int = 2_000_000,
-                      broadcast_bytes_limit: int = 64 << 20):
+                      broadcast_bytes_limit: int = 64 << 20,
+                      hot_band_limit: int = 20_000):
     """Near-duplicate pair detection.  Returns (doc_a, doc_b, jaccard)
     for verified pairs with token-shingle Jaccard >= threshold.
 
@@ -242,6 +243,13 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
                                           return_counts=True)
             frames = []
             for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+                if c > hot_band_limit:
+                    raise ValueError(
+                        f"minhash_lsh_dedup: {c} documents share one band "
+                        f"hash (> hot_band_limit={hot_band_limit}) — almost "
+                        f"always a large EXACT-duplicate clique; run exact "
+                        f"dedup (content-hash keyed reduce) first, or raise "
+                        f"the limit. Refusing to emit ~c^2/2 pairs silently")
                 frames.append(_pairs_from_ids(ids[s:s + c]))
             if not frames:
                 return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),

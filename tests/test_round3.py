@@ -989,3 +989,18 @@ def test_ngram_jaccard_low_threshold_beats_lsh_recall(ray_session):
     want = _brute_pairs(docs, 0.2)
     assert len(want) == 1 and len(got) == 1
     assert got.jaccard[0] == pytest.approx(want[0][2], abs=0)
+
+
+def test_minhash_hot_band_raises(ray_session):
+    """A giant identical-document clique (every band collides) fails
+    LOUD with exact-dedup-first advice instead of emitting ~c^2/2
+    candidate pairs."""
+    import ray.data as rd
+
+    docs = ["the very same document text repeated verbatim"] * 12
+    t = pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                  "text": pa.array(docs)})
+    op = build_op({"op": "minhash_lsh_dedup", "threshold": 0.5,
+                   "hot_band_limit": 8})
+    with pytest.raises(Exception, match="hot_band_limit"):
+        op(rd.from_arrow(t)).materialize()
