@@ -284,3 +284,150 @@ def build_fingerprint(*, column: str = "text", k: int = 8):
         return ds.map_batches(fn, **_PA_KW)
 
     return apply
+
+
+@register_op("ngram_lm_score")
+def build_ngram_lm_score(*, text_col: str = "text", id_col: str = "doc_id",
+                         out: str = "lm_logprob", alpha: float = 1.0,
+                         min_count: int = 1,
+                         broadcast_bytes_limit: int = 256 << 20):
+    """Corpus-trained bigram language-model quality score per document.
+
+    The classic LM-based quality signal (e.g. CCNet's KenLM perplexity
+    filter, public literature) re-expressed with a model TRAINED ON THE
+    CORPUS ITSELF in the same pipeline: average add-alpha log-probability
+    of each document's bigrams,
+
+        score(d) = mean_i  ln( (c(w_i, w_{i+1}) + alpha)
+                             / (c(w_i) + alpha * V) )
+
+    with c(.) corpus-wide token/bigram occurrence counts and V the
+    corpus distinct-token count.  Unusually-worded (low-quality, wrong
+    language, boilerplate-free gibberish) documents score low; docs
+    with < 2 tokens get NULL.  Tokenization is the repo-standard
+    lowercase space-split with empty tokens dropped (SQL-oracle
+    reproducible).
+
+    Plan — two corpus passes, ONE tiny keyed exchange:
+
+    1. TRAIN: per-batch partial (kind, key, cnt) counts over
+       dict-encoded tokens (unigrams and combined-code bigrams in one
+       pass) -> ``group_agg`` sum.  The exchange carries vocabulary
+       rows, never tokens.  ``min_count`` prunes the model tail — at
+       100 TB the full bigram table is corpus-dictionary-sized, so
+       real runs set min_count > 1 and the model stays broadcastable
+       (the same pruning a KenLM-style filter applies).  A model above
+       ``broadcast_bytes_limit`` fails LOUD asking for a higher
+       min_count rather than silently OOMing every scorer.
+    2. SCORE: model broadcast once via ``ray.put`` (object store, not
+       re-shipped per batch); each batch looks keys up with
+       ``pc.index_in`` (C hash join) and segment-means per doc with
+       ``np.bincount`` — no Python row loop.
+    """
+
+    def apply(ds):
+        import ray
+
+        from rayflow.ops import build_op
+        from rayflow.ops.curation import _tokenize_codes
+        from rayflow.ops.joins import _fetch
+        from rayflow.ops.kernels import collect_table
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            codes, doc_idx, values, _ = _tokenize_codes(t, text_col)
+            empty = pa.table({
+                "kind": pa.array([], pa.int8()),
+                "key": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            })
+            if len(codes) == 0:
+                return empty
+            uc, ucnt = np.unique(codes, return_counts=True)
+            utoks = values.take(pa.array(uc, pa.int64()))
+            parts = [pa.table({
+                "kind": pa.array(np.zeros(len(uc), np.int8)),
+                "key": utoks,
+                "cnt": pa.array(ucnt.astype(np.int64)),
+            })]
+            m = len(codes) - 1
+            if m > 0:
+                same = doc_idx[:m] == doc_idx[1:]
+                V = np.int64(len(values) + 1)
+                key = (codes[:m] * V + codes[1:])[same]
+                ub, bcnt = np.unique(key, return_counts=True)
+                if len(ub):
+                    w1 = values.take(pa.array(ub // V, pa.int64()))
+                    w2 = values.take(pa.array(ub % V, pa.int64()))
+                    parts.append(pa.table({
+                        "kind": pa.array(np.ones(len(ub), np.int8)),
+                        "key": pc.binary_join_element_wise(w1, w2, " "),
+                        "cnt": pa.array(bcnt.astype(np.int64)),
+                    }))
+            return pa.concat_tables(parts)
+
+        model = build_op({
+            "op": "group_agg", "keys": ["kind", "key"],
+            "aggs": [("sum", "cnt", "cnt")],
+        })(ds.map_batches(count_partial, **_PA_KW))
+        if min_count > 1:
+            model = model.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+                **_PA_KW)
+        # vocabulary-scale, far smaller than the corpus: pin it in the
+        # object store so the size check doesn't re-execute the count
+        model = model.materialize()
+        size = model.size_bytes()
+        if size is not None and size > broadcast_bytes_limit:
+            raise ValueError(
+                f"ngram_lm_score: pruned model is {size >> 20} MB "
+                f"(> broadcast_bytes_limit={broadcast_bytes_limit >> 20} MB);"
+                f" raise min_count (currently {min_count}) so the model "
+                f"stays broadcastable")
+        mt = collect_table(model)
+        kind = mt["kind"].to_numpy(zero_copy_only=False)
+        uni = mt.filter(pa.array(kind == 0))
+        bg = mt.filter(pa.array(kind == 1))
+        n_vocab = float(uni.num_rows)
+        model_ref = ray.put({
+            "uni_keys": uni["key"].combine_chunks(),
+            "uni_cnts": uni["cnt"].to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            "bg_keys": bg["key"].combine_chunks(),
+            "bg_cnts": bg["cnt"].to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+        })
+
+        def score(t: pa.Table) -> pa.Table:
+            mdl = _fetch(model_ref, lambda v: v)
+            codes, doc_idx, values, n_rows = _tokenize_codes(t, text_col)
+            lp_sum = np.zeros(n_rows, np.float64)
+            lp_n = np.zeros(n_rows, np.int64)
+            m = len(codes) - 1
+            if m > 0:
+                same = doc_idx[:m] == doc_idx[1:]
+                w1 = values.take(pa.array(codes[:m][same], pa.int64()))
+                w2 = values.take(pa.array(codes[1:][same], pa.int64()))
+                bgk = pc.binary_join_element_wise(w1, w2, " ")
+                bi = pc.index_in(bgk, value_set=mdl["bg_keys"])
+                ui = pc.index_in(w1, value_set=mdl["uni_keys"])
+                bi_np = bi.to_numpy(zero_copy_only=False)
+                ui_np = ui.to_numpy(zero_copy_only=False)
+                cb = np.where(np.isnan(bi_np), 0.0,
+                              mdl["bg_cnts"][np.nan_to_num(bi_np).astype(np.int64)])
+                cu = np.where(np.isnan(ui_np), 0.0,
+                              mdl["uni_cnts"][np.nan_to_num(ui_np).astype(np.int64)])
+                lp = np.log((cb + alpha) / (cu + alpha * n_vocab))
+                bdoc = doc_idx[:m][same]
+                lp_sum = np.bincount(bdoc, weights=lp, minlength=n_rows)
+                lp_n = np.bincount(bdoc, minlength=n_rows)
+            with np.errstate(invalid="ignore"):
+                mean = lp_sum / lp_n
+            return pa.table({
+                id_col: t.column(id_col),
+                out: pa.array(mean, pa.float64(),
+                              mask=(lp_n == 0)),
+            })
+
+        return ds.map_batches(score, **_PA_KW)
+
+    return apply

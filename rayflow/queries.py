@@ -822,6 +822,51 @@ def minhash_near_dup(sf_dir: str):
 
 
 @query(
+    "lm_score_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+      FROM toks
+    ), bg AS (
+      SELECT a.doc_id, a.tok AS w1, a.tok || ' ' || b.tok AS bgk
+      FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), ucnt AS (
+      SELECT tok, count(*) AS cu FROM flat GROUP BY tok
+    ), bcnt AS (
+      SELECT bgk, count(*) AS cb FROM bg GROUP BY bgk
+    ), vv AS (
+      SELECT count(*) AS v FROM ucnt
+    ), scored AS (
+      SELECT bg.doc_id,
+             ln((bcnt.cb + 1.0) / (ucnt.cu + 1.0 * vv.v)) AS lp
+      FROM bg
+      JOIN bcnt USING (bgk)
+      JOIN ucnt ON ucnt.tok = bg.w1
+      CROSS JOIN vv
+    )
+    SELECT d.doc_id, round(avg(s.lp), 4) AS lm_logprob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def lm_score_docs(sf_dir: str):
+    """Corpus-trained add-1 bigram LM average log-probability per doc
+    (CCNet-style LM quality filtering with an in-pipeline model): two
+    corpus passes, one vocabulary-sized exchange, broadcast model,
+    ``pc.index_in`` lookups.  With min_count=1 every document bigram is
+    in the model, so the SQL inner joins see exactly the engine's
+    counts; both sides round to 4 digits (summation-order ulps)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    scored = build_op({"op": "ngram_lm_score"})(ds)
+    return _round_cols(scored, ["lm_logprob"])
+
+
+@query(
     "ngram_jaccard_near_dup",
     r"""
     WITH t AS (

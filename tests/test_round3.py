@@ -1004,3 +1004,60 @@ def test_minhash_hot_band_raises(ray_session):
                    "hot_band_limit": 8})
     with pytest.raises(Exception, match="hot_band_limit"):
         op(rd.from_arrow(t)).materialize()
+
+
+# -- corpus-trained bigram LM quality score ----------------------------------
+
+
+def test_ngram_lm_score_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    docs = ["the cat sat", "the cat ran", "x"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs)})
+    out = build_op({"op": "ngram_lm_score"})(
+        rd.from_arrow(t)).to_pandas().set_index("doc_id")["lm_logprob"]
+    # corpus: cu = {the:2, cat:2, sat:1, ran:1, x:1}, V=5
+    # cb = {"the cat":2, "cat sat":1, "cat ran":1}
+    V = 5.0
+    lp = lambda cb, cu: math.log((cb + 1.0) / (cu + V))
+    want0 = (lp(2, 2) + lp(1, 2)) / 2   # "the cat", "cat sat"
+    want1 = (lp(2, 2) + lp(1, 2)) / 2
+    assert out[0] == pytest.approx(want0, rel=1e-12)
+    assert out[1] == pytest.approx(want1, rel=1e-12)
+    assert pd.isna(out[2])              # < 2 tokens: NULL
+
+
+def test_ngram_lm_score_min_count_prunes(ray_session):
+    import math
+
+    import ray.data as rd
+
+    docs = ["a b a b a b", "q z"]      # "a b" x3, "q z" x1
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(docs)})
+    out = build_op({"op": "ngram_lm_score", "min_count": 2})(
+        rd.from_arrow(t)).to_pandas().set_index("doc_id")["lm_logprob"]
+    # pruned model keeps cu(a)=3, cu(b)=3, cb("a b")=3, cb("b a")=2;
+    # q/z unigrams and "q z" bigram pruned -> counts 0 at score time.
+    # V stays the pre-prune distinct-unigram count? No: V = rows of the
+    # PRUNED unigram table (the broadcast model) = 2.
+    V = 2.0
+    lp = lambda cb, cu: math.log((cb + 1.0) / (cu + V))
+    want0 = (3 * lp(3, 3) + 2 * lp(2, 3)) / 5
+    want1 = lp(0, 0)
+    assert out[0] == pytest.approx(want0, rel=1e-12)
+    assert out[1] == pytest.approx(want1, rel=1e-12)
+
+
+def test_ngram_lm_score_model_size_guard(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["many distinct tokens here now",
+                                    "other words entirely different set"])})
+    op = build_op({"op": "ngram_lm_score", "broadcast_bytes_limit": 1})
+    with pytest.raises(ValueError, match="min_count"):
+        op(rd.from_arrow(t)).materialize()
