@@ -1786,3 +1786,209 @@ def _struct_squash(a):
                 merged.update({k: v for k, v in item.items() if v is not None})
         out.append(merged)
     return pa.array(out)
+
+
+# -- round-3 Bloblang tail: case conversion, scalar serde, JWT ---------------
+
+
+
+def _case_words(s: str) -> list[str]:
+    """Split an identifier into words: delimiters (space _ - .) and
+    lower→Upper camel boundaries, mirroring the reference's
+    snake_case/camel_case family semantics."""
+    import re
+
+    parts = re.split(r"[\s_\-.]+", s)
+    words: list[str] = []
+    for p in parts:
+        if not p:
+            continue
+        # split camelCase / PascalCase / HTTPServer-style boundaries
+        words.extend(re.findall(
+            r"[A-Z]+(?=[A-Z][a-z0-9])|[A-Z]?[a-z0-9]+|[A-Z]+", p))
+    return words
+
+
+@register_fn("snake_case")
+def _snake_case(a):
+    """Bloblang ``snake_case`` ⟨upstream: internal/bloblang/query/
+    methods_strings.go⟩."""
+    return _pyfall(lambda s: "_".join(w.lower() for w in _case_words(s)))(a)
+
+
+@register_fn("kebab_case")
+def _kebab_case(a):
+    return _pyfall(lambda s: "-".join(w.lower() for w in _case_words(s)))(a)
+
+
+@register_fn("camel_case")
+def _camel_case(a):
+    def conv(s: str) -> str:
+        ws = _case_words(s)
+        return "".join(
+            w.lower() if i == 0 else w[:1].upper() + w[1:].lower()
+            for i, w in enumerate(ws))
+
+    return _pyfall(conv)(a)
+
+
+@register_fn("pascal_case")
+def _pascal_case(a):
+    return _pyfall(lambda s: "".join(
+        w[:1].upper() + w[1:].lower() for w in _case_words(s)))(a)
+
+
+@register_fn("parse_csv")
+def _parse_csv_fn(a, header=None):
+    """Bloblang ``parse_csv``: CSV document string → list of row
+    objects (header row names the fields) or list of lists when
+    ``header=False``.  stdlib csv per row — no Arrow kernel exists."""
+    import csv as _csv
+    import io as _io
+
+    use_header = True if header is None else (
+        header.as_py() if isinstance(header, pa.Scalar) else bool(header))
+
+    def conv(s: str):
+        rows = list(_csv.reader(_io.StringIO(s)))
+        if not rows:
+            return []
+        if use_header:
+            hdr = rows[0]
+            return [dict(zip(hdr, r)) for r in rows[1:]]
+        return rows
+
+    return _pyfall(conv)(a)
+
+
+def _xml_to_value(el):
+    """Element → plain value, reference parse_xml shape: attributes
+    become ``-attr`` keys, text becomes ``#text`` when attributes or
+    children exist, repeated child tags collapse to lists."""
+    children: dict = {}
+    for c in el:
+        v = _xml_to_value(c)
+        if c.tag in children:
+            prev = children[c.tag]
+            if not isinstance(prev, list):
+                children[c.tag] = [prev]
+            children[c.tag].append(v)
+        else:
+            children[c.tag] = v
+    attrs = {f"-{k}": v for k, v in el.attrib.items()}
+    text = (el.text or "").strip()
+    if not children and not attrs:
+        return text
+    out = {**attrs, **children}
+    if text:
+        out["#text"] = text
+    return out
+
+
+@register_fn("parse_xml")
+def _parse_xml_fn(a):
+    """Bloblang ``parse_xml`` ⟨upstream: internal/impl/pure/
+    processor_parse_xml.go semantics⟩: stdlib ElementTree, root tag as
+    the single top-level key."""
+    from xml.etree import ElementTree as _ET
+
+    def conv(s: str):
+        root = _ET.fromstring(s)
+        return {root.tag: _xml_to_value(root)}
+
+    return _pyfall(conv)(a)
+
+
+@register_fn("parse_msgpack")
+def _parse_msgpack_fn(a):
+    """MessagePack binary → value, via the repo's pure-stdlib wire
+    codec (rayflow/ops/serde.py)."""
+    from rayflow.ops.serde import msgpack_decode
+
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if isinstance(arr, pa.Scalar):
+        v = arr.as_py()
+        return pa.scalar(None if v is None else msgpack_decode(v))
+    return pa.array([None if v is None else msgpack_decode(v)
+                     for v in arr.to_pylist()])
+
+
+@register_fn("format_msgpack")
+def _format_msgpack_fn(a):
+    from rayflow.ops.serde import msgpack_encode
+
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if isinstance(arr, pa.Scalar):
+        v = arr.as_py()
+        return pa.scalar(None if v is None else msgpack_encode(v),
+                         pa.binary())
+    return pa.array([None if v is None else msgpack_encode(v)
+                     for v in arr.to_pylist()], pa.binary())
+
+
+def _b64url_encode(raw: bytes) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+
+def _b64url_decode(s: str) -> bytes:
+    import base64
+
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+@register_fn("sign_jwt_hs256")
+def _sign_jwt_hs256(a, secret):
+    """Bloblang ``sign_jwt_hs256`` ⟨upstream: internal/bloblang/query/
+    methods_jwt.go⟩: object → compact JWS, HMAC-SHA256.  Deterministic
+    (sorted-key JSON, no iat injection — the caller supplies claims)."""
+    import hashlib
+    import hmac as _hmac
+    import json as _json
+
+    sec = (secret.as_py() if isinstance(secret, pa.Scalar) else secret)
+    sec_b = sec.encode() if isinstance(sec, str) else sec
+    header = _b64url_encode(
+        _json.dumps({"alg": "HS256", "typ": "JWT"},
+                    separators=(",", ":")).encode())
+
+    def conv(claims) -> str:
+        payload = _b64url_encode(_json.dumps(
+            claims, separators=(",", ":"), sort_keys=True).encode())
+        signing = f"{header}.{payload}".encode()
+        sig = _hmac.new(sec_b, signing, hashlib.sha256).digest()
+        return f"{header}.{payload}.{_b64url_encode(sig)}"
+
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    if isinstance(arr, pa.Scalar):
+        v = arr.as_py()
+        return pa.scalar(None if v is None else conv(v))
+    return pa.array([None if v is None else conv(v)
+                     for v in arr.to_pylist()], pa.string())
+
+
+@register_fn("parse_jwt_hs256")
+def _parse_jwt_hs256(a, secret):
+    """Verify an HS256 JWS and return the claims object; raises on a
+    bad signature (matching the reference's error surface — a pipeline
+    routes it via try/catch)."""
+    import hashlib
+    import hmac as _hmac
+    import json as _json
+
+    sec = (secret.as_py() if isinstance(secret, pa.Scalar) else secret)
+    sec_b = sec.encode() if isinstance(sec, str) else sec
+
+    def conv(tok: str):
+        try:
+            header, payload, sig = tok.split(".")
+        except ValueError:
+            raise ValueError("parse_jwt_hs256: not a compact JWS")
+        want = _hmac.new(sec_b, f"{header}.{payload}".encode(),
+                         hashlib.sha256).digest()
+        if not _hmac.compare_digest(want, _b64url_decode(sig)):
+            raise ValueError("parse_jwt_hs256: signature mismatch")
+        return _json.loads(_b64url_decode(payload))
+
+    return _pyfall(conv)(a)

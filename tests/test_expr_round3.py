@@ -196,3 +196,86 @@ def test_bloblang_methods_resolve():
                                              _fnv_ref("zz", 64)]
     assert prog["e"].eval(t).to_pylist() == [
         [{"index": 0, "value": "p"}, {"index": 1, "value": "q"}], []]
+
+
+# -- case conversions --------------------------------------------------------
+
+
+@pytest.mark.parametrize("fn,inp,want", [
+    ("snake_case", "HelloWorld", "hello_world"),
+    ("snake_case", "http-server config.Item", "http_server_config_item"),
+    ("snake_case", "HTTPServer", "http_server"),
+    ("snake_case", "already_snake", "already_snake"),
+    ("kebab_case", "HelloWorld", "hello-world"),
+    ("kebab_case", "foo_bar baz", "foo-bar-baz"),
+    ("camel_case", "hello_world", "helloWorld"),
+    ("camel_case", "HTTP server-log", "httpServerLog"),
+    ("pascal_case", "hello_world", "HelloWorld"),
+    ("pascal_case", "foo-bar", "FooBar"),
+])
+def test_case_conversions(fn, inp, want):
+    out = R[fn](pa.array([inp, None]))
+    assert out.to_pylist() == [want, None]
+
+
+# -- scalar serde parsers -----------------------------------------------------
+
+
+def test_parse_csv_header_objects():
+    doc = "name,age\nalice,30\nbob,41\n"
+    out = R["parse_csv"](pa.array([doc, "", None])).to_pylist()
+    assert out[0] == [{"name": "alice", "age": "30"},
+                      {"name": "bob", "age": "41"}]
+    assert out[1] == []
+    assert out[2] is None
+    rows = R["parse_csv"](pa.array([doc]), pa.scalar(False)).to_pylist()
+    assert rows[0] == [["name", "age"], ["alice", "30"], ["bob", "41"]]
+
+
+def test_parse_xml_shape():
+    doc = ('<order id="7"><item qty="2">widget</item>'
+           '<item qty="1">bolt</item><note>rush</note></order>')
+    (v,) = R["parse_xml"](pa.array([doc])).to_pylist()
+    assert v == {"order": {
+        "-id": "7",
+        "item": [{"-qty": "2", "#text": "widget"},
+                 {"-qty": "1", "#text": "bolt"}],
+        "note": "rush",
+    }}
+
+
+def test_msgpack_scalar_roundtrip():
+    # values must be Arrow-type-consistent across rows (same constraint
+    # as parse_yaml/parse_json: the decoded column needs one schema)
+    vals = [{"a": 1, "b": ["y", None, "x"], "c": 2.5},
+            {"a": -7, "b": [], "c": 0.5}, None]
+    enc = R["format_msgpack"](pa.array(vals))
+    assert enc.type == pa.binary()
+    dec = R["parse_msgpack"](enc).to_pylist()
+    assert dec == vals
+
+
+# -- JWT HS256 ----------------------------------------------------------------
+
+
+def test_jwt_hs256_roundtrip_and_rfc_shape():
+    import base64
+    import json
+
+    claims = [{"sub": "u1", "scope": "read"}, None]
+    tok = R["sign_jwt_hs256"](pa.array(claims), pa.scalar("s3cret"))
+    assert tok.to_pylist()[1] is None
+    t0 = tok.to_pylist()[0]
+    h, p, s = t0.split(".")
+    hdr = json.loads(base64.urlsafe_b64decode(h + "=="))
+    assert hdr == {"alg": "HS256", "typ": "JWT"}
+    # independent verification with stdlib hmac
+    want = hmac_mod.new(b"s3cret", f"{h}.{p}".encode(),
+                        hashlib.sha256).digest()
+    assert base64.urlsafe_b64decode(s + "==") == want
+    back = R["parse_jwt_hs256"](tok, pa.scalar("s3cret")).to_pylist()
+    assert back[0] == claims[0]
+    with pytest.raises(ValueError, match="signature mismatch"):
+        R["parse_jwt_hs256"](pa.array([t0]), pa.scalar("wrong"))
+    with pytest.raises(ValueError, match="not a compact JWS"):
+        R["parse_jwt_hs256"](pa.array(["garbage"]), pa.scalar("s3cret"))
