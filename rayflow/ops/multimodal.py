@@ -434,6 +434,128 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return a[: n * ch].reshape(n, max(ch, 1)), rate
 
 
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch to the native decoders → (h, w, 3) uint8
+    RGB pixels (video containers yield the first frame).  Raises
+    ``NotImplementedError`` for formats without a native codec and
+    ``ValueError`` for corrupt payloads — callers choose fallback vs
+    dead-letter."""
+    if payload[:2] == b"BM":
+        px = decode_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        px = decode_png(payload)
+        if px.shape[2] < 3:                    # gray / gray+alpha
+            px = np.repeat(px[..., :1], 3, axis=2)
+        px = px[..., :3]
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames, _delays = decode_gif(payload)
+        px = frames[0]
+    elif payload[:2] == b"\xff\xd8":
+        from rayflow.ops.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from rayflow.ops.avi import decode_avi
+
+        frames, _fps = decode_avi(payload)
+        px = frames[0]
+    else:
+        raise NotImplementedError(
+            "payload needs a codec library not present in this "
+            "environment (BMP/PNG/GIF/JPEG/AVI decode natively); "
+            "pass fallback_pseudo=True to keep the pipeline flowing")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] < 3:
+        px = np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]
+
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Half-pixel-center bilinear resize, pure numpy (the standard
+    align_corners=False convention used by PIL/TF/torch)."""
+    h, w, _c = px.shape
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(y - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(x - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class MediaResizer:
+    """Actor-pool resize stage: decode → bilinear resize → re-encode
+    as PNG.  Same heap math as :class:`MediaDecoder`: batch bytes ≈
+    payload × batch_size × concurrency must fit the worker."""
+
+    def __init__(self, width: int, height: int,
+                 payload_col: str = "payload",
+                 on_non_image: str = "drop"):
+        if on_non_image not in ("drop", "error"):
+            raise ValueError("on_non_image must be 'drop' or 'error'")
+        self.w, self.h = int(width), int(height)
+        self.payload_col = payload_col
+        self.on_non_image = on_non_image
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        ids, types, outs, ow, oh = [], [], [], [], []
+        payloads = t.column(self.payload_col).to_pylist()
+        mids = t.column("media_id").to_pylist()
+        for mid, payload in zip(mids, payloads):
+            try:
+                px = decode_image_pixels(payload)
+            except (NotImplementedError, ValueError, _z.error):
+                if self.on_non_image == "drop":
+                    continue
+                raise
+            rs = resize_bilinear(px, self.h, self.w)
+            outs.append(synth_png_pixels(rs))
+            ids.append(mid)
+            types.append("image/png")
+            ow.append(self.w)
+            oh.append(self.h)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            self.payload_col: pa.array(outs, pa.binary()),
+            "width": pa.array(ow, pa.int32()),
+            "height": pa.array(oh, pa.int32()),
+        })
+
+
+@register_op("media_resize")
+def build_media_resize(*, width: int, height: int,
+                       payload_col: str = "payload",
+                       on_non_image: str = "drop",
+                       batch_size: int = 32, concurrency: int = 2):
+    """Decode → bilinear resize → PNG re-encode as an actor-pool
+    ``map_batches`` stage; non-image payloads drop (default) or raise."""
+
+    def apply(ds):
+        return ds.map_batches(
+            MediaResizer,
+            fn_constructor_kwargs=dict(width=width, height=height,
+                                       payload_col=payload_col,
+                                       on_non_image=on_non_image),
+            batch_size=batch_size,
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            num_cpus=1,
+        )
+
+    return apply
+
+
 class MediaDecoder:
     """Actor-pool decode stage.  Heavy init (codec contexts, model
     weights) belongs HERE, once per actor — never per batch.
@@ -485,36 +607,10 @@ class MediaDecoder:
         import zlib as _z
 
         try:
-            if payload[:2] == b"BM":
-                return self._image_features(decode_bmp(payload))
-            if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                px = decode_png(payload)
-                if px.shape[2] < 3:            # gray / gray+alpha
-                    px = np.repeat(px[..., :1], 3, axis=2)
-                return self._image_features(px[..., :3])
-            if payload[:6] in (b"GIF87a", b"GIF89a"):
-                frames, _delays = decode_gif(payload)
-                return self._image_features(frames[0])
-            if payload[:2] == b"\xff\xd8":
-                from rayflow.ops.jpeg import decode_jpeg
-                px = decode_jpeg(payload)
-                if px.shape[2] < 3:                # grayscale
-                    px = np.repeat(px, 3, axis=2)
-                return self._image_features(px)
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 samples, rate = decode_wav(payload)
                 return self._audio_features(samples, rate)
-            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                from rayflow.ops.avi import decode_avi
-                frames, _fps = decode_avi(payload)
-                px = frames[0]
-                if px.shape[2] < 3:
-                    px = np.repeat(px, 3, axis=2)
-                return self._image_features(px)
-            raise NotImplementedError(
-                "payload needs a codec library not present in this "
-                "environment (BMP/PNG/GIF/JPEG/WAV decode natively); "
-                "pass fallback_pseudo=True to keep the pipeline flowing")
+            return self._image_features(decode_image_pixels(payload))
         except (NotImplementedError, ValueError, _z.error):
             # absent codec OR corrupt payload: the fallback keeps the
             # pipeline flowing either way (dead-lettering is the

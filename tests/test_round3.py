@@ -1061,3 +1061,56 @@ def test_ngram_lm_score_model_size_guard(ray_session):
     op = build_op({"op": "ngram_lm_score", "broadcast_bytes_limit": 1})
     with pytest.raises(ValueError, match="min_count"):
         op(rd.from_arrow(t)).materialize()
+
+
+# -- media_resize --------------------------------------------------------------
+
+
+def test_resize_bilinear_identity_and_average():
+    from rayflow.ops.multimodal import resize_bilinear
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    # identity: half-pixel centers align exactly -> bit-equal copy
+    assert (resize_bilinear(px, 7, 5) == px).all()
+    # constant image stays constant at any size
+    const = np.full((4, 4, 3), 200, np.uint8)
+    assert (resize_bilinear(const, 9, 3) == 200).all()
+    # exact 2x downscale of a checkerboard averages the 2x2 block
+    cb = np.zeros((4, 4, 3), np.uint8)
+    cb[::2, 1::2] = 255
+    cb[1::2, ::2] = 255
+    out = resize_bilinear(cb, 2, 2)
+    assert (out == 128).all()   # rint(127.5) = 128
+
+
+def test_media_resize_op_end_to_end(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import (decode_png, resize_bilinear,
+                                        synth_png_pixels, synth_wav)
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["image/png", "audio/wav"]),
+        "payload": pa.array([synth_png_pixels(src), synth_wav()],
+                            pa.binary()),
+    })
+    out = build_op({"op": "media_resize", "width": 5, "height": 6})(
+        rd.from_arrow(t)).to_pandas()
+    assert list(out["media_id"]) == [1]          # WAV dropped
+    assert list(out["media_type"]) == ["image/png"]
+    got = decode_png(out["payload"][0])
+    assert got.shape == (6, 5, 3)
+    assert (got == resize_bilinear(src, 6, 5)).all()   # bit-exact chain
+    # identity-size resize round-trips the pixels bit-exactly
+    same = build_op({"op": "media_resize", "width": 10, "height": 12})(
+        rd.from_arrow(t.slice(0, 1))).to_pandas()
+    assert (decode_png(same["payload"][0]) == src).all()
+    # error mode surfaces non-images loudly
+    with pytest.raises(Exception, match="codec library"):
+        build_op({"op": "media_resize", "width": 4, "height": 4,
+                  "on_non_image": "error"})(
+            rd.from_arrow(t)).materialize()
