@@ -538,6 +538,71 @@ class CdcEngine:
         tables = [t for t in ray.get(refs) if t.num_rows > 0]
         return pa.concat_tables(tables, promote_options="permissive")
 
+    # -- observability -----------------------------------------------------
+
+    def lineage_table(self) -> pa.Table:
+        """The lake's commit audit trail as a queryable Arrow table —
+        one row per manifest commit (replay band group or compaction),
+        straight from the durable manifest so it survives restarts and
+        is identical for every reader."""
+        rows = []
+        for i, ln in enumerate(self.manifest.state.get("lineage", [])):
+            rows.append({
+                "commit_idx": i,
+                "kind": "compaction" if ln.get("compaction") else "replay",
+                "lsn_lo": ln.get("lsn_lo"),
+                "lsn_hi": ln.get("lsn_hi"),
+                "n_bands": len(ln.get("band_ids", []) or []),
+                "n_events": ln.get("n_events"),
+                "n_partitions_touched": (
+                    ln.get("n_partitions_touched")
+                    if not ln.get("compaction") else ln.get("n_partitions")),
+                "rows_after": ln.get("rows_after"),
+                "wall_s": ln.get("wall_s"),
+                "events_per_s": ln.get("events_per_s"),
+            })
+        schema = pa.schema([
+            ("commit_idx", pa.int32()), ("kind", pa.string()),
+            ("lsn_lo", pa.int64()), ("lsn_hi", pa.int64()),
+            ("n_bands", pa.int32()), ("n_events", pa.int64()),
+            ("n_partitions_touched", pa.int32()),
+            ("rows_after", pa.int64()), ("wall_s", pa.float64()),
+            ("events_per_s", pa.float64()),
+        ])
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    def partition_stats(self) -> pa.Table:
+        """Current per-partition state as an Arrow table: live state
+        file, watermark, row count, on-disk bytes, and the per-commit
+        applied-event totals folded from the lineage (post-collapse
+        upserts: per-block LWW collapse dedupes raw events before the
+        exchange, so this is <= the raw change count) — the rule's
+        'per-partition lineage + metrics' as data, not log lines."""
+        events: dict[int, int] = {}
+        for ln in self.manifest.state.get("lineage", []):
+            for p in ln.get("partitions", []) or []:
+                pid = int(p["part_id"])
+                events[pid] = events.get(pid, 0) + int(p.get("n_events", 0))
+        rows = []
+        for pid_s, rec in sorted(self.manifest.state.get("partitions", {}).items(),
+                                 key=lambda kv: int(kv[0])):
+            pid = int(pid_s)
+            path = os.path.join(self.lake_dir, rec["file"])
+            rows.append({
+                "part_id": pid,
+                "rows": int(rec["rows"]),
+                "lsn": int(rec["lsn"]),
+                "n_events_applied": events.get(pid, 0),
+                "state_file": rec["file"],
+                "bytes": os.path.getsize(path) if os.path.exists(path) else None,
+            })
+        schema = pa.schema([
+            ("part_id", pa.int32()), ("rows", pa.int64()),
+            ("lsn", pa.int64()), ("n_events_applied", pa.int64()),
+            ("state_file", pa.string()), ("bytes", pa.int64()),
+        ])
+        return pa.Table.from_pylist(rows, schema=schema)
+
 
 def _point_lookup_parts(engine: "CdcEngine", conv_id: str) -> list[int]:
     """Partitions that may hold a conversation (1 normally, s when salted)."""

@@ -402,3 +402,39 @@ def test_same_writer_sequential_commits_unaffected(tmp_path):
         m.commit_band(band_hi=i * 10, schema=schema, part_stats=[], salts={},
                       lineage={"band": i})
     assert LakeManifest(lake).committed_lsn == 30
+
+
+def test_lineage_and_partition_stats_tables(changelog, tmp_path):
+    """The rule's 'per-partition lineage + metrics' surfaced as data:
+    queryable Arrow tables derived from the durable manifest."""
+    from rayflow.cdc.replay import CdcEngine
+
+    log_dir, _info = changelog
+    lake = str(tmp_path / "lake_obs")
+    e = CdcEngine(lake, num_partitions=8)
+    stats = e.replay(log_dir, bands_per_commit=2)
+
+    lt = e.lineage_table()
+    assert lt.num_rows == len(stats.lineage)
+    assert set(lt.column_names) >= {"kind", "lsn_hi", "n_events",
+                                    "rows_after", "events_per_s"}
+    lsn_his = lt["lsn_hi"].to_pylist()
+    assert lsn_his == sorted(lsn_his)           # monotone watermarks
+    assert sum(lt["n_events"].to_pylist()) == stats.n_events
+    assert all(k == "replay" for k in lt["kind"].to_pylist())
+
+    ps = e.partition_stats()
+    assert ps.num_rows > 0
+    assert sum(ps["rows"].to_pylist()) == e.final_table().num_rows
+    # per-partition events are POST-collapse upserts (per-block LWW
+    # collapse dedupes raw events before the exchange): bounded by the
+    # raw count, never zero on a replay that applied data
+    applied = sum(ps["n_events_applied"].to_pylist())
+    assert 0 < applied <= stats.n_events
+    assert all(b and b > 0 for b in ps["bytes"].to_pylist())
+
+    # compaction shows up in the trail; a fresh engine reads the same
+    e.compact()
+    lt2 = CdcEngine(lake).lineage_table()
+    assert lt2["kind"].to_pylist()[-1] == "compaction"
+    assert lt2.num_rows == lt.num_rows + 1
