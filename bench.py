@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "promo_revenue_q14",
     "market_share_q8",        # deepest plan: 8 tables, one fact exchange
     "small_qty_revenue_q17",  # correlated per-part average, two passes
+    "lm_score_docs",          # corpus-trained bigram LM: train + broadcast + score
+    "ngram_jaccard_near_dup",  # EXACT all-pairs near-dup (heaviest query:
+                               # prefix-filter + 256-pair verify at t=0.4)
 ]
 
 
@@ -124,6 +127,21 @@ def _warm_cache(paths):
         with open(p, "rb") as f:
             while f.read(1 << 22):
                 pass
+
+
+def _ambient_probe() -> float:
+    """First-touch page-fault health of the box, in ms per 64 MB of
+    freshly-allocated writes.  Healthy: single-digit ms.  Measured up
+    to ~5000 ms on this host under hypervisor memory pressure
+    (BASELINE.md, 2026-08-18) — every allocation-heavy stage degrades
+    proportionally, so the number is embedded in each bench snapshot
+    to make slow-window readings self-explaining."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.empty(8 << 20, np.int64)  # 64 MB, first touch on fill
+    a[:] = 1
+    return round((time.perf_counter() - t0) * 1000, 1)
 
 
 def run_bench() -> dict:
@@ -195,6 +213,7 @@ def run_bench() -> dict:
         "sf": SF_TAG,
         "num_cpus": NUM_CPUS,
         "bands_per_commit": bands_per_commit,
+        "ambient_alloc_ms_per_64mb": _ambient_probe(),
         "queries": {},
     }
 
@@ -258,6 +277,7 @@ def run_scaling() -> dict:
         "events": runs_lo[0]["events"],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_TAG,
+        "ambient_alloc_ms_per_64mb": _ambient_probe(),
         # The deviation from a literal (8, 32) pair is deliberate and
         # recorded here so it cannot be missed: this box exposes 32
         # vCPUs on ~16 PHYSICAL cores.  The N→4N criterion models four
