@@ -231,6 +231,54 @@ def build_sql_query(*, sql: str, tables: dict[str, str] | None = None):
     return source
 
 
+class _SqlBatch:
+    """Actor-pool stage: one DuckDB connection per actor (heavy init
+    once), each Arrow batch registered zero-copy as view ``batch``."""
+
+    def __init__(self, sql: str):
+        import duckdb
+
+        self.con = duckdb.connect()
+        self.sql = sql
+
+    def __call__(self, t):
+        self.con.register("batch", t)
+        try:
+            return self.con.sql(self.sql).arrow()
+        finally:
+            self.con.unregister("batch")
+
+
+@register_op("sql_batch")
+def build_sql_batch(*, sql: str, concurrency: int = 2,
+                    batch_size: int | None = None):
+    """Per-batch SQL processor (the ``sql_select``/``sql_raw``
+    PROCESSOR analogue, network-free): each zero-copy Arrow batch is
+    exposed to an embedded DuckDB as view ``batch`` and replaced by the
+    query result.
+
+    BATCH-LOCAL by design, like every reference processor operating on
+    a message batch: row-level SQL (projection, filters, CASE, lateral
+    UNNEST, scalar functions) is exact; aggregates/DISTINCT/ORDER BY
+    apply per batch, not globally — global versions belong to
+    ``group_agg``/``sort``/``dedupe``.  The same contract the reference
+    documents for its processor-level SQL."""
+
+    def apply(ds):
+        kw = dict(
+            fn_constructor_kwargs=dict(sql=sql),
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            num_cpus=1,
+        )
+        if batch_size is not None:
+            kw["batch_size"] = batch_size
+        return ds.map_batches(_SqlBatch, **kw)
+
+    return apply
+
+
 def lint(text_or_path: str) -> dict:
     """Validate a pipeline config WITHOUT running it (the ``benthos
     lint`` analogue): YAML parses, every step names a registered op,

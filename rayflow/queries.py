@@ -822,6 +822,37 @@ def minhash_near_dup(sf_dir: str):
 
 
 @query(
+    "sql_batch_transform",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice * 0.9, 4) AS discounted,
+           CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN 'urgent' ELSE 'normal' END AS urgency
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+)
+def sql_batch_transform(sf_dir: str):
+    """Per-batch DuckDB SQL processor (`sql_batch`): row-level SQL
+    (filter, CASE, arithmetic) is batch-local-safe, so the global SQL
+    oracle is the op's own query text over view `batch` — the point of
+    the processor-level SQL escape hatch."""
+    ds = _rd().read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderstatus", "o_orderpriority"],
+    )
+    return build_op({"op": "sql_batch", "sql": """
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice * 0.9, 4) AS discounted,
+               CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                    THEN 'urgent' ELSE 'normal' END AS urgency
+        FROM batch
+        WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """})(ds)
+
+
+@query(
     "lm_score_docs",
     r"""
     WITH toks AS (

@@ -1114,3 +1114,33 @@ def test_media_resize_op_end_to_end(ray_session):
         build_op({"op": "media_resize", "width": 4, "height": 4,
                   "on_non_image": "error"})(
             rd.from_arrow(t)).materialize()
+
+
+# -- sql_batch processor -------------------------------------------------------
+
+
+def test_sql_batch_rowlevel(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array([10.0, 20.0, 30.0, 40.0])})
+    out = build_op({"op": "sql_batch", "sql":
+                    "SELECT k, v * 2 AS dbl FROM batch WHERE v >= 20"})(
+        rd.from_arrow(t).repartition(3)).to_pandas().sort_values(
+            "k", ignore_index=True)
+    assert list(out["k"]) == [2, 3, 4]
+    assert list(out["dbl"]) == [40.0, 60.0, 80.0]
+
+
+def test_sql_batch_unnest_and_empty_blocks(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc": pa.array(["a b", "", "c"]),
+                  "i": pa.array([1, 2, 3], pa.int64())})
+    op = build_op({"op": "sql_batch", "sql": """
+        SELECT i, unnest(string_split(doc, ' ')) AS tok
+        FROM batch WHERE doc <> ''
+    """})
+    out = op(rd.from_arrow(t).repartition(4)).to_pandas() \
+        .sort_values(["i", "tok"], ignore_index=True)
+    assert list(zip(out["i"], out["tok"])) == [(1, "a"), (1, "b"), (3, "c")]
