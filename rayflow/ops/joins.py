@@ -179,9 +179,12 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
                 if small.num_rows or small.num_columns:
                     return build_broadcast_join(
                         small=small, on=on, right_on=right_on, how=how)(ds)
+        # Dataset.join takes *_outer names; accept the SQL shorthands
+        jt = {"left": "left_outer", "right": "right_outer",
+              "outer": "full_outer", "full": "full_outer"}.get(how, how)
         return ds.join(
             r,
-            join_type=how,
+            join_type=jt,
             num_partitions=num_partitions,
             on=tuple(on),
             right_on=tuple(right_on) if right_on else None,

@@ -822,6 +822,54 @@ def minhash_near_dup(sf_dir: str):
 
 
 @query(
+    "full_outer_cust_activity",
+    """
+    WITH oc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ), cc AS (
+      SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+      FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT coalesce(oc.o_custkey, cc.c_custkey) AS custkey,
+           oc.n_orders, cc.acctbal
+    FROM oc FULL OUTER JOIN cc ON oc.o_custkey = cc.c_custkey
+    """,
+)
+def full_outer_cust_activity(sf_dir: str):
+    """FULL OUTER sharded join: rich customers with no orders keep a
+    row (null n_orders), ordering customers below the balance cut keep
+    a row (null acctbal).  The order side is pre-aggregated to
+    (custkey, count) so the exchange is bounded by customer
+    cardinality; Ray's full_outer coalesces the key columns."""
+    rd = _rd()
+    oc = build_op({
+        "op": "group_agg", "keys": ["o_custkey"],
+        "aggs": [("count", None, "n_orders")],
+    })(rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"]))
+    cc = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_acctbal"])
+    cc = build_op({
+        "op": "filter", "predicate": E.col("c_acctbal") > 5000.0,
+    })(cc)
+    cc = build_op({
+        "op": "mapping",
+        "cols": {"acctbal": E.F("round", E.col("c_acctbal"), 4)},
+        "select": ["c_custkey", "acctbal"],
+    })(cc)
+    joined = build_op({
+        "op": "sharded_join", "right": cc,
+        "on": ["o_custkey"], "right_on": ["c_custkey"],
+        "how": "full_outer", "num_partitions": 4,
+    })(oc)
+    return build_op({
+        "op": "mapping",
+        "cols": {"custkey": E.col("o_custkey")},
+        "select": ["custkey", "n_orders", "acctbal"],
+    })(joined)
+
+
+@query(
     "sql_batch_transform",
     """
     SELECT o_orderkey, o_custkey,
