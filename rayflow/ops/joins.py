@@ -151,6 +151,52 @@ def build_broadcast_semi(*, keys_ref, on: str, anti: bool = False):
     return apply
 
 
+@register_op("sharded_semi")
+def build_sharded_semi(*, right, on: str, right_on: str | None = None,
+                       anti: bool = False, num_partitions: int = 16):
+    """Semi/anti join with NO size assumption on either side (the
+    broadcast variant needs the key set in one object): the right side
+    is reduced to DISTINCT keys plus a marker column, LEFT-OUTER hash
+    joined, and the marker's presence/absence is the filter.  Left
+    columns pass through unchanged; exactly one keyed exchange, with
+    the right side pre-shrunk to its key cardinality."""
+
+    def apply(ds):
+        from rayflow.ops import build_op
+
+        rk = right_on or on
+        keys = build_op({
+            "op": "group_agg", "keys": [rk],
+            "aggs": [("count", None, "__semi_n")],
+        })(right)
+        if rk == on:
+            # Dataset.join rejects duplicate column names across sides
+            keys = keys.map_batches(
+                lambda t: t.rename_columns(
+                    [f"__semi_{c}" if c == rk else c for c in t.column_names]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            rk = f"__semi_{rk}"
+        cols = None
+
+        def finish(t: pa.Table) -> pa.Table:
+            mask = pc.is_valid(t.column("__semi_n"))
+            if anti:
+                mask = pc.invert(mask)
+            out = t.filter(mask)
+            return out.drop_columns(
+                [c for c in ("__semi_n", rk) if c in out.column_names])
+
+        joined = ds.join(
+            keys, join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(on,), right_on=(rk,),
+        )
+        return joined.map_batches(finish, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    return apply
+
+
 @register_op("sharded_join")
 def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = None,
                        how: str = "inner", num_partitions: int = 16,

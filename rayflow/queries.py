@@ -822,6 +822,42 @@ def minhash_near_dup(sf_dir: str):
 
 
 @query(
+    "sharded_anti_quiet_customers",
+    """
+    SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+)
+def sharded_anti_quiet_customers(sf_dir: str):
+    """Anti join with NO size assumption (`sharded_semi` anti=True):
+    customers with no order above the price cut, via distinct-key
+    reduce + left-outer
+    hash join + null-marker filter — the 100 TB path where the key set
+    cannot be broadcast."""
+    rd = _rd()
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal"])
+    cust = build_op({
+        "op": "mapping",
+        "cols": {"acctbal": E.F("round", E.col("c_acctbal"), 4)},
+        "select": ["c_custkey", "acctbal"],
+    })(cust)
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    orders = build_op({
+        "op": "filter", "predicate": E.col("o_totalprice") > 300000.0,
+    })(orders)
+    return build_op({
+        "op": "sharded_semi", "right": orders,
+        "on": "c_custkey", "right_on": "o_custkey",
+        "anti": True, "num_partitions": 4,
+    })(cust)
+
+
+@query(
     "full_outer_cust_activity",
     """
     WITH oc AS (

@@ -1144,3 +1144,29 @@ def test_sql_batch_unnest_and_empty_blocks(ray_session):
     out = op(rd.from_arrow(t).repartition(4)).to_pandas() \
         .sort_values(["i", "tok"], ignore_index=True)
     assert list(zip(out["i"], out["tok"])) == [(1, "a"), (1, "b"), (3, "c")]
+
+
+# -- sharded semi/anti ---------------------------------------------------------
+
+
+def test_sharded_semi_anti_agree_with_broadcast(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 5, 5], pa.int64()),
+                     "v": pa.array(["a", "b", "c", "d", "e", "f"])})
+    right = pa.table({"rk": pa.array([2, 2, 4, 9], pa.int64())})
+    lds = rd.from_arrow(left).repartition(3)
+
+    for anti in (False, True):
+        sharded = build_op({
+            "op": "sharded_semi", "right": rd.from_arrow(right),
+            "on": "k", "right_on": "rk", "anti": anti,
+            "num_partitions": 2,
+        })(lds).to_pandas().sort_values(["k", "v"], ignore_index=True)
+        bcast = build_op({
+            "op": "broadcast_semi", "keys_ref": right["rk"].to_pylist(),
+            "on": "k", "anti": anti,
+        })(lds).to_pandas().sort_values(["k", "v"], ignore_index=True)
+        pd.testing.assert_frame_equal(sharded, bcast)
+        assert list(sharded.columns) == ["k", "v"]   # passthrough only
+    # semi keeps 2,4; anti keeps 1,3,5,5
