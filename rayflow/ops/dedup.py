@@ -270,6 +270,62 @@ def build_minhash_lsh(*, threshold: float = 0.7, num_perm: int = 64,
     return apply
 
 
+def _flatpack(col):
+    """(flat int64 values, per-row lengths) from packed-binary
+    shingle sets — zero-copy off the Arrow buffers when given an
+    Array, one C-level join for a list of bytes."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        off = np.frombuffer(col.buffers()[1], np.int32,
+                            count=len(col) + 1,
+                            offset=4 * col.offset).astype(np.int64)
+        data = col.buffers()[2]
+        flat = (np.frombuffer(data, np.int64) if data is not None
+                else np.zeros(0, np.int64))
+        # binary rows are laid out back-to-back between offsets
+        return flat[off[0] // 8: off[-1] // 8], \
+            (off[1:] - off[:-1]) // 8
+    lens = np.fromiter((len(b) for b in col), np.int64,
+                       len(col)) // 8
+    return np.frombuffer(b"".join(col), np.int64), lens
+
+def pair_jaccard(sa, sb) -> np.ndarray:
+    """Vectorized per-pair Jaccard over packed sorted-unique
+    int64 shingle sets: within a pair an element occurs at most
+    once per side, so |intersection| = number of equal-adjacent
+    entries after ONE sort of (pair, value) over both sides
+    concatenated — no Python per pair.
+
+    Shingles are crc32 values (< 2^32), so (pair, value) packs
+    into a single uint64 and a plain ``np.sort`` replaces
+    ``np.lexsort`` — measured 235 s -> ~6 s on a 64M-element
+    verify at sf0.1 (lexsort's two stable merge passes are the
+    difference).  Falls back to lexsort for out-of-range values."""
+    fx, lx = _flatpack(sa)
+    fy, ly = _flatpack(sb)
+    npair = len(lx)
+    idxs = np.arange(npair)
+    seg = np.concatenate([np.repeat(idxs, lx), np.repeat(idxs, ly)])
+    vals = np.concatenate([fx, fy])
+    if len(vals) and 0 <= vals.min() and vals.max() < (1 << 32) \
+            and npair < (1 << 31):
+        key = (seg.astype(np.uint64) << np.uint64(32)) \
+            | vals.astype(np.uint64)
+        key.sort()
+        dup = key[1:] == key[:-1]
+        seg_dup = (key[1:][dup] >> np.uint64(32)).astype(np.int64)
+        inter = np.bincount(seg_dup, minlength=npair)
+    else:
+        order = np.lexsort((vals, seg))
+        seg_s, val_s = seg[order], vals[order]
+        dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
+        inter = np.bincount(seg_s[1:][dup], minlength=npair)
+    union = lx + ly - inter
+    # both-empty pair: defined as identical (J = 1)
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def verify_candidate_pairs(ds, raw_pairs, *, threshold: float,
                            shingle_k: int, text_col: str, id_col: str,
                            driver_pair_limit: int,
@@ -342,61 +398,6 @@ def verify_candidate_pairs(ds, raw_pairs, *, threshold: float,
         })
 
     cand_docs = ds.map_batches(cand_shingles, **_PA_KW).materialize()
-
-    def _flatpack(col):
-        """(flat int64 values, per-row lengths) from packed-binary
-        shingle sets — zero-copy off the Arrow buffers when given an
-        Array, one C-level join for a list of bytes."""
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if isinstance(col, pa.Array):
-            off = np.frombuffer(col.buffers()[1], np.int32,
-                                count=len(col) + 1,
-                                offset=4 * col.offset).astype(np.int64)
-            data = col.buffers()[2]
-            flat = (np.frombuffer(data, np.int64) if data is not None
-                    else np.zeros(0, np.int64))
-            # binary rows are laid out back-to-back between offsets
-            return flat[off[0] // 8: off[-1] // 8], \
-                (off[1:] - off[:-1]) // 8
-        lens = np.fromiter((len(b) for b in col), np.int64,
-                           len(col)) // 8
-        return np.frombuffer(b"".join(col), np.int64), lens
-
-    def pair_jaccard(sa, sb) -> np.ndarray:
-        """Vectorized per-pair Jaccard over packed sorted-unique
-        int64 shingle sets: within a pair an element occurs at most
-        once per side, so |intersection| = number of equal-adjacent
-        entries after ONE sort of (pair, value) over both sides
-        concatenated — no Python per pair.
-
-        Shingles are crc32 values (< 2^32), so (pair, value) packs
-        into a single uint64 and a plain ``np.sort`` replaces
-        ``np.lexsort`` — measured 235 s -> ~6 s on a 64M-element
-        verify at sf0.1 (lexsort's two stable merge passes are the
-        difference).  Falls back to lexsort for out-of-range values."""
-        fx, lx = _flatpack(sa)
-        fy, ly = _flatpack(sb)
-        npair = len(lx)
-        idxs = np.arange(npair)
-        seg = np.concatenate([np.repeat(idxs, lx), np.repeat(idxs, ly)])
-        vals = np.concatenate([fx, fy])
-        if len(vals) and 0 <= vals.min() and vals.max() < (1 << 32) \
-                and npair < (1 << 31):
-            key = (seg.astype(np.uint64) << np.uint64(32)) \
-                | vals.astype(np.uint64)
-            key.sort()
-            dup = key[1:] == key[:-1]
-            seg_dup = (key[1:][dup] >> np.uint64(32)).astype(np.int64)
-            inter = np.bincount(seg_dup, minlength=npair)
-        else:
-            order = np.lexsort((vals, seg))
-            seg_s, val_s = seg[order], vals[order]
-            dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
-            inter = np.bincount(seg_s[1:][dup], minlength=npair)
-        union = lx + ly - inter
-        # both-empty pair: defined as identical (J = 1)
-        return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
     if (cand_docs.size_bytes() or 0) <= broadcast_bytes_limit:
         # broadcast verify: candidate shingle table flows object

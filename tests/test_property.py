@@ -416,3 +416,45 @@ def test_interval_join_matches_serial_reference(seed):
         for lr in l.itertuples() for rr in r.itertuples()
         if lr.k == rr.k and rr.s <= lr.t <= rr.e)
     assert got_pairs == want_pairs
+
+
+# -- pair_jaccard: uint64 pack+sort fast path == lexsort path == set math -----
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.sets(st.integers(0, 2**32 - 1), max_size=30),
+              st.sets(st.integers(0, 2**32 - 1), max_size=30)),
+    min_size=0, max_size=12,
+))
+def test_pair_jaccard_paths_agree(pairs):
+    import pyarrow as pa
+
+    from rayflow.ops.dedup import pair_jaccard
+
+    def pack(s):
+        return np.sort(np.fromiter(s, np.int64, len(s))).tobytes()
+
+    sa = [pack(a) for a, _ in pairs]
+    sb = [pack(b) for _, b in pairs]
+    want = np.array([
+        1.0 if not a and not b else len(a & b) / len(a | b)
+        for a, b in pairs
+    ])
+    got_list = pair_jaccard(sa, sb)                       # list-of-bytes path
+    got_arrow = pair_jaccard(pa.array(sa, pa.binary()),   # Arrow-buffer path
+                             pa.array(sb, pa.binary()))
+    np.testing.assert_allclose(got_list, want, rtol=0, atol=0)
+    np.testing.assert_allclose(got_arrow, want, rtol=0, atol=0)
+
+
+def test_pair_jaccard_lexsort_fallback_agrees():
+    """Values outside uint32 (future shingle fns) take the lexsort
+    fallback; both paths must agree."""
+    from rayflow.ops.dedup import pair_jaccard
+
+    big = 1 << 40
+    a = np.sort(np.array([big, big + 3, 7], np.int64)).tobytes()
+    b = np.sort(np.array([big, 7, 99], np.int64)).tobytes()
+    (j,) = pair_jaccard([a], [b])
+    assert j == 2 / 4
