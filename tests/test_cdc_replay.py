@@ -438,3 +438,31 @@ def test_lineage_and_partition_stats_tables(changelog, tmp_path):
     lt2 = CdcEngine(lake).lineage_table()
     assert lt2["kind"].to_pylist()[-1] == "compaction"
     assert lt2.num_rows == lt.num_rows + 1
+
+
+def test_second_engine_stale_manifest_raises(changelog, tmp_path):
+    """Engine-level concurrent-writer protection: a second engine that
+    loaded the manifest before another writer committed must fail LOUD
+    at its first commit (never silently clobber), and the lake must
+    stay intact and resumable."""
+    from rayflow.cdc.oracle import lww_oracle, read_changelog_pandas
+    from rayflow.cdc.replay import CdcEngine
+    from rayflow.cdc.sink import ConcurrentCommitError
+
+    log_dir, _ = changelog
+    lake = str(tmp_path / "lake_two_writers")
+    a = CdcEngine(lake)
+    b = CdcEngine(lake)          # loads the same (empty) manifest as a
+    a.replay(log_dir)
+    with pytest.raises(ConcurrentCommitError):
+        b.replay(log_dir)        # stale loaded version -> loud failure
+    # recovery contract: a FRESH engine sees a's commits and is a no-op
+    c = CdcEngine(lake)
+    assert c.replay(log_dir).bands_applied == 0
+    got = _engine_result(c)
+    want = lww_oracle(read_changelog_pandas(log_dir))
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
