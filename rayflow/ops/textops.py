@@ -431,3 +431,133 @@ def build_ngram_lm_score(*, text_col: str = "text", id_col: str = "doc_id",
         return ds.map_batches(score, **_PA_KW)
 
     return apply
+
+
+@register_op("profile_columns")
+def build_profile_columns(*, columns: list[str],
+                          distinct: str = "exact"):
+    """Per-column dataset profile: ``(column, n_rows, n_nulls,
+    n_distinct, min_str, max_str)`` — the stats every corpus report
+    starts with, as one small table.
+
+    Plan: ONE pass for the cheap stats (per-batch partial
+    n/nulls/min/max rows, folded on the driver — C×B tiny rows), plus
+    the distinct counts:
+
+    - ``distinct="exact"``: per-batch LOCAL dedup (dictionary encode)
+      emits (column, value) pairs, one keyed exchange counts distinct
+      pairs per column.  The exchange is bounded by Σ per-column
+      cardinality — exact, the SQL-oracle mode.
+    - ``distinct="approx"``: per-batch HyperLogLog partials via the
+      existing ``approx_distinct`` sketch merge — the 100 TB mode
+      where a hot column's cardinality is corpus-sized.
+
+    ``min_str``/``max_str`` are the extremes cast to strings (UTF-8
+    byte order == SQL binary collation; integer casts are exact)."""
+
+    def apply(ds):
+        from rayflow.ops import build_op
+        from rayflow.ops.kernels import collect_table
+
+        # per-batch extremes are folded in the column's OWN type (a
+        # string fold of numeric extremes would rank '62' above '499');
+        # cast to string only after the final fold
+        def cheap_partial(t: pa.Table) -> pa.Table:
+            rows = []
+            for c in columns:
+                col = t.column(c)
+                n = len(col)
+                nulls = col.null_count
+                kind = ("i" if pa.types.is_integer(col.type)
+                        else "f" if pa.types.is_floating(col.type)
+                        else "s")
+                rec = {"column": c, "n_rows": n, "n_nulls": nulls,
+                       "kind": kind, "min_i": None, "max_i": None,
+                       "min_f": None, "max_f": None,
+                       "min_s": None, "max_s": None}
+                if n - nulls > 0:
+                    mm = pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if kind == "i":
+                        rec["min_i"], rec["max_i"] = int(lo), int(hi)
+                    elif kind == "f":
+                        rec["min_f"], rec["max_f"] = float(lo), float(hi)
+                    else:
+                        rec["min_s"], rec["max_s"] = str(lo), str(hi)
+                rows.append(rec)
+            return pa.Table.from_pylist(rows, schema=pa.schema([
+                ("column", pa.string()), ("n_rows", pa.int64()),
+                ("n_nulls", pa.int64()), ("kind", pa.string()),
+                ("min_i", pa.int64()), ("max_i", pa.int64()),
+                ("min_f", pa.float64()), ("max_f", pa.float64()),
+                ("min_s", pa.string()), ("max_s", pa.string())]))
+
+        cheap = collect_table(
+            ds.map_batches(cheap_partial, **_PA_KW)).to_pandas()
+
+        def distinct_partial(t: pa.Table) -> pa.Table:
+            outs = []
+            for c in columns:
+                u = pc.unique(t.column(c).combine_chunks()
+                              if isinstance(t.column(c), pa.ChunkedArray)
+                              else t.column(c))
+                u = u.drop_null()
+                outs.append(pa.table({
+                    "column": pa.array([c] * len(u), pa.string()),
+                    "value": pc.cast(u, pa.string()),
+                }))
+            return pa.concat_tables(outs) if outs else pa.table({
+                "column": pa.array([], pa.string()),
+                "value": pa.array([], pa.string())})
+
+        if distinct == "exact":
+            pairs = build_op({
+                "op": "group_agg", "keys": ["column", "value"],
+                "aggs": [("count", None, "n")],
+            })(ds.map_batches(distinct_partial, **_PA_KW))
+            nd = build_op({
+                "op": "group_agg", "keys": ["column"],
+                "aggs": [("count", None, "n_distinct")],
+            })(pairs)
+            nd_df = collect_table(nd).to_pandas()
+        elif distinct == "approx":
+            hll = build_op({
+                "op": "group_hll", "keys": ["column"], "column": "value",
+                "out": "n_distinct",
+            })(ds.map_batches(distinct_partial, **_PA_KW))
+            nd_df = collect_table(hll).to_pandas()
+        else:
+            raise ValueError(f"unknown distinct mode {distinct!r}")
+
+        import pandas as pd
+
+        g = cheap.groupby("column", sort=False)
+
+        def _fmt(v, kind):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            return str(int(v)) if kind == "i" else str(v)
+
+        recs = []
+        for col_name, grp in g:
+            kind = grp["kind"].iloc[0]
+            suffix = {"i": "_i", "f": "_f", "s": "_s"}[kind]
+            recs.append({
+                "column": col_name,
+                "n_rows": int(grp["n_rows"].sum()),
+                "n_nulls": int(grp["n_nulls"].sum()),
+                "min_str": _fmt(grp["min" + suffix].min(), kind),
+                "max_str": _fmt(grp["max" + suffix].max(), kind),
+            })
+        agg = pd.DataFrame(recs)
+        out = agg.merge(nd_df[["column", "n_distinct"]], on="column",
+                        how="left")
+        out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+        out = out.sort_values("column", ignore_index=True)
+        out = out[["column", "n_rows", "n_nulls", "n_distinct",
+                   "min_str", "max_str"]]
+        import ray.data as rd
+
+        return rd.from_pandas(out)
+
+    return apply

@@ -822,6 +822,51 @@ def minhash_near_dup(sf_dir: str):
 
 
 @query(
+    "profile_documents",
+    """
+    WITH one AS (
+      SELECT 'doc_id' AS "column",
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_str,
+             CAST(max(doc_id) AS VARCHAR) AS max_str
+      FROM documents
+      UNION ALL
+      SELECT 'lang', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(lang) AS BIGINT),
+             CAST(count(DISTINCT lang) AS BIGINT),
+             min(lang), max(lang) FROM documents
+      UNION ALL
+      SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(n_chars) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(source) AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT),
+             min(source), max(source) FROM documents
+    )
+    SELECT * FROM one
+    """,
+)
+def profile_documents(sf_dir: str):
+    """Dataset profile (`profile_columns`, exact mode): one cheap pass
+    for rows/nulls/min/max partials plus one keyed exchange bounded by
+    per-column cardinality for exact distinct counts.  The approx mode
+    (HLL partials, cardinality-independent exchange) is the 100 TB
+    path, covered by its own sketch tests."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "lang", "n_chars", "source"])
+    return build_op({
+        "op": "profile_columns",
+        "columns": ["doc_id", "lang", "n_chars", "source"],
+    })(ds)
+
+
+@query(
     "sharded_anti_quiet_customers",
     """
     SELECT c_custkey, round(c_acctbal, 4) AS acctbal

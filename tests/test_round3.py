@@ -1170,3 +1170,29 @@ def test_sharded_semi_anti_agree_with_broadcast(ray_session):
         pd.testing.assert_frame_equal(sharded, bcast)
         assert list(sharded.columns) == ["k", "v"]   # passthrough only
     # semi keeps 2,4; anti keeps 1,3,5,5
+
+
+# -- profile_columns -----------------------------------------------------------
+
+
+def test_profile_columns_exact_and_approx(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+        "b": pa.array(["x", "y", None, None, "x"]),
+    })
+    out = build_op({"op": "profile_columns", "columns": ["a", "b"]})(
+        rd.from_arrow(t).repartition(3)).to_pandas().set_index("column")
+    assert out.loc["a", "n_rows"] == 5 and out.loc["a", "n_nulls"] == 1
+    assert out.loc["a", "n_distinct"] == 3
+    assert out.loc["a", "min_str"] == "1" and out.loc["a", "max_str"] == "5"
+    assert out.loc["b", "n_nulls"] == 2 and out.loc["b", "n_distinct"] == 2
+    assert out.loc["b", "min_str"] == "x" and out.loc["b", "max_str"] == "y"
+
+    approx = build_op({"op": "profile_columns", "columns": ["a", "b"],
+                       "distinct": "approx"})(
+        rd.from_arrow(t)).to_pandas().set_index("column")
+    # HLL at tiny cardinality is exact
+    assert approx.loc["a", "n_distinct"] == 3
+    assert approx.loc["b", "n_distinct"] == 2
