@@ -19,10 +19,23 @@ from rayflow.ops import register_op
 _PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: GPT-2-style pre-tokenizer (public BPE regex, RE2-compatible form:
+#: contractions, space-attached letter/digit/punct runs, whitespace).
+BPE_TOKEN_RE = (r"'[sdmt]|'ll|'ve|'re"
+                r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
 @register_op("token_count")
 def build_token_count(*, column: str = "text", out: str = "n_tokens",
-                      pattern: str = r"\S+"):
-    """Whitespace-token count per document (vectorized regex count)."""
+                      pattern: str = r"\S+", preset: str | None = None):
+    """Token count per document (vectorized regex count).  Default is
+    whitespace tokens; ``preset="bpe"`` counts GPT-2-style pre-tokens
+    (the training-cost estimator: BPE merges only split WITHIN these,
+    so the pre-token count upper-bounds real token spend per doc)."""
+    if preset == "bpe":
+        pattern = BPE_TOKEN_RE
+    elif preset is not None:
+        raise ValueError(f"unknown token_count preset {preset!r}")
 
     def apply(ds):
         def fn(t: pa.Table) -> pa.Table:

@@ -661,6 +661,27 @@ def token_count_docs(sf_dir: str):
 
 
 @query(
+    "bpe_token_count_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             $$'[sdmt]|'ll|'ve|'re| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+$$
+           )) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count_docs(sf_dir: str):
+    """GPT-2-style pre-token counting (`token_count preset="bpe"`):
+    the training-cost estimator — BPE merges only split within these
+    pre-tokens, so the count upper-bounds tokenizer spend per doc.
+    Same RE2 pattern on both sides (Arrow and DuckDB), exact."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = build_op({"op": "token_count", "preset": "bpe",
+                   "out": "n_bpe_tokens"})(ds)
+    return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+@query(
     "extract_long_words",
     """
     SELECT doc_id,
