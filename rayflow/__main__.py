@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     lint_p.add_argument("config")
     sub.add_parser("ops", help="list registered operators")
     sub.add_parser("functions", help="list scalar functions")
+    st = sub.add_parser("stats", help="lake observability: commit lineage "
+                                      "and per-partition state as JSON "
+                                      "(manifest-only, no Ray session)")
+    st.add_argument("lake_dir")
+    st.add_argument("--partitions", action="store_true",
+                    help="also print the per-partition table")
     bl = sub.add_parser(
         "blobl",
         help="one-shot Bloblang evaluator (the `benthos blobl` analogue): "
@@ -104,6 +110,19 @@ def main(argv: list[str] | None = None) -> int:
         report = lint(args.config)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
+
+    if args.cmd == "stats":
+        from rayflow.cdc import CdcEngine
+
+        engine = CdcEngine(args.lake_dir)
+        out = {
+            "committed_lsn": engine.manifest.committed_lsn,
+            "lineage": engine.lineage_table().to_pylist(),
+        }
+        if args.partitions:
+            out["partitions"] = engine.partition_stats().to_pylist()
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "ops":
         from rayflow.ops import ops
