@@ -490,21 +490,42 @@ def _pairs_lenfiltered(ids: np.ndarray, lens: np.ndarray,
        the other collisions is lossless — duplicates are merged later
        anyway.
 
-    Vectorized over the run."""
+    Vectorized over the run, in ANCHOR CHUNKS: the full triangle of a
+    near-``hot_run_limit`` run would transiently allocate O(c^2) index
+    arrays (~GBs at c=20k) just to filter most of it away; bounding the
+    first-index block keeps peak memory at chunk×c while survivors —
+    typically a tiny fraction — accumulate."""
     order = np.argsort(ids)
     ids, lens = ids[order], lens[order]
-    ia, ib = np.triu_indices(len(ids), k=1)
-    la, lb = lens[ia], lens[ib]
-    # epsilon keeps the filter a NECESSARY condition under float
-    # rounding (0.7*10 -> 6.999..7.001); verify re-checks exactly
-    keep = np.minimum(la, lb) >= threshold * np.maximum(la, lb) - 1e-9
-    if pos is not None:
-        p = pos[order]
-        pa_, pb_ = p[ia], p[ib]
-        ubound = 1 + np.minimum(la - 1 - pa_, lb - 1 - pb_)
-        need = threshold / (1.0 + threshold) * (la + lb)
-        keep &= ubound >= need - 1e-9
-    return ids[ia[keep]], ids[ib[keep]]
+    p = pos[order] if pos is not None else None
+    n = len(ids)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    chunk = 1024
+    for s in range(0, n - 1, chunk):
+        e = min(s + chunk, n - 1)
+        anchors = np.arange(s, e)
+        reps = n - 1 - anchors                       # partners per anchor
+        ia = np.repeat(anchors, reps)
+        ib = (np.arange(len(ia))
+              - np.repeat(np.cumsum(reps) - reps, reps)
+              + np.repeat(anchors, reps) + 1)
+        la, lb = lens[ia], lens[ib]
+        # epsilon keeps the filter a NECESSARY condition under float
+        # rounding (0.7*10 -> 6.999..7.001); verify re-checks exactly
+        keep = np.minimum(la, lb) >= threshold * np.maximum(la, lb) - 1e-9
+        if p is not None:
+            pa_, pb_ = p[ia], p[ib]
+            ubound = 1 + np.minimum(la - 1 - pa_, lb - 1 - pb_)
+            need = threshold / (1.0 + threshold) * (la + lb)
+            keep &= ubound >= need - 1e-9
+        if keep.any():
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+    if not out_a:
+        z = np.zeros(0, ids.dtype)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
 @register_op("ngram_jaccard_dedup")

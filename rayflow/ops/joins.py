@@ -176,7 +176,6 @@ def build_sharded_semi(*, right, on: str, right_on: str | None = None,
                     [f"__semi_{c}" if c == rk else c for c in t.column_names]),
                 batch_format="pyarrow", zero_copy_batch=True)
             rk = f"__semi_{rk}"
-        cols = None
 
         def finish(t: pa.Table) -> pa.Table:
             mask = pc.is_valid(t.column("__semi_n"))
@@ -214,6 +213,11 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
     avoided entirely.  Default stays ``"shuffle"`` (explicit is better
     for a bench surface)."""
 
+    # normalize SQL shorthands once so every branch (auto-broadcast
+    # gate included) sees one spelling
+    how = {"left_outer": "left", "right_outer": "right",
+           "outer": "full_outer", "full": "full_outer"}.get(how, how)
+
     def apply(ds):
         r = right
         if strategy == "auto" and how in ("inner", "left"):
@@ -225,9 +229,8 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
                 if small.num_rows or small.num_columns:
                     return build_broadcast_join(
                         small=small, on=on, right_on=right_on, how=how)(ds)
-        # Dataset.join takes *_outer names; accept the SQL shorthands
-        jt = {"left": "left_outer", "right": "right_outer",
-              "outer": "full_outer", "full": "full_outer"}.get(how, how)
+        # Dataset.join takes *_outer names
+        jt = {"left": "left_outer", "right": "right_outer"}.get(how, how)
         return ds.join(
             r,
             join_type=jt,

@@ -443,10 +443,7 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         px = decode_bmp(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
-        px = decode_png(payload)
-        if px.shape[2] < 3:                    # gray / gray+alpha
-            px = np.repeat(px[..., :1], 3, axis=2)
-        px = px[..., :3]
+        px = decode_png(payload)               # channel fixup in the tail
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         frames, _delays = decode_gif(payload)
         px = frames[0]
@@ -484,8 +481,9 @@ def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     wy = np.clip(y - y0, 0.0, 1.0)[:, None, None]
     wx = np.clip(x - x0, 0.0, 1.0)[None, :, None]
     p = px.astype(np.float64)
-    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
-    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    r0, r1 = p[y0], p[y1]              # gather each source-row set once
+    top = r0[:, x0] * (1.0 - wx) + r0[:, x1] * wx
+    bot = r1[:, x0] * (1.0 - wx) + r1[:, x1] * wx
     out = top * (1.0 - wy) + bot * wy
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 

@@ -481,8 +481,12 @@ def build_profile_columns(*, columns: list[str],
                 col = t.column(c)
                 n = len(col)
                 nulls = col.null_count
+                # decimals fold as float64 (numeric order; a string fold
+                # would rank '9.00' over '10.00') — documented precision
+                # caveat for >2^53 significands
                 kind = ("i" if pa.types.is_integer(col.type)
-                        else "f" if pa.types.is_floating(col.type)
+                        else "f" if (pa.types.is_floating(col.type)
+                                     or pa.types.is_decimal(col.type))
                         else "s")
                 rec = {"column": c, "n_rows": n, "n_nulls": nulls,
                        "kind": kind, "min_i": None, "max_i": None,
@@ -505,8 +509,7 @@ def build_profile_columns(*, columns: list[str],
                 ("min_f", pa.float64()), ("max_f", pa.float64()),
                 ("min_s", pa.string()), ("max_s", pa.string())]))
 
-        cheap = collect_table(
-            ds.map_batches(cheap_partial, **_PA_KW)).to_pandas()
+        cheap = collect_table(ds.map_batches(cheap_partial, **_PA_KW))
 
         def distinct_partial(t: pa.Table) -> pa.Table:
             outs = []
@@ -544,23 +547,21 @@ def build_profile_columns(*, columns: list[str],
 
         import pandas as pd
 
-        g = cheap.groupby("column", sort=False)
-
-        def _fmt(v, kind):
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                return None
-            return str(int(v)) if kind == "i" else str(v)
-
+        # fold in ARROW, per column: pandas would coerce int64-with-null
+        # partials to float64 and round extremes above 2^53
         recs = []
-        for col_name, grp in g:
-            kind = grp["kind"].iloc[0]
+        for col_name in columns:
+            grp = cheap.filter(pc.equal(cheap["column"], col_name))
+            kind = grp["kind"][0].as_py() if grp.num_rows else "s"
             suffix = {"i": "_i", "f": "_f", "s": "_s"}[kind]
+            lo = pc.min(grp["min" + suffix]).as_py()
+            hi = pc.max(grp["max" + suffix]).as_py()
             recs.append({
                 "column": col_name,
-                "n_rows": int(grp["n_rows"].sum()),
-                "n_nulls": int(grp["n_nulls"].sum()),
-                "min_str": _fmt(grp["min" + suffix].min(), kind),
-                "max_str": _fmt(grp["max" + suffix].max(), kind),
+                "n_rows": int(pc.sum(grp["n_rows"]).as_py() or 0),
+                "n_nulls": int(pc.sum(grp["n_nulls"]).as_py() or 0),
+                "min_str": None if lo is None else str(lo),
+                "max_str": None if hi is None else str(hi),
             })
         agg = pd.DataFrame(recs)
         out = agg.merge(nd_df[["column", "n_distinct"]], on="column",

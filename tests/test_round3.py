@@ -1196,3 +1196,21 @@ def test_profile_columns_exact_and_approx(ray_session):
     # HLL at tiny cardinality is exact
     assert approx.loc["a", "n_distinct"] == 3
     assert approx.loc["b", "n_distinct"] == 2
+
+
+def test_profile_columns_int64_beyond_2_53(ray_session):
+    """Extremes above 2^53 must survive the driver fold exactly (a
+    pandas fold would coerce int64-with-null partials to float64);
+    mixed-type column sets exercise the null-bearing partial rows."""
+    import ray.data as rd
+
+    big = 9007199254740993          # 2^53 + 1, not float64-representable
+    t = pa.table({
+        "id": pa.array([big, 7, big + 4], pa.int64()),
+        "name": pa.array(["a", None, "b"]),
+    })
+    out = build_op({"op": "profile_columns", "columns": ["id", "name"]})(
+        rd.from_arrow(t).repartition(2)).to_pandas().set_index("column")
+    assert out.loc["id", "min_str"] == "7"
+    assert out.loc["id", "max_str"] == str(big + 4)
+    assert out.loc["id", "n_distinct"] == 3
