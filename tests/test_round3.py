@@ -1214,3 +1214,64 @@ def test_profile_columns_int64_beyond_2_53(ray_session):
     assert out.loc["id", "min_str"] == "7"
     assert out.loc["id", "max_str"] == str(big + 4)
     assert out.loc["id", "n_distinct"] == 3
+
+
+# -- IO / plumbing ops roundtrip (the untested-op audit) -----------------------
+
+
+def test_io_ops_roundtrip(ray_session, tmp_path):
+    """read_csv/read_json/read_text sources, write_parquet/write_json/
+    route_write sinks, and sample/repartition/union plumbing — every op
+    the audit found without a direct test, in one roundtrip."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    csv_p = tmp_path / "in.csv"
+    csv_p.write_text("k,v\n1,a\n2,b\n3,c\n")
+    jsonl_p = tmp_path / "in.jsonl"
+    jsonl_p.write_text('{"k": 10, "v": "x"}\n{"k": 11, "v": "y"}\n')
+    txt_p = tmp_path / "in.txt"
+    txt_p.write_text("alpha\nbeta\n")
+
+    csv_ds = build_op({"op": "read_csv", "paths": str(csv_p)})()
+    json_ds = build_op({"op": "read_json", "paths": str(jsonl_p)})()
+    txt_ds = build_op({"op": "read_text", "paths": str(txt_p)})()
+    assert csv_ds.count() == 3 and json_ds.count() == 2
+    assert sorted(r["text"] for r in txt_ds.take_all()) == ["alpha", "beta"]
+
+    # union + repartition + sample
+    u = build_op({"op": "union", "others": [json_ds]})(csv_ds)
+    u = build_op({"op": "repartition", "num_blocks": 2})(u)
+    assert u.count() == 5
+    s = build_op({"op": "sample", "fraction": 1.0})(u)
+    assert s.count() == 5
+    assert build_op({"op": "sample", "fraction": 1.0, "seed": 7})(
+        u).count() == 5
+
+    # sinks
+    pdir = str(tmp_path / "out_parquet")
+    build_op({"op": "write_parquet", "path": pdir})(u)
+    back = pq.read_table(glob.glob(pdir + "/*.parquet")[0] if len(
+        glob.glob(pdir + "/*.parquet")) == 1 else pdir)
+    assert back.num_rows == 5
+
+    jdir = str(tmp_path / "out_json")
+    build_op({"op": "write_json", "path": jdir})(u)
+    rows = []
+    for f in glob.glob(jdir + "/*.json"):
+        rows += [_json.loads(x) for x in open(f) if x.strip()]
+    assert sorted(r["k"] for r in rows) == [1, 2, 3, 10, 11]
+
+    rdir = str(tmp_path / "routed")
+    routed = build_op({"op": "mapping",
+                       "cols": {"route": E.F("if_else",
+                                             E.col("k") < 10,
+                                             E.lit("small"), E.lit("big"))}})(u)
+    build_op({"op": "route_write", "path": rdir, "route_col": "route"})(routed)
+    assert sorted(p.split("route=")[-1] for p in glob.glob(rdir + "/route=*")) \
+        == ["big", "small"]
+    small = pa.concat_tables([
+        pq.read_table(f) for f in glob.glob(rdir + "/route=small/*.parquet")])
+    assert small.num_rows == 3
