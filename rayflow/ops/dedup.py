@@ -1107,3 +1107,92 @@ def build_heavy_hitters(*, column: str, k: int = 10, slack: int = 8):
                               count_col="approx_count", k=k)
 
     return apply
+
+
+# -- duplicate-span detection (exact substring-dedup signal) -----------------
+
+
+def _span_hashes(text: str, k: int) -> set[int]:
+    """crc32 of every k-token window; EMPTY for docs under k tokens
+    (matching the SQL oracle's window bound, unlike _token_shingles
+    which hashes short docs whole)."""
+    toks = text.split()
+    if len(toks) < k:
+        return set()
+    return {
+        zlib.crc32(" ".join(toks[i: i + k]).encode())
+        for i in range(len(toks) - k + 1)
+    }
+
+
+@register_op("dup_span_pairs")
+def build_dup_span_pairs(*, k_tokens: int = 50, text_col: str = "text",
+                         id_col: str = "doc_id", n_buckets: int = 256,
+                         hot_span_limit: int = 20_000):
+    """Document pairs sharing at least one duplicated k-token SPAN —
+    the exact-substring-duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", public literature)
+    computed as hashed k-gram windows instead of a suffix array:
+    span-level duplication catches boilerplate/quotation reuse that
+    whole-document Jaccard misses.
+
+    Returns (doc_a, doc_b, n_shared) = distinct shared windows per
+    pair.  Plan: hashed windows + bucket groupby (same ~n_buckets-group
+    run detection as the other dedup ops) → pair counts via one keyed
+    combine.  A window shared by more docs than ``hot_span_limit`` is a
+    mass-boilerplate clique and fails LOUD (run exact dedup or strip
+    the boilerplate first) rather than emitting c^2/2 pairs."""
+
+    def apply(ds):
+        from rayflow.ops import build_op, prefer_push_shuffle
+
+        prefer_push_shuffle()
+
+        def span_rows(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            ids = t.column(id_col).to_numpy()
+            sets = [_span_hashes(x or "", k_tokens) for x in texts]
+            lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+            flat = (np.concatenate([
+                np.fromiter(s, np.int64, len(s)) for s in sets if s
+            ]) if lens.sum() else np.zeros(0, np.int64))
+            return pa.table({
+                "sh": pa.array(flat, pa.int64()),
+                id_col: pa.array(np.repeat(ids, lens)),
+                "bucket": pa.array((flat % n_buckets).astype(np.int32)),
+            })
+
+        rows = ds.map_batches(span_rows, **_PA_KW)
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            sh = g["sh"].to_numpy()
+            ids = g[id_col].to_numpy()
+            order = np.argsort(sh, kind="stable")
+            sh, ids = sh[order], ids[order]
+            _, starts, counts = np.unique(sh, return_index=True,
+                                          return_counts=True)
+            frames = []
+            for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+                if c > hot_span_limit:
+                    raise ValueError(
+                        f"dup_span_pairs: one {k_tokens}-token span occurs "
+                        f"in {c} documents (> hot_span_limit="
+                        f"{hot_span_limit}) — mass boilerplate; exact-dedup "
+                        f"or strip it first, or raise the limit")
+                run = np.unique(ids[s:s + c])   # same span twice in one doc
+                if len(run) >= 2:
+                    frames.append(_pairs_from_ids(run))
+            if not frames:
+                return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                     "doc_b": pd.Series([], dtype=np.int64)})
+            return pd.concat(frames, ignore_index=True)
+
+        pairs = rows.groupby("bucket").map_groups(
+            bucket_pairs, batch_format="pandas"
+        ).map_batches(lambda t: t, **_PA_KW)
+        return build_op({
+            "op": "group_agg", "keys": ["doc_a", "doc_b"],
+            "aggs": [("count", None, "n_shared")],
+        })(pairs)
+
+    return apply

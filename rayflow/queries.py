@@ -843,6 +843,32 @@ def minhash_near_dup(sf_dir: str):
 
 
 @query(
+    "dup_span_pairs_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS tk
+      FROM documents
+    ), w AS (
+      SELECT doc_id, array_to_string(tk[i:i+19], ' ') AS span
+      FROM toks, (SELECT unnest(range(1, 5000)) AS i) r
+      WHERE i + 19 <= len(tk)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(DISTINCT a.span) AS BIGINT) AS n_shared
+    FROM w a JOIN w b ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dup_span_pairs_docs(sf_dir: str):
+    """Exact duplicated-span detection (`dup_span_pairs`, k=20): pairs
+    of documents sharing at least one 20-token window — the
+    substring-duplication signal whole-document Jaccard misses (Lee et
+    al. dedup, hashed windows instead of a suffix array)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return build_op({"op": "dup_span_pairs", "k_tokens": 20})(ds)
+
+
+@query(
     "profile_documents",
     """
     WITH one AS (

@@ -1275,3 +1275,43 @@ def test_io_ops_roundtrip(ray_session, tmp_path):
     small = pa.concat_tables([
         pq.read_table(f) for f in glob.glob(rdir + "/route=small/*.parquet")])
     assert small.num_rows == 3
+
+
+# -- dup_span_pairs -------------------------------------------------------------
+
+
+def test_dup_span_pairs_planted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(400)]
+    base = " ".join(rng.choice(vocab, size=60))
+    shared = " ".join(rng.choice(vocab, size=25))     # 25-token span
+    docs = [
+        base,
+        " ".join(rng.choice(vocab, size=40)) + " " + shared,
+        shared + " " + " ".join(rng.choice(vocab, size=40)),
+        " ".join(rng.choice(vocab, size=50)),          # unrelated
+        "short doc",                                   # < k tokens: no spans
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = build_op({"op": "dup_span_pairs", "k_tokens": 20})(
+        rd.from_arrow(t)).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+    assert list(zip(out.doc_a, out.doc_b)) == [(1, 2)]
+    # docs 1 and 2 share exactly the 25-token span: 25-20+1 = 6 windows
+    assert out.n_shared.tolist() == [6]
+
+
+def test_dup_span_hot_limit_raises(ray_session):
+    import ray.data as rd
+
+    span = " ".join(f"t{i}" for i in range(20))
+    docs = [span + f" unique{i}" for i in range(9)]
+    t = pa.table({"doc_id": pa.array(range(9), pa.int64()),
+                  "text": pa.array(docs)})
+    op = build_op({"op": "dup_span_pairs", "k_tokens": 20,
+                   "hot_span_limit": 4})
+    with pytest.raises(Exception, match="hot_span_limit"):
+        op(rd.from_arrow(t)).materialize()
