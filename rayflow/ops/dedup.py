@@ -301,22 +301,49 @@ def pair_jaccard(sa, sb) -> np.ndarray:
     into a single uint64 and a plain ``np.sort`` replaces
     ``np.lexsort`` — measured 235 s -> ~6 s on a 64M-element
     verify at sf0.1 (lexsort's two stable merge passes are the
-    difference).  Falls back to lexsort for out-of-range values."""
+    difference).  Falls back to lexsort for out-of-range values.
+
+    ALLOCATION-LEAN on purpose: the fast path touches ONE fresh
+    uint64 buffer (segment ids built by in-place marker cumsum,
+    values OR-ed in from zero-copy views of the Arrow/bytes
+    payload) instead of the seg/vals/casts temporaries — ~5x less
+    fresh memory, which is also ~5x less exposure to first-touch
+    page-fault stalls on memory-pressured hosts (BASELINE.md)."""
     fx, lx = _flatpack(sa)
     fy, ly = _flatpack(sb)
     npair = len(lx)
-    idxs = np.arange(npair)
-    seg = np.concatenate([np.repeat(idxs, lx), np.repeat(idxs, ly)])
-    vals = np.concatenate([fx, fy])
-    if len(vals) and 0 <= vals.min() and vals.max() < (1 << 32) \
-            and npair < (1 << 31):
-        key = (seg.astype(np.uint64) << np.uint64(32)) \
-            | vals.astype(np.uint64)
+    nx, m = len(fx), len(fx) + len(fy)
+    in_range = (
+        m > 0 and npair < (1 << 31)
+        and 0 <= int(fx.min(initial=0)) and int(fx.max(initial=0)) < (1 << 32)
+        and 0 <= int(fy.min(initial=0)) and int(fy.max(initial=0)) < (1 << 32)
+    )
+    if m == 0:
+        inter = np.zeros(npair, np.int64)
+    elif in_range:
+        key = np.zeros(m, np.uint64)
+        # segment ids via boundary markers + in-place cumsum, one half
+        # at a time (each half restarts at pair 0); markers at/past a
+        # half's end belong to element-less segments and are dropped
+        bx = np.cumsum(lx)[:-1]
+        bx = bx[bx < nx]
+        np.add.at(key, bx, 1)                      # empty segs stack
+        np.cumsum(key[:nx], out=key[:nx])
+        by = np.cumsum(ly)[:-1] + nx
+        by = by[by < m]
+        np.add.at(key, by, 1)
+        np.cumsum(key[nx:], out=key[nx:])
+        key <<= np.uint64(32)
+        key[:nx] |= fx.view(np.uint64)             # zero-copy payload views
+        key[nx:] |= fy.view(np.uint64)
         key.sort()
         dup = key[1:] == key[:-1]
         seg_dup = (key[1:][dup] >> np.uint64(32)).astype(np.int64)
         inter = np.bincount(seg_dup, minlength=npair)
     else:
+        idxs = np.arange(npair)
+        seg = np.concatenate([np.repeat(idxs, lx), np.repeat(idxs, ly)])
+        vals = np.concatenate([fx, fy])
         order = np.lexsort((vals, seg))
         seg_s, val_s = seg[order], vals[order]
         dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
