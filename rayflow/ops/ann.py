@@ -104,6 +104,27 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _corpus_bytes_estimate(ds) -> int | None:
+    """Cheap (metadata-only, never executes the plan) corpus size: the
+    sum of the dataset's input-file sizes.  None when the input isn't
+    file-backed or a file is remote — auto-routing then stays on the
+    streaming path rather than forcing execution to find out."""
+    import os
+
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not os.path.exists(f):
+            return None
+        total += os.path.getsize(f)
+    return total
+
+
 @register_op("knn_bruteforce")
 def build_knn_bruteforce(*, queries, query_ids, k: int = 10,
                          vec_col: str = "embedding", id_col: str = "vec_id",
@@ -174,11 +195,22 @@ class LshIndexStage:
 def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
                   n_planes: int = 10, seed: int = 42,
                   vec_col: str = "embedding", id_col: str = "vec_id",
-                  concurrency: int = 2):
+                  concurrency: int = 2,
+                  index_above_bytes: int | None = 256 << 20,
+                  index_path: str | None = None):
     """Approximate top-k: bucket the corpus by hyperplane signs, search
-    only each query's bucket with exact cosine.  At 100 TB the bucketed
-    corpus would be written as bucket-partitioned Parquet and each query
-    reads one partition — here the bucket filter streams."""
+    only each query's bucket with exact cosine.
+
+    AUTO-ROUTED scale path: when the corpus's input files exceed
+    ``index_above_bytes`` (metadata-only estimate; None disables), the
+    op builds / reuses the bucket-partitioned on-disk
+    :class:`LshIndex` at ``index_path`` and probes it — each query
+    then READS only its bucket's partitions (bytes pruned by the
+    2^n_planes bucket count) instead of streaming the whole corpus
+    per probe batch.  Identical results by construction: same seed →
+    same hyperplanes → same buckets → same exact-cosine top-k.  On a
+    multi-node cluster pass an ``index_path`` on shared storage; the
+    tempdir default is single-node."""
     import ray
 
     q = np.asarray(queries, dtype=np.float64)
@@ -219,6 +251,19 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
         })
 
     def apply(ds):
+        if index_above_bytes is not None:
+            est = _corpus_bytes_estimate(ds)
+            if est is not None and est > index_above_bytes:
+                import os
+                import tempfile
+
+                path = index_path or tempfile.mkdtemp(
+                    prefix="rayflow_lsh_idx_")
+                if not os.path.exists(os.path.join(path, "meta.json")):
+                    LshIndex.build(ds, path, dim=dim, n_planes=n_planes,
+                                   seed=seed, vec_col=vec_col,
+                                   id_col=id_col, concurrency=concurrency)
+                return LshIndex(path).probe(queries, query_ids, k=k)
         indexed = ds.map_batches(
             LshIndexStage,
             fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
@@ -703,13 +748,22 @@ def build_ann_ivf_probe_stage(q, qids, q_lists, *, k: int,
 def build_ann_ivf(*, queries, query_ids, k: int = 10, n_clusters: int = 32,
                   nprobe: int = 4, seed: int = 42, train_sample: np.ndarray | None = None,
                   vec_col: str = "embedding", id_col: str = "vec_id",
-                  concurrency: int = 2):
+                  concurrency: int = 2,
+                  index_above_bytes: int | None = 256 << 20,
+                  index_path: str | None = None):
     """IVF approximate top-k: k-means coarse quantizer assigns every
     vector to an inverted list; each query probes its ``nprobe`` closest
-    lists with exact cosine.  The scale path writes lists as partitioned
-    Parquet so a query reads nprobe/n_clusters of the corpus.  Train
-    sample defaults to the query matrix ∪ whatever the caller passes —
-    at corpus scale, pass a seeded sample of the corpus."""
+    lists with exact cosine.  Train sample defaults to the query matrix
+    ∪ whatever the caller passes — at corpus scale, pass a seeded
+    sample of the corpus.
+
+    AUTO-ROUTED scale path (mirror of ``ann_lsh``): above
+    ``index_above_bytes`` of input files the op builds / reuses the
+    list-partitioned on-disk :class:`IvfIndex` at ``index_path`` and
+    probes it — a query READS only its ``nprobe`` list partitions
+    (~nprobe/n_clusters of the corpus bytes) instead of streaming
+    everything.  Same centroids (same train sample + seed) → identical
+    list assignment and results."""
     import ray
 
     q = _normalize_rows(np.asarray(queries, dtype=np.float64))
@@ -762,6 +816,21 @@ def build_ann_ivf(*, queries, query_ids, k: int = 10, n_clusters: int = 32,
         })
 
     def apply(ds):
+        if index_above_bytes is not None:
+            est = _corpus_bytes_estimate(ds)
+            if est is not None and est > index_above_bytes:
+                import os
+                import tempfile
+
+                path = index_path or tempfile.mkdtemp(
+                    prefix="rayflow_ivf_idx_")
+                if not os.path.exists(os.path.join(path, "meta.json")):
+                    IvfIndex.build(ds, path, train_sample=train,
+                                   n_clusters=n_clusters, seed=seed,
+                                   vec_col=vec_col, id_col=id_col,
+                                   concurrency=concurrency)
+                return IvfIndex(path).probe(queries, query_ids, k=k,
+                                            nprobe=nprobe)
         indexed = ds.map_batches(
             IvfAssignStage,
             fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),

@@ -727,6 +727,10 @@ def build_rate_limit(*, resource: str, rate: float | None = None,
     backpressure bounds memory, not throughput."""
     import time as _time
 
+    if cost not in ("rows", "batches"):
+        raise ValueError(
+            f"rate_limit: cost must be 'rows' or 'batches', got {cost!r}")
+
     def apply(ds):
         def fn(t: pa.Table) -> pa.Table:
             from rayflow.state import get_rate_limiter

@@ -36,14 +36,125 @@ _PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
 _MERSENNE = (1 << 61) - 1
 
 
+_FNV = 1099511628211  # FNV-1a prime, the window-combine base
+_M64 = (1 << 64) - 1
+_M32 = np.uint64(0xFFFFFFFF)
+
+
 def _token_shingles(text: str, k: int) -> set[int]:
+    """Per-doc token-shingle hash set — scalar REFERENCE implementation.
+
+    Token hash = crc32(token); window hash = Horner polynomial combine
+    of the k token hashes in Z_2^64 (base = FNV prime), masked to 32
+    bits so ``pair_jaccard``'s packed (pair << 32 | value) fast path
+    applies.  Docs with 0 < t < k tokens get ONE shingle combining all
+    t tokens.  ``shingle_hash_batch`` below is the vectorized hot path
+    and must agree bit-for-bit (property-tested)."""
     toks = text.split()
-    if len(toks) < k:
-        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
-    return {
-        zlib.crc32(" ".join(toks[i : i + k]).encode())
-        for i in range(len(toks) - k + 1)
-    }
+    if not toks:
+        return set()
+    hs = [zlib.crc32(t.encode("utf-8", "surrogatepass")) for t in toks]
+    wins = [hs] if len(hs) < k else [
+        hs[i: i + k] for i in range(len(hs) - k + 1)]
+    out = set()
+    for w in wins:
+        h = 0
+        for x in w:
+            h = (h * _FNV + x) & _M64
+        out.add(h & 0xFFFFFFFF)
+    return out
+
+
+def shingle_hash_batch(col, k: int, *, short_whole_doc: bool = True,
+                       hash_bits: int = 32) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc SORTED-UNIQUE shingle hashes for a whole
+    batch: returns ``(flat int64 hashes, per-doc counts int64)``.
+
+    One Arrow whitespace split, dictionary-encode so crc32 runs once
+    per UNIQUE token, polynomial window combine in k shifted vectorized
+    passes (the flat-window trick shared with curation._ngram_hashes),
+    then per-doc unique via a single packed ``(doc << 32 | hash)``
+    sort (lexsort when ``hash_bits`` > 32).  Bit-identical to
+    ``_token_shingles`` per doc at the defaults; no per-row Python
+    beyond the unique-token crc32 loop.
+
+    ``short_whole_doc``: hash docs with 0 < t < k tokens as ONE
+    whole-doc shingle (the Jaccard-dedup convention) vs dropping them
+    (the span-duplication convention).  ``hash_bits``: 32 keeps
+    ``pair_jaccard``'s packed fast path; 64 (stored wrapped in int64)
+    makes collisions negligible for UNVERIFIED consumers like
+    ``dup_span_pairs``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    import pyarrow.compute as _pc
+
+    toks = _pc.utf8_split_whitespace(_pc.fill_null(col, ""))
+    raw_counts = _pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = _pc.list_flatten(toks)
+    denc = _pc.dictionary_encode(flat)
+    denc = denc.combine_chunks() if isinstance(denc, pa.ChunkedArray) else denc
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = denc.dictionary
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+    if len(values):
+        # Arrow's whitespace split emits empty edge tokens — drop them
+        # (str.split() never yields empties)
+        nonempty = _pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        keep = nonempty[codes]
+        codes, doc_idx = codes[keep], doc_idx[keep]
+    tok_hash = np.array(
+        [zlib.crc32(v.encode("utf-8", "surrogatepass"))
+         for v in values.to_pylist()],
+        dtype=np.uint64)
+    h_tok = tok_hash[codes] if len(codes) else np.empty(0, np.uint64)
+    tcnt = np.bincount(doc_idx, minlength=n)
+    pow_k = np.array([pow(_FNV, j, 1 << 64) for j in range(max(k, 1))],
+                     dtype=np.uint64)
+    parts_h, parts_d = [], []
+    m = len(h_tok) - k + 1
+    if m > 0:
+        wh = np.zeros(m, np.uint64)
+        for j in range(k):
+            wh += h_tok[j: j + m] * pow_k[k - 1 - j]
+        same = doc_idx[:m] == doc_idx[k - 1:]
+        parts_h.append(wh[same])
+        parts_d.append(doc_idx[:m][same])
+    short = (tcnt > 0) & (tcnt < k) if short_whole_doc \
+        else np.zeros(n, bool)
+    if short.any():
+        smask = short[doc_idx]
+        sd = doc_idx[smask]
+        starts = np.concatenate(([0], np.cumsum(tcnt)))[:-1]
+        local = np.nonzero(smask)[0] - starts[sd]
+        contrib = h_tok[smask] * pow_k[tcnt[sd] - 1 - local]
+        rstarts = np.nonzero(np.concatenate(([True], sd[1:] != sd[:-1])))[0]
+        parts_h.append(np.add.reduceat(contrib, rstarts))
+        parts_d.append(sd[rstarts])
+    if not parts_h:
+        return np.zeros(0, np.int64), np.zeros(n, np.int64)
+    if hash_bits <= 32:
+        key = (np.concatenate(parts_d).astype(np.uint64) << np.uint64(32)) \
+            | (np.concatenate(parts_h) & _M32)
+        key.sort()
+        um = np.empty(len(key), bool)
+        um[0] = True
+        np.not_equal(key[1:], key[:-1], out=um[1:])
+        ukey = key[um]
+        return ((ukey & _M32).astype(np.int64),
+                np.bincount((ukey >> np.uint64(32)).astype(np.int64),
+                            minlength=n))
+    h = np.concatenate(parts_h).view(np.int64)   # wrap to signed 64-bit
+    d = np.concatenate(parts_d)
+    order = np.lexsort((h, d))
+    h, d = h[order], d[order]
+    um = np.empty(len(h), bool)
+    um[0] = True
+    um[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    return h[um], np.bincount(d[um], minlength=n)
 
 
 def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -59,22 +170,29 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 def minhash_batch(shingle_sets: list[set[int]], a: np.ndarray,
                   b: np.ndarray) -> np.ndarray:
-    """Vectorized minhash for a whole batch of documents.
-
-    One ``(total_shingles, num_perm)`` hash matrix + ``np.minimum.reduceat``
-    segment-min per doc — ~50x faster than the per-doc loop at corpus
-    scale (the per-doc path remains for verification).  Returns
-    ``(n_docs, num_perm)`` uint64."""
-    n_docs, n_perm = len(shingle_sets), len(a)
+    """Minhash for a batch given per-doc shingle SETS (reference /
+    small-group path) — delegates to the flat kernel."""
     counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    flat = (np.concatenate([
+        np.fromiter(s, dtype=np.uint64, count=len(s))
+        for s in shingle_sets if s
+    ]) if counts.sum() else np.zeros(0, np.uint64))
+    return minhash_flat(flat, counts, a, b)
+
+
+def minhash_flat(flat: np.ndarray, counts: np.ndarray, a: np.ndarray,
+                 b: np.ndarray) -> np.ndarray:
+    """Vectorized minhash over a flat per-doc-segmented shingle-hash
+    stream (``shingle_hash_batch`` output): ``np.minimum.reduceat``
+    segment-min per doc, one pass per permutation — ~50x faster than
+    any per-doc loop at corpus scale.  Returns ``(n_docs, num_perm)``
+    uint64."""
+    n_docs, n_perm = len(counts), len(a)
     out = np.full((n_docs, n_perm), _MERSENNE, dtype=np.uint64)
     nz = counts > 0
     if not nz.any():
         return out
-    flat = np.concatenate([
-        np.fromiter(s, dtype=np.uint64, count=len(s))
-        for s, c in zip(shingle_sets, counts) if c > 0
-    ])
+    flat = flat.astype(np.uint64, copy=False)
     offsets = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
     # one pass per permutation over the flat shingle vector: identical
     # values to the (total, perm) matrix formulation, but no multi-
@@ -102,10 +220,9 @@ class MinHasher:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_numpy(zero_copy_only=False)
         ids = t.column(self.id_col).to_numpy()
-        shingle_sets = [_token_shingles(s or "", self.k) for s in texts]
-        sigs = minhash_batch(shingle_sets, self.a, self.b).astype(np.int64)
+        flat, cnts = shingle_hash_batch(t.column(self.text_col), self.k)
+        sigs = minhash_flat(flat, cnts, self.a, self.b).astype(np.int64)
         return pa.table({
             self.id_col: pa.array(ids),
             "sig": pa.array(list(sigs), type=pa.list_(pa.int64())),
@@ -412,16 +529,20 @@ def verify_candidate_pairs(ds, raw_pairs, *, threshold: float,
     def cand_shingles(t: pa.Table) -> pa.Table:
         need = _fetch(need_ref, lambda v: v)
         t = t.filter(pc.is_in(t.column(id_col), value_set=need))
-        texts = t.column(text_col).to_numpy(zero_copy_only=False)
         # packed as int64-LE bytes: Arrow's hash join rejects list<>
-        # payload columns, binary passes through fine
-        sets = [
-            np.sort(np.fromiter(s, np.int64, len(s))).tobytes()
-            for s in (_token_shingles(x or "", shingle_k) for x in texts)
-        ]
+        # payload columns, binary passes through fine.  The kernel
+        # already emits per-doc sorted-unique hashes, so the binary
+        # array is built zero-copy from (offsets, flat buffer).
+        flat, cnts = shingle_hash_batch(t.column(text_col), shingle_k)
+        offs = np.zeros(len(cnts) + 1, np.int64)
+        np.cumsum(cnts * 8, out=offs[1:])
+        sh = pa.Array.from_buffers(
+            pa.binary(), len(cnts),
+            [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+             pa.py_buffer(flat.tobytes())])
         return pa.table({
             id_col: t.column(id_col),
-            "sh": pa.array(sets, pa.binary()),
+            "sh": sh,
         })
 
     cand_docs = ds.map_batches(cand_shingles, **_PA_KW).materialize()
@@ -561,7 +682,10 @@ def build_ngram_jaccard(*, threshold: float = 0.7, shingle_k: int = 3,
                         n_buckets: int = 256, hot_run_limit: int = 20_000,
                         driver_pair_limit: int = 2_000_000,
                         broadcast_bytes_limit: int = 64 << 20,
-                        join_partitions: int = 8):
+                        join_partitions: int = 8,
+                        prefix_order: str = "hash", min_df: int = 2,
+                        df_broadcast_limit: int = 64 << 20,
+                        stats_out: dict | None = None):
     """EXACT near-duplicate pairs by token-shingle Jaccard — no sketch,
     no recall loss.  Returns every (doc_a, doc_b, jaccard) with
     Jaccard >= threshold, unlike ``minhash_lsh_dedup`` which can miss
@@ -586,49 +710,116 @@ def build_ngram_jaccard(*, threshold: float = 0.7, shingle_k: int = 3,
     3. shared exact-Jaccard verify (`verify_candidate_pairs`):
        broadcast or sharded-join, identical to the MinHash path.
 
-    Hash-value order is used as the global shingle order (needs no
-    statistics pass).  Document-frequency-ascending order — the
-    classic candidate-minimizing refinement — would first aggregate a
-    shingle→df table and re-rank prefixes by it; at 100 TB that table
-    itself is corpus-dictionary-sized, so it is left as an opt-in
-    refinement rather than the default.  A same-shingle run larger than
-    ``hot_run_limit`` raises (quadratic pair blowup) rather than
-    silently truncating — raise the threshold, enlarge the limit, or
-    use ``minhash_lsh_dedup`` for that corpus."""
+    Hash-value order is the DEFAULT global shingle order (needs no
+    statistics pass).  ``prefix_order="df"`` opts into the classic
+    candidate-minimizing refinement (df-ascending AllPairs, Bayardo
+    WWW'07 §3): one extra aggregation pass builds a shingle →
+    document-frequency table pruned to ``df >= min_df`` (df-1 shingles
+    can't generate candidates, so they need no table entry and sort
+    FIRST as the rarest), every doc re-ranks its shingle set by
+    ``(df asc, hash asc)``, and prefixes then lead with the rarest
+    shingles — same exact output, fewer candidate pairs to verify.
+    The pruned table must fit ``df_broadcast_limit`` (loud failure —
+    raise ``min_df`` on skewed corpora); ``stats_out`` (a dict)
+    receives ``candidate_pairs`` for measuring the reduction.  A
+    same-shingle run larger than ``hot_run_limit`` raises (quadratic
+    pair blowup) rather than silently truncating — raise the
+    threshold, enlarge the limit, or use ``minhash_lsh_dedup`` for
+    that corpus."""
+    if prefix_order not in ("hash", "df"):
+        raise ValueError(
+            f"ngram_jaccard_dedup: prefix_order must be 'hash' or 'df', "
+            f"got {prefix_order!r}")
 
     def apply(ds):
+        import ray
         import ray.data as rd
 
         from rayflow.ops import prefer_push_shuffle
 
         prefer_push_shuffle()
 
+        df_ref = None
+        if prefix_order == "df":
+            from rayflow.ops import build_op as _build_op
+            from rayflow.ops.kernels import collect_table
+
+            def df_partial(t: pa.Table) -> pa.Table:
+                flat, _c = shingle_hash_batch(t.column(text_col), shingle_k)
+                u, c = np.unique(flat, return_counts=True)
+                return pa.table({"sh": pa.array(u, pa.int64()),
+                                 "n": pa.array(c, pa.int64())})
+
+            dft = _build_op({
+                "op": "group_agg", "keys": ["sh"],
+                "aggs": [("sum", "n", "df")],
+            })(ds.map_batches(df_partial, **_PA_KW))
+            dft = dft.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["df"], min_df)),
+                **_PA_KW).materialize()
+            size = dft.size_bytes() or 0
+            if size > df_broadcast_limit:
+                raise ValueError(
+                    f"ngram_jaccard_dedup: df table is {size >> 20} MB "
+                    f"(> df_broadcast_limit={df_broadcast_limit >> 20} MB); "
+                    f"raise min_df (currently {min_df}) or use "
+                    f"prefix_order='hash'")
+            dt = collect_table(dft)
+            keys = dt["sh"].to_numpy()
+            dfs = dt["df"].to_numpy()
+            o = np.argsort(keys)
+            df_ref = ray.put((keys[o], dfs[o]))
+
         def prefix_rows(t: pa.Table) -> pa.Table:
-            texts = t.column(text_col).to_numpy(zero_copy_only=False)
             ids = t.column(id_col).to_numpy()
-            ssets = [_token_shingles(x or "", shingle_k) for x in texts]
-            lens = np.fromiter((len(s) for s in ssets), np.int64, len(ssets))
-            arrs = [
-                # +1e-9 so float rounding can only LENGTHEN the prefix
-                # (0.3*10 -> 2.999..; a short prefix would lose recall)
-                np.sort(np.fromiter(s, np.int64, len(s)))[
-                    : int((1.0 - threshold) * len(s) + 1e-9) + 1]
-                if s else np.array([-1], np.int64)
-                for s in ssets
-            ]
-            plens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
-            flat = (np.concatenate(arrs) if arrs
-                    else np.zeros(0, np.int64))
+            # kernel output is per-doc sorted-unique — exactly the fixed
+            # global (hash) order AllPairs prefixes need
+            flat, cnts = shingle_hash_batch(t.column(text_col), shingle_k)
+            if df_ref is not None and len(flat):
+                # re-rank each doc's set by (df asc, hash asc): absent
+                # shingles are df=1 (the rarest — lookup misses sort
+                # first); df clipped to 20 bits for the packed key,
+                # which keeps the total order FIXED across docs
+                from rayflow.ops.joins import _fetch
+
+                dk, dv = _fetch(df_ref, lambda v: v)
+                if len(dk):
+                    ix = np.clip(np.searchsorted(dk, flat), 0, len(dk) - 1)
+                    dfv = np.where(dk[ix] == flat, dv[ix], 1)
+                else:
+                    dfv = np.ones(len(flat), np.int64)
+                key = (np.minimum(dfv, (1 << 20) - 1).astype(np.uint64)
+                       << np.uint64(32)) | flat.astype(np.uint64)
+                doc_of = np.repeat(np.arange(len(cnts)), cnts)
+                flat = flat[np.lexsort((key, doc_of))]
+            # +1e-9 so float rounding can only LENGTHEN the prefix
+            # (0.3*10 -> 2.999..; a short prefix would lose recall)
+            plen = ((1.0 - threshold) * cnts + 1e-9).astype(np.int64) + 1
+            starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
             # position of each prefix shingle within its doc's sorted
             # set: feeds the PPJoin positional bound at pair-gen time
-            pos = (np.arange(len(flat), dtype=np.int64)
-                   - np.repeat(np.cumsum(plens) - plens, plens))
+            local = np.arange(len(flat), dtype=np.int64) \
+                - np.repeat(starts, cnts)
+            keep = local < np.repeat(plen, cnts)
+            sh = flat[keep]
+            pos = local[keep]
+            out_ids = np.repeat(ids, cnts)[keep]
+            nsh = np.repeat(cnts, cnts)[keep]
+            empty = cnts == 0
+            if empty.any():
+                # empty shingle sets emit one sentinel row so two empty
+                # docs still meet (their Jaccard is defined as 1)
+                ne = int(empty.sum())
+                sh = np.concatenate([sh, np.full(ne, -1, np.int64)])
+                pos = np.concatenate([pos, np.zeros(ne, np.int64)])
+                out_ids = np.concatenate([out_ids, ids[empty]])
+                nsh = np.concatenate([nsh, np.zeros(ne, np.int64)])
             return pa.table({
-                "sh": pa.array(flat, pa.int64()),
-                id_col: pa.array(np.repeat(ids, plens)),
-                "nsh": pa.array(np.repeat(lens, plens), pa.int64()),
+                "sh": pa.array(sh, pa.int64()),
+                id_col: pa.array(out_ids),
+                "nsh": pa.array(nsh, pa.int64()),
                 "pos": pa.array(pos, pa.int64()),
-                "bucket": pa.array((flat % n_buckets).astype(np.int32)),
+                "bucket": pa.array((sh % n_buckets).astype(np.int32)),
             })
 
         rows = ds.map_batches(prefix_rows, **_PA_KW)
@@ -663,6 +854,8 @@ def build_ngram_jaccard(*, threshold: float = 0.7, shingle_k: int = 3,
         raw_pairs = rows.groupby("bucket").map_groups(
             bucket_prefix_pairs, batch_format="pandas"
         ).map_batches(lambda t: t, **_PA_KW).materialize()
+        if stats_out is not None:
+            stats_out["candidate_pairs"] = raw_pairs.count()
         return verify_candidate_pairs(
             ds, raw_pairs, threshold=threshold, shingle_k=shingle_k,
             text_col=text_col, id_col=id_col,
@@ -1140,16 +1333,26 @@ def build_heavy_hitters(*, column: str, k: int = 10, slack: int = 8):
 
 
 def _span_hashes(text: str, k: int) -> set[int]:
-    """crc32 of every k-token window; EMPTY for docs under k tokens
-    (matching the SQL oracle's window bound, unlike _token_shingles
-    which hashes short docs whole)."""
+    """64-bit hash of every k-token window (crc32 per token + Horner
+    polynomial combine, wrapped to signed int64); EMPTY for docs under
+    k tokens (matching the SQL oracle's window bound, unlike
+    _token_shingles which hashes short docs whole).  64 bits, not 32:
+    span pairs are emitted UNVERIFIED, so collisions would directly
+    fabricate pairs — birthday bound puts expected 32-bit collisions
+    past ~80k distinct windows, a certainty at corpus scale, while
+    64-bit stays negligible.  Scalar reference for the vectorized
+    ``shingle_hash_batch(..., short_whole_doc=False, hash_bits=64)``."""
     toks = text.split()
     if len(toks) < k:
         return set()
-    return {
-        zlib.crc32(" ".join(toks[i: i + k]).encode())
-        for i in range(len(toks) - k + 1)
-    }
+    hs = [zlib.crc32(t.encode("utf-8", "surrogatepass")) for t in toks]
+    out = set()
+    for i in range(len(toks) - k + 1):
+        h = 0
+        for x in hs[i: i + k]:
+            h = (h * _FNV + x) & _M64
+        out.add(h - (1 << 64) if h >= (1 << 63) else h)
+    return out
 
 
 @register_op("dup_span_pairs")
@@ -1176,13 +1379,10 @@ def build_dup_span_pairs(*, k_tokens: int = 50, text_col: str = "text",
         prefer_push_shuffle()
 
         def span_rows(t: pa.Table) -> pa.Table:
-            texts = t.column(text_col).to_numpy(zero_copy_only=False)
             ids = t.column(id_col).to_numpy()
-            sets = [_span_hashes(x or "", k_tokens) for x in texts]
-            lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
-            flat = (np.concatenate([
-                np.fromiter(s, np.int64, len(s)) for s in sets if s
-            ]) if lens.sum() else np.zeros(0, np.int64))
+            flat, lens = shingle_hash_batch(
+                t.column(text_col), k_tokens,
+                short_whole_doc=False, hash_bits=64)
             return pa.table({
                 "sh": pa.array(flat, pa.int64()),
                 id_col: pa.array(np.repeat(ids, lens)),

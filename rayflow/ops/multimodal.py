@@ -8,15 +8,16 @@ worker heap — the block-sizing rule for wide binary rows).
 
 Decode is REAL for every image/audio format the engine emits —
 uncompressed 24-bit BMP, PNG (stdlib zlib + the five scanline
-filters), GIF (LZW), baseline JPEG (``rayflow/ops/jpeg.py``, pure
-numpy Huffman+DCT from the public T.81 spec) and PCM-16 WAV are
+filters), GIF (LZW), baseline AND progressive JPEG
+(``rayflow/ops/jpeg.py``, pure numpy Huffman+DCT from the public
+T.81 spec incl. §G successive approximation) and PCM-16 WAV are
 decoded to actual pixels/samples and featurized from them.  Only
-genuinely library-bound formats (video containers, progressive
-JPEG, non-PCM audio) still raise ``NotImplementedError`` at the
-exact point ffmpeg would plug in; with ``fake=True`` (default) every
-payload gets a deterministic pseudo-decode derived from its bytes,
-and ``fallback_pseudo=True`` keeps real pipelines flowing past
-undecodable payloads.
+genuinely library-bound formats (non-MJPG video codecs,
+arithmetic-coded JPEG, non-PCM audio) still raise
+``NotImplementedError`` at the exact point ffmpeg would plug in;
+with ``fake=True`` (default) every payload gets a deterministic
+pseudo-decode derived from its bytes, and ``fallback_pseudo=True``
+keeps real pipelines flowing past undecodable payloads.
 """
 
 from __future__ import annotations
@@ -491,7 +492,13 @@ def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 class MediaResizer:
     """Actor-pool resize stage: decode → bilinear resize → re-encode
     as PNG.  Same heap math as :class:`MediaDecoder`: batch bytes ≈
-    payload × batch_size × concurrency must fit the worker."""
+    payload × batch_size × concurrency must fit the worker.
+
+    All non-payload columns (ids, metadata, whatever the dataset
+    carries) pass through unchanged for surviving rows; the payload,
+    ``media_type``, ``width`` and ``height`` columns are replaced (or
+    appended) with the resized values — no column-name assumptions
+    beyond ``payload_col``."""
 
     def __init__(self, width: int, height: int,
                  payload_col: str = "payload",
@@ -505,29 +512,30 @@ class MediaResizer:
     def __call__(self, t: pa.Table) -> pa.Table:
         import zlib as _z
 
-        ids, types, outs, ow, oh = [], [], [], [], []
+        keep, outs = [], []
         payloads = t.column(self.payload_col).to_pylist()
-        mids = t.column("media_id").to_pylist()
-        for mid, payload in zip(mids, payloads):
+        for i, payload in enumerate(payloads):
             try:
                 px = decode_image_pixels(payload)
             except (NotImplementedError, ValueError, _z.error):
                 if self.on_non_image == "drop":
                     continue
                 raise
-            rs = resize_bilinear(px, self.h, self.w)
-            outs.append(synth_png_pixels(rs))
-            ids.append(mid)
-            types.append("image/png")
-            ow.append(self.w)
-            oh.append(self.h)
-        return pa.table({
-            "media_id": pa.array(ids, pa.int64()),
-            "media_type": pa.array(types, pa.string()),
-            self.payload_col: pa.array(outs, pa.binary()),
-            "width": pa.array(ow, pa.int32()),
-            "height": pa.array(oh, pa.int32()),
-        })
+            outs.append(synth_png_pixels(resize_bilinear(px, self.h, self.w)))
+            keep.append(i)
+        out = t.take(pa.array(keep, pa.int64()))
+        n = len(keep)
+
+        def _set(tbl: pa.Table, name: str, arr) -> pa.Table:
+            if name in tbl.column_names:
+                return tbl.set_column(tbl.column_names.index(name), name, arr)
+            return tbl.append_column(name, arr)
+
+        out = _set(out, self.payload_col, pa.array(outs, pa.binary()))
+        out = _set(out, "media_type",
+                   pa.array(["image/png"] * n, pa.string()))
+        out = _set(out, "width", pa.array([self.w] * n, pa.int32()))
+        return _set(out, "height", pa.array([self.h] * n, pa.int32()))
 
 
 @register_op("media_resize")
@@ -560,9 +568,10 @@ class MediaDecoder:
 
     ``fake=True`` (default): deterministic pseudo-features for every
     payload (pipeline plumbing without any codec).  ``fake=False``:
-    REAL decode — BMP/PNG/GIF/baseline-JPEG/PCM-WAV are decoded with
-    numpy/stdlib and featurized from actual pixels/samples; formats
-    that need an absent codec (video, progressive JPEG) raise
+    REAL decode — BMP/PNG/GIF/JPEG (baseline + progressive)/PCM-WAV
+    are decoded with numpy/stdlib and featurized from actual
+    pixels/samples; formats that need an absent codec (non-MJPG
+    video, arithmetic JPEG, non-PCM audio) raise
     ``NotImplementedError`` per payload, or fall back to the pseudo
     path when ``fallback_pseudo=True``."""
 

@@ -400,7 +400,10 @@ def build_ngram_lm_score(*, text_col: str = "text", id_col: str = "doc_id",
         kind = mt["kind"].to_numpy(zero_copy_only=False)
         uni = mt.filter(pa.array(kind == 0))
         bg = mt.filter(pa.array(kind == 1))
-        n_vocab = float(uni.num_rows)
+        # degenerate fully-pruned vocabulary: 1.0 keeps the smoothing
+        # denominator finite (score 0.0 for every bigram) instead of
+        # log-divide-by-zero
+        n_vocab = float(uni.num_rows) or 1.0
         model_ref = ray.put({
             "uni_keys": uni["key"].combine_chunks(),
             "uni_cnts": uni["cnt"].to_numpy(zero_copy_only=False)
@@ -425,10 +428,18 @@ def build_ngram_lm_score(*, text_col: str = "text", id_col: str = "doc_id",
                 ui = pc.index_in(w1, value_set=mdl["uni_keys"])
                 bi_np = bi.to_numpy(zero_copy_only=False)
                 ui_np = ui.to_numpy(zero_copy_only=False)
-                cb = np.where(np.isnan(bi_np), 0.0,
-                              mdl["bg_cnts"][np.nan_to_num(bi_np).astype(np.int64)])
-                cu = np.where(np.isnan(ui_np), 0.0,
-                              mdl["uni_cnts"][np.nan_to_num(ui_np).astype(np.int64)])
+                # np.where evaluates BOTH branches: when pruning emptied
+                # a count table, fancy-indexing index 0 into the
+                # zero-length array would IndexError — every lookup is a
+                # miss then, so the counts are all zero
+                cb = (np.zeros(len(bi_np)) if len(mdl["bg_cnts"]) == 0
+                      else np.where(
+                          np.isnan(bi_np), 0.0,
+                          mdl["bg_cnts"][np.nan_to_num(bi_np).astype(np.int64)]))
+                cu = (np.zeros(len(ui_np)) if len(mdl["uni_cnts"]) == 0
+                      else np.where(
+                          np.isnan(ui_np), 0.0,
+                          mdl["uni_cnts"][np.nan_to_num(ui_np).astype(np.int64)]))
                 lp = np.log((cb + alpha) / (cu + alpha * n_vocab))
                 bdoc = doc_idx[:m][same]
                 lp_sum = np.bincount(bdoc, weights=lp, minlength=n_rows)

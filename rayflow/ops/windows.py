@@ -249,15 +249,49 @@ def build_late_filter(*, ts_col: str, keys: list[str] | None = None,
 @register_op("window_session")
 def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
                          aggs: list[tuple[str, str | None, str]] | None = None,
-                         out: str = "session_start"):
+                         out: str = "session_start",
+                         bucket_s: float | None = None):
     """Gap-based session windows: per key, sort by event time and start a
     new session whenever the gap to the previous event exceeds ``gap_s``.
-    ``groupby(keys).map_groups`` — each key's events must fit one worker
-    (the session-window partitioning assumption; salt long-lived keys by
-    coarse time range if not)."""
+
+    MEMORY-BOUNDED on hot keys: a key's history is NOT materialized in
+    one task.  Events group by ``(key, time_bucket)`` — bucket width
+    ``bucket_s`` (default ``1024 * gap_s``) — so a single task sees at
+    most one bucket of one key, regardless of how long-lived the key
+    is.  Sessions that cross bucket boundaries are stitched with a
+    distributed prefix-scan (the pack_chunks trick):
+
+    1. sessionize each ``(key, bucket)`` group locally (fresh-start
+       assumption);
+    2. per-bucket summaries — (first_ts, last_ts, last session start)
+       — reduce to a tiny table the driver folds in time order: a
+       bucket whose first event is within ``gap_s`` of the previous
+       bucket's last event CONTINUES that session, so its leading run
+       (rows still in the bucket's first local session) is rewritten
+       to the carried session start;
+    3. one broadcast map applies the rewrites.
+
+    The driver holds only (key, bucket) summary rows, never events.
+    The intermediate is materialized once (consumed by both the
+    summary reduce and the rewrite map) — blocks live in the object
+    store and spill, not in any worker heap."""
 
     def apply(ds):
         import pandas as pd
+        import ray
+
+        from rayflow.ops.joins import _fetch
+        from rayflow.ops.kernels import collect_table
+
+        bs_us = float(bucket_s if bucket_s is not None
+                      else gap_s * 1024.0) * 1e6
+        bcol, gkeys = "_sess_bucket", keys + ["_sess_bucket"]
+
+        def with_bucket(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                         pa.int64())
+            b = pc.floor(pc.divide(pc.cast(us, pa.float64()), bs_us))
+            return t.append_column(bcol, pc.cast(b, pa.int64()))
 
         def sessionize(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(ts_col).reset_index(drop=True)
@@ -269,7 +303,61 @@ def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
             g[out] = ts.where(new).ffill()
             return g
 
-        sessioned = ds.groupby(keys).map_groups(sessionize, batch_format="pandas")
+        sessioned = (
+            ds.map_batches(with_bucket, **_PA_KW)
+            .groupby(gkeys).map_groups(sessionize, batch_format="pandas")
+            .materialize()
+        )
+
+        # per-(key, bucket) summaries: batch partials -> driver combine
+        # (a group never splits across map_groups output blocks, but a
+        # block may hold several groups — partials handle either way)
+        def summ_partial(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby(gkeys, sort=False, as_index=False).agg(
+                _first_ts=(ts_col, "min"), _last_ts=(ts_col, "max"),
+                _last_start=(out, "max"))
+
+        parts = collect_table(
+            sessioned.map_batches(summ_partial, batch_format="pandas")
+        ).to_pandas()
+        sdf = parts.groupby(gkeys, as_index=False).agg(
+            _first_ts=("_first_ts", "min"), _last_ts=("_last_ts", "max"),
+            _last_start=("_last_start", "max")
+        ).sort_values(gkeys, ignore_index=True)
+
+        # driver fold over bucket summaries, per key in time order
+        # (itertuples(name=None): underscore-prefixed columns would be
+        # positionally renamed in named tuples)
+        nk = len(gkeys)
+        repl: list[tuple] = []
+        for _kv, grp in sdf.groupby(keys, sort=False):
+            prev_ts = prev_start = None
+            for r in grp.itertuples(index=False, name=None):
+                first_ts, last_ts, last_start = r[nk], r[nk + 1], r[nk + 2]
+                if (prev_ts is not None
+                        and (first_ts - prev_ts).total_seconds() <= gap_s):
+                    # leading run continues the previous bucket's session
+                    repl.append(r[:nk] + (first_ts, prev_start))
+                    eff = last_start if last_start > first_ts else prev_start
+                else:
+                    eff = last_start
+                prev_ts, prev_start = last_ts, eff
+
+        if repl:
+            rdf = pd.DataFrame(repl, columns=gkeys + ["_first_ts",
+                                                      "_new_start"])
+            rref = ray.put(rdf)
+
+            def rewrite(b: pd.DataFrame) -> pd.DataFrame:
+                r = _fetch(rref, lambda v: v)
+                m = b.merge(r, how="left", on=gkeys)
+                hit = m["_new_start"].notna() & (
+                    pd.to_datetime(m[out]) == m["_first_ts"])
+                m.loc[hit, out] = m.loc[hit, "_new_start"]
+                return m.drop(columns=["_first_ts", "_new_start"])
+
+            sessioned = sessioned.map_batches(rewrite, batch_format="pandas")
+        sessioned = sessioned.drop_columns([bcol])
         if not aggs:
             return sessioned
         from rayflow.ops.core import build_group_agg

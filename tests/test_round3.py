@@ -624,16 +624,24 @@ def test_jpeg_noise_roundtrip_all_paths():
     assert np.abs(out.astype(int) - noisy.astype(int)).mean() < 6.0
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_malformed_inputs_raise():
     from rayflow.ops.jpeg import decode_jpeg, synth_jpeg
 
+    # a baseline scan mislabeled SOF2 is an INVALID progressive stream
+    # (progressive DC scans must have Se=0) — loud, not garbage pixels
     data = bytearray(synth_jpeg(_gradient_rgb(16, 16)))
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2                     # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+    # arithmetic-coded frames stay at the documented plug point
+    data = bytearray(synth_jpeg(_gradient_rgb(16, 16)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC9                     # SOF9: arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(data))
 
 
 def test_media_decode_real_jpeg(ray_session):

@@ -1,0 +1,299 @@
+"""Round-4 regression tests: advisor findings + vectorized shingles."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayflow.ops import build_op
+
+
+def test_rate_limit_rejects_bad_cost():
+    with pytest.raises(ValueError, match="cost must be"):
+        build_op({"op": "rate_limit", "resource": "r4", "rate": 10,
+                  "cost": "row"})
+
+
+def test_span_hashes_are_64_bit():
+    """dup_span_pairs keys pairs on UNVERIFIED window hashes, so they
+    must be 64-bit (32-bit crc32 collides past ~80k distinct windows —
+    fabricated pairs at corpus scale)."""
+    from rayflow.ops.dedup import _span_hashes
+
+    hs = set()
+    for d in range(200):
+        hs |= _span_hashes(" ".join(f"w{d}_{i}" for i in range(30)), 20)
+    # 32-bit hashes can never exceed 2^32; 64-bit values populate the
+    # full signed-int64 range (negatives appear with prob ~1-2^-2200)
+    assert any(h < 0 or h >= (1 << 32) for h in hs)
+
+
+def test_dup_span_pairs_kernel_matches_reference(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.dedup import _span_hashes
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    docs = {
+        1: shared + " tail one",
+        2: "head two " + shared,
+        3: " ".join(f"u3_{i}" for i in range(40)),
+        4: shared + " " + shared,       # same span twice in one doc
+        5: "short doc",
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    out = build_op({"op": "dup_span_pairs", "k_tokens": 20})(
+        rd.from_arrow(t)).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    # brute-force expectation from the scalar reference
+    exp = []
+    ids = list(docs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            n = len(_span_hashes(docs[a], 20) & _span_hashes(docs[b], 20))
+            if n:
+                exp.append((a, b, n))
+    exp = pd.DataFrame(exp, columns=["doc_a", "doc_b", "n_shared"])
+    pd.testing.assert_frame_equal(
+        out.astype(np.int64), exp.astype(np.int64))
+
+
+def test_lm_score_survives_fully_pruned_model(ray_session):
+    """min_count pruning that empties the bigram (and unigram) tables
+    must yield all-miss scores, not IndexError (np.where evaluates both
+    branches)."""
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["every token appears exactly once here",
+                          "so any min count above one prunes all"]),
+    })
+    out = build_op({"op": "ngram_lm_score", "min_count": 5})(
+        rd.from_arrow(t)).to_pandas()
+    assert len(out) == 2
+    assert np.isfinite(out.iloc[:, 1]).all()
+
+
+def test_media_resizer_passes_through_extra_columns(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.multimodal import decode_png, synth_png_pixels, synth_wav
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    t = pa.table({
+        "asset_key": pa.array(["a-17", "a-18"]),   # non-'media_id' id col
+        "shard": pa.array([3, 4], pa.int32()),     # extra metadata
+        "payload": pa.array([synth_png_pixels(src), synth_wav()],
+                            pa.binary()),
+    })
+    out = build_op({"op": "media_resize", "width": 3, "height": 4})(
+        rd.from_arrow(t)).to_pandas()
+    assert list(out["asset_key"]) == ["a-17"]      # WAV row dropped
+    assert list(out["shard"]) == [3]
+    assert list(out["media_type"]) == ["image/png"]
+    assert decode_png(out["payload"][0]).shape == (4, 3, 3)
+
+
+def test_window_session_zipf_hot_key_bounded(ray_session):
+    """One key holding ~half the rows, active for months: the bucketed
+    sessionizer must split it across many (key, bucket) groups and
+    still stitch cross-bucket sessions to the exact per-key answer."""
+    import datetime
+
+    import ray.data as rd
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hot user: 400 events 30 min apart (ONE long session spanning many
+    # 1h buckets), then a 3h break, then 50 more (second session)
+    for i in range(400):
+        rows.append(("hot", base + datetime.timedelta(minutes=30 * i)))
+    brk = base + datetime.timedelta(minutes=30 * 399 + 180 + 60)
+    for i in range(50):
+        rows.append(("hot", brk + datetime.timedelta(minutes=30 * i)))
+    # background users
+    for u in range(40):
+        for i in range(10):
+            rows.append((f"u{u}", base + datetime.timedelta(hours=7 * i)))
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }))
+    gap = 3600.0      # 1h gap; bucket_s left at default 1024*gap -> use
+    # a SMALL bucket so the hot key genuinely splits across buckets
+    out = build_op({
+        "op": "window_session", "keys": ["k"], "ts_col": "ts",
+        "gap_s": gap, "bucket_s": 4 * 3600.0,
+        "aggs": [("count", None, "n")],
+    })(ds).to_pandas().sort_values(["k", "session_start"],
+                                   ignore_index=True)
+
+    # exact pandas reference (single-process sessionization)
+    ref = pd.DataFrame(rows, columns=["k", "ts"]).sort_values(
+        ["k", "ts"], ignore_index=True)
+    new = (ref.groupby("k")["ts"].diff().dt.total_seconds().isna()
+           | (ref.groupby("k")["ts"].diff().dt.total_seconds() > gap))
+    ref["session_start"] = ref["ts"].where(new).ffill()
+    exp = ref.groupby(["k", "session_start"], as_index=False).size() \
+        .rename(columns={"size": "n"}).sort_values(
+        ["k", "session_start"], ignore_index=True)
+    # hot user: exactly 2 sessions despite spanning ~50 buckets
+    assert (out[out["k"] == "hot"]["n"].tolist()
+            == exp[exp["k"] == "hot"]["n"].tolist() == [400, 50])
+    out["session_start"] = pd.to_datetime(out["session_start"]) \
+        .astype("datetime64[us]")
+    exp["session_start"] = pd.to_datetime(exp["session_start"]) \
+        .astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        out.astype({"n": np.int64}), exp.astype({"n": np.int64}))
+
+
+def _write_embeddings_parquet(tmp_path, n=400, d=16, seed=5):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    })
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(t, p)
+    return p, m
+
+
+def test_ann_lsh_auto_routes_to_disk_index(ray_session, tmp_path):
+    """Above the size threshold the generic op must go through the
+    bucket-partitioned on-disk index — identical results to the
+    streaming path, and the probe reads a strict subset of the bytes."""
+    import ray.data as rd
+
+    from rayflow.ops.ann import LshIndex
+
+    p, m = _write_embeddings_parquet(tmp_path)
+    q, qids = m[:3], np.arange(3)
+    kw = dict(queries=q, query_ids=qids, k=5, dim=16, n_planes=4)
+    stream = build_op({"op": "ann_lsh", **kw, "index_above_bytes": None})(
+        rd.read_parquet(p)).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    ipath = str(tmp_path / "lsh_idx")
+    routed = build_op({"op": "ann_lsh", **kw, "index_above_bytes": 1,
+                       "index_path": ipath})(
+        rd.read_parquet(p)).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(stream, routed)
+    idx = LshIndex(ipath)          # the index really was built + used
+    probed = idx.bytes_for(idx.bucket_of(q / np.linalg.norm(
+        q, axis=1, keepdims=True)))
+    assert 0 < probed < idx.total_bytes()    # bytes-pruning via the op
+
+
+def test_ann_ivf_auto_routes_to_disk_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayflow.ops.ann import IvfIndex
+
+    p, m = _write_embeddings_parquet(tmp_path, seed=6)
+    q, qids = m[:3], np.arange(3)
+    kw = dict(queries=q, query_ids=qids, k=5, n_clusters=8, nprobe=2)
+    stream = build_op({"op": "ann_ivf", **kw, "index_above_bytes": None})(
+        rd.read_parquet(p)).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    ipath = str(tmp_path / "ivf_idx")
+    routed = build_op({"op": "ann_ivf", **kw, "index_above_bytes": 1,
+                       "index_path": ipath})(
+        rd.read_parquet(p)).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(stream, routed)
+    idx = IvfIndex(ipath)
+    assert idx.total_bytes() > 0
+
+
+def test_ngram_jaccard_df_order_same_output_fewer_candidates(ray_session):
+    """prefix_order='df' must emit the identical verified pairs while
+    generating no more candidate pairs than hash order (df-ascending
+    prefixes lead with the rarest shingles — Bayardo WWW'07)."""
+    import ray.data as rd
+
+    # boilerplate-heavy corpus: a common preamble shared by all docs
+    # (high-df shingles that hash order may put in prefixes) + unique
+    # bodies; docs 0/1 and 2/3 are true near-dups
+    pre = "terms of service apply to all users of this site"
+    docs = [
+        pre + " alpha beta gamma delta epsilon zeta eta",
+        pre + " alpha beta gamma delta epsilon zeta theta",
+        pre + " one two three four five six seven eight",
+        pre + " one two three four five six seven nine",
+    ] + [pre + f" unique{i} body{i} text{i} words{i} here{i}"
+         for i in range(30)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+
+    def run(order):
+        stats = {}
+        out = build_op({
+            "op": "ngram_jaccard_dedup", "threshold": 0.5, "shingle_k": 3,
+            "prefix_order": order, "stats_out": stats,
+        })(rd.from_arrow(t)).to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True)
+        return out, stats["candidate_pairs"]
+
+    hash_out, hash_cand = run("hash")
+    df_out, df_cand = run("df")
+    pd.testing.assert_frame_equal(hash_out, df_out)
+    assert len(hash_out) >= 2           # the planted near-dup pairs
+    assert df_cand <= hash_cand
+    with pytest.raises(ValueError, match="prefix_order"):
+        build_op({"op": "ngram_jaccard_dedup", "prefix_order": "zipf"})
+
+
+def test_jpeg_progressive_bit_exact_vs_baseline():
+    """SOF2 decode (spectral selection + successive approximation +
+    EOB-run refinement) produces BIT-IDENTICAL pixels to the baseline
+    encoding of the same input — the quantized coefficients are the
+    same, so any deviation is an entropy-coding bug."""
+    from rayflow.ops.jpeg import (decode_jpeg, synth_jpeg,
+                                  synth_jpeg_progressive)
+
+    rng = np.random.default_rng(21)
+    cases = [
+        np.full((64, 48, 3), 130, np.uint8),          # max EOB runs
+        rng.integers(0, 256, (41, 29, 3), np.uint8),  # odd dims
+        np.repeat(((np.indices((40, 40)).sum(0) % 2) * 255)
+                  .astype(np.uint8)[:, :, None], 3, 2),   # high freq
+        np.full((17, 23), 7, np.uint8),               # grayscale
+    ]
+    n = 0
+    for px in cases:
+        for q in (30, 85, 95):
+            for sub in ((False, True) if px.ndim == 3 else (False,)):
+                b = decode_jpeg(synth_jpeg(px, q, subsample=sub))
+                p = decode_jpeg(synth_jpeg_progressive(px, q,
+                                                       subsample=sub))
+                assert np.array_equal(b, p), (px.shape, q, sub)
+                n += 1
+    assert n == 21
+
+
+def test_jpeg_progressive_through_media_decode(ray_session):
+    """media_decode fake=False featurizes progressive JPEG payloads
+    from real pixels — no fallback needed."""
+    import ray.data as rd
+
+    from rayflow.ops.jpeg import synth_jpeg_progressive
+
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["image/jpeg"]),
+        "payload": pa.array([synth_jpeg_progressive(px, 90)], pa.binary()),
+    })
+    out = build_op({"op": "media_decode", "fake": False})(
+        rd.from_arrow(t)).to_pandas()
+    assert len(out) == 1

@@ -337,3 +337,53 @@ def test_media_decode_fallback_pseudo(ray_session):
                     "concurrency": 2})(ds).to_pandas()
     assert len(out) == 10
     assert all(len(f) == 8 for f in out["feature"])
+
+
+def test_shingle_hash_batch_matches_scalar_reference():
+    """Vectorized shingle kernel == _token_shingles per doc, bit for
+    bit, across k and messy whitespace/unicode/empty inputs."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from rayflow.ops.dedup import shingle_hash_batch
+
+    rng = random.Random(7)
+
+    def rand_text():
+        n = rng.randrange(0, 40)
+        toks = ["".join(rng.choices(string.ascii_letters + "αβγ",
+                                    k=rng.randrange(1, 8)))
+                for _ in range(n)]
+        out = ""
+        for t in toks:
+            out += t + rng.choice([" ", "  ", "\t", "\n", " \t "])
+        return (rng.choice([" ", ""]) + out)
+
+    fixed = ["", "   ", "one", "a b", "x y z", "x y z w x y z", None,
+             "tab\tsep\nnewline  multi   space", "üñí çødé tokens"]
+    for k in (1, 2, 3, 5, 20):
+        texts = fixed + [rand_text() for _ in range(200)]
+        flat, cnts = shingle_hash_batch(pa.array(texts, pa.string()), k)
+        offs = np.concatenate(([0], np.cumsum(cnts)))
+        for i, tx in enumerate(texts):
+            seg = flat[offs[i]:offs[i + 1]]
+            assert _token_shingles(tx or "", k) == set(seg.tolist())
+            if len(seg) > 1:          # sorted unique within each doc
+                assert np.all(np.diff(seg) > 0)
+
+
+def test_minhash_flat_matches_set_path():
+    from rayflow.ops.dedup import minhash_batch, minhash_flat, \
+        shingle_hash_batch
+    import pyarrow as pa
+
+    texts = ["a b c d e", "", "a b", "z y x w v u t", "a b c d e"]
+    rng = np.random.default_rng(3)
+    a = rng.integers(1, (1 << 61) - 1, 32, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, 32, dtype=np.uint64)
+    flat, cnts = shingle_hash_batch(pa.array(texts), 3)
+    sets = [_token_shingles(t, 3) for t in texts]
+    assert np.array_equal(minhash_batch(sets, a, b),
+                          minhash_flat(flat, cnts, a, b))
