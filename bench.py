@@ -138,10 +138,48 @@ def _ambient_probe() -> float:
     to make slow-window readings self-explaining."""
     import numpy as np
 
-    t0 = time.perf_counter()
-    a = np.empty(8 << 20, np.int64)  # 64 MB, first touch on fill
+    # A process's very first large alloc pays a one-time ~1.5 s warmup on
+    # this host even in healthy windows (observed 2026-08-18) — it measures
+    # process start, not box health.  Warm up once, then report the median
+    # of 3 fresh-mmap samples.
+    a = np.empty(8 << 20, np.int64)
     a[:] = 1
-    return round((time.perf_counter() - t0) * 1000, 1)
+    del a
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = np.empty(8 << 20, np.int64)  # 64 MB, first touch on fill
+        a[:] = 1
+        samples.append((time.perf_counter() - t0) * 1000)
+        del a
+    return round(sorted(samples)[1], 1)
+
+
+def _shm_probe() -> float:
+    """First-touch page-fault cost of /dev/shm, in ms per 64 MB — the
+    OBJECT-STORE path (Ray's plasma store mmaps /dev/shm; every block
+    put/get first-touches those pages).  The anon-malloc probe above
+    can read healthy (~15 ms) while this path is 3× degraded (~45 ms,
+    observed 2026-08-18 alongside a 2.7× replay slowdown on identical
+    code), so both are recorded: replay throughput tracks THIS number."""
+    import mmap
+
+    samples = []
+    for trial in range(3):
+        path = f"/dev/shm/rayflow_probe_{os.getpid()}_{trial}"
+        sz = 64 << 20
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
+        try:
+            os.ftruncate(fd, sz)
+            m = mmap.mmap(fd, sz)
+            t0 = time.perf_counter()
+            m[::4096] = b"\1" * (sz // 4096)
+            samples.append((time.perf_counter() - t0) * 1000)
+            m.close()
+        finally:
+            os.close(fd)
+            os.unlink(path)
+    return round(sorted(samples)[1], 1)
 
 
 def run_bench() -> dict:
@@ -214,6 +252,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bands_per_commit": bands_per_commit,
         "ambient_alloc_ms_per_64mb": _ambient_probe(),
+        "shm_touch_ms_per_64mb": _shm_probe(),
         "queries": {},
     }
 
@@ -278,6 +317,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": SF_TAG,
         "ambient_alloc_ms_per_64mb": _ambient_probe(),
+        "shm_touch_ms_per_64mb": _shm_probe(),
         # The deviation from a literal (8, 32) pair is deliberate and
         # recorded here so it cannot be missed: this box exposes 32
         # vCPUs on ~16 PHYSICAL cores.  The N→4N criterion models four

@@ -1423,3 +1423,86 @@ def build_dup_span_pairs(*, k_tokens: int = 50, text_col: str = "text",
         })(pairs)
 
     return apply
+
+
+@register_op("paragraph_dedup")
+def build_paragraph_dedup(*, id_col: str = "doc_id", text_col: str = "text",
+                          sep: str = "\n\n", out_col: str = "text",
+                          max_paras_per_doc: int = 1 << 20):
+    """Corpus-level EXACT paragraph dedup (the RefinedWeb / CCNet
+    pre-pass): every paragraph that is byte-identical to one seen
+    earlier in corpus order — smaller ``(id, paragraph_index)`` wins —
+    is removed; documents are rebuilt from their surviving paragraphs
+    in original order.  Documents that lose every paragraph drop out.
+
+    Scale plan — two keyed exchanges, both over collapsed data:
+
+    1. explode to ``(id, para_idx, para)`` inside ``map_batches``
+       (vectorized Arrow ``split_pattern`` + ``list_flatten``), pack
+       the global order into ONE int64 (``id * 2^20 + para_idx``, with
+       a loud guard) so the winner pick is the existing two-phase
+       :func:`build_dedupe` argmin — duplicates collapse per block
+       BEFORE the exchange;
+    2. regroup survivors by ``id`` and re-join with ``sep`` (sorted by
+       ``para_idx`` inside each group).
+
+    Paragraph text itself is the dedup key — byte-exact by definition,
+    no hash-collision caveat."""
+    from rayflow.ops import build_op
+
+    K = np.int64(max_paras_per_doc)
+
+    def apply(ds):
+        def explode(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col)
+            segs = pc.split_pattern(
+                pc.coalesce(t.column(text_col), pa.scalar("", pa.string())),
+                sep)
+            counts = pc.list_value_length(segs).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if counts.size and counts.max() >= int(K):
+                raise ValueError(
+                    f"paragraph_dedup: a document has {int(counts.max())} "
+                    f"paragraphs (>= max_paras_per_doc={int(K)}); raise the "
+                    "bound — the packed order key would overflow")
+            flat = pc.list_flatten(segs)
+            idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_rep = np.repeat(idv, counts)
+            # per-doc paragraph index: global arange minus each doc's start
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            pidx = np.arange(len(flat), dtype=np.int64) - starts
+            return pa.table({
+                "_pd_id": pa.array(doc_rep, pa.int64()),
+                "_pd_idx": pa.array(pidx, pa.int64()),
+                "_pd_rank": pa.array(doc_rep * K + pidx, pa.int64()),
+                "para": flat,
+            })
+
+        paras = ds.map_batches(explode, **_PA_KW)
+        winners = build_op({
+            "op": "dedupe", "keys": ["para"],
+            "order_col": "_pd_rank", "keep": "min",
+        })(paras)
+
+        # regroup by doc: COARSE shards (hash(id) % n), one pandas
+        # groupby-join per shard — per-doc work stays inside one
+        # vectorized-ish pass instead of one Ray group-task per doc
+        def shard(t: pa.Table) -> pa.Table:
+            h = t.column("_pd_id").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            mixed = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+            return t.append_column(
+                "_pd_shard", pa.array(mixed.astype(np.int64), pa.int64()))
+
+        def rebuild(g) -> "pd.DataFrame":
+            import pandas as pd
+
+            g = g.sort_values(["_pd_id", "_pd_idx"])
+            out = g.groupby("_pd_id", sort=True)["para"].agg(sep.join)
+            return pd.DataFrame({id_col: out.index.to_numpy(np.int64),
+                                 out_col: out.to_numpy()})
+
+        return winners.map_batches(shard, **_PA_KW) \
+            .groupby("_pd_shard").map_groups(rebuild, batch_format="pandas")
+
+    return apply

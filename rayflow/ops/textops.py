@@ -586,3 +586,81 @@ def build_profile_columns(*, columns: list[str],
         return rd.from_pandas(out)
 
     return apply
+
+
+@register_op("repetition_signals")
+def build_repetition_signals(*, column: str = "text"):
+    """Gopher-style line/paragraph repetition signals per document
+    (Rae et al. 2021, table A1 — the within-document repetition
+    filters that complement :func:`build_gopher_quality`'s word-level
+    metrics).  Emits, for lines (split on ``\\n``) and paragraphs
+    (split on ``\\n\\n``):
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of segments
+      that are repeats of an earlier identical segment
+      (``(n - n_unique) / n``);
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      segment characters inside those repeats (the published filter
+      thresholds: 0.30 / 0.30 and 0.20 / 0.20).
+
+    Stateless vectorized batch body: one Arrow ``split_pattern`` per
+    granularity, then the same combined-key ``np.unique`` trick as
+    ``gopher_quality`` — per-(doc, segment) counts without any Python
+    loop.  No shuffle; scales embarrassingly."""
+
+    def _frac_pair(t: pa.Table, sep: str):
+        n = t.num_rows
+        segs = pc.split_pattern(
+            pc.coalesce(t.column(column), pa.scalar("", pa.string())), sep)
+        flat = pc.list_flatten(segs)
+        seg_per_doc = pc.list_value_length(segs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), seg_per_doc)
+        lens = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # dictionary-encode segment strings once, then a combined
+        # (doc, code) 64-bit key → per-(doc, segment) multiplicity
+        codes = pc.dictionary_encode(flat).combine_chunks().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(codes.max() + 2) if len(codes) else np.int64(1)
+        order = np.argsort(doc_idx * V + codes, kind="stable")
+        key_sorted = (doc_idx * V + codes)[order]
+        starts = np.flatnonzero(
+            np.diff(key_sorted, prepend=key_sorted[0] - 1)) \
+            if len(key_sorted) else np.array([], dtype=np.int64)
+        n_total = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        n_chars = np.bincount(doc_idx, weights=lens,
+                              minlength=n).astype(np.int64)
+        if len(starts):
+            grp_doc = doc_idx[order][starts]
+            grp_cnt = np.diff(np.append(starts, len(key_sorted)))
+            grp_len = lens[order][starts]  # identical segments: same len
+            n_unique = np.bincount(grp_doc, minlength=n).astype(np.int64)
+            dup_chars = np.bincount(
+                grp_doc, weights=(grp_cnt - 1) * grp_len,
+                minlength=n).astype(np.int64)
+        else:
+            n_unique = np.zeros(n, dtype=np.int64)
+            dup_chars = np.zeros(n, dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(n_total > 0,
+                            (n_total - n_unique) / np.maximum(n_total, 1),
+                            0.0)
+            cfrac = np.where(n_chars > 0,
+                             dup_chars / np.maximum(n_chars, 1), 0.0)
+        return frac, cfrac
+
+    def apply(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            lf, lcf = _frac_pair(t, "\n")
+            pf, pcf = _frac_pair(t, "\n\n")
+            for name, arr in [("dup_line_frac", lf),
+                              ("dup_line_char_frac", lcf),
+                              ("dup_para_frac", pf),
+                              ("dup_para_char_frac", pcf)]:
+                t = t.append_column(name, pa.array(arr, pa.float64()))
+            return t
+
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply

@@ -3255,3 +3255,284 @@ def disjunctive_rev_q19(sf_dir: str):
         "aggs": [("sum", "rev", "revenue")],
     })(li)
     return _round_cols(agg, ["revenue"]).select_columns(["revenue"])
+
+
+@query(
+    "nation_profit_q9_shape",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_profit_q9_shape(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year; the
+    testdata has no ``partsupp`` so the supplycost term is omitted —
+    the oracle mirrors exactly what is computed).  Plan: the part-name
+    filter reduces to a broadcast key set applied to lineitem BEFORE
+    anything moves; supplier→nation collapses driver-side (100 rows ⋈
+    25 rows) and broadcasts; the only exchange is the one unavoidable
+    fact-fact lineitem⋈orders sharded join, then a two-phase
+    (nation, year) aggregate.  ⟨upstream: TPC-H spec Q9⟩"""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    part_keys = part.filter(
+        pc.match_substring(part["p_name"], "bolt")).select(["p_partkey"])
+
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    supp_nat = supp.join(nation, keys=["s_nationkey"],
+                         right_keys=["n_nationkey"]) \
+        .select(["s_suppkey", "n_name"]).rename_columns(["s_suppkey", "nation"])
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    li = build_op({"op": "broadcast_join", "small": part_keys, "how": "inner",
+                   "on": ["l_partkey"], "right_on": ["p_partkey"]})(li)
+    li = build_op({"op": "broadcast_join", "small": supp_nat, "how": "inner",
+                   "on": ["l_suppkey"], "right_on": ["s_suppkey"]})(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"vol": E.col("l_extendedprice")
+                 * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_orderkey", "nation", "vol"],
+    })(li)
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(li)
+    joined = build_op({
+        "op": "mapping",
+        "cols": {"o_year": E.F("year", E.col("o_orderdate"))},
+        "select": ["nation", "o_year", "vol"],
+    })(joined)
+    out = build_op({
+        "op": "group_agg", "keys": ["nation", "o_year"],
+        "aggs": [("sum", "vol", "profit")],
+    })(joined)
+    return _round_cols(out, ["profit"]).select_columns(
+        ["nation", "o_year", "profit"])
+
+
+@query(
+    "waiting_supplier_q21_shape",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_supp AS (
+      SELECT l_orderkey, l_suppkey, max(late) AS late
+      FROM l GROUP BY 1, 2
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_supp,
+             CAST(sum(late) AS BIGINT) AS n_late
+      FROM per_supp GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po USING (l_orderkey)
+    JOIN supplier ON ps.l_suppkey = s_suppkey
+    WHERE po.n_supp >= 2 AND po.n_late = 1 AND ps.late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def waiting_supplier_q21_shape(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS / NOT-EXISTS pair re-expressed as per-order supplier
+    statistics — the sole late supplier on a multi-supplier finished
+    order.  The testdata has no receipt/commit dates, so "late" is
+    shipped >60 days after the order date; the oracle mirrors exactly.
+
+    Scale plan: ONE orderkey exchange does all the work.  The
+    lineitem⋈orders sharded join, the (orderkey, suppkey) dedup-max,
+    the per-order counts, and the lone-supplier filter all partition by
+    orderkey (two-phase aggregates keep the exchanges partial); the
+    final per-supplier count is a tiny two-phase aggregate and the
+    supplier-name join broadcasts 100 rows.  No EXISTS rescan of the
+    fact table — the reference semantics fall out of one grouped pass.
+    ⟨upstream: TPC-H spec Q21⟩"""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderstatus"])
+    orders = build_op({
+        "op": "filter",
+        "predicate": E.col("o_orderstatus") == E.lit("F"),
+    })(orders).select_columns(["o_orderkey", "o_orderdate"])
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(li)
+    joined = build_op({
+        "op": "mapping",
+        "cols": {"late": E.F(
+            "if_else",
+            E.col("l_shipdate") > E.F("ts_add", E.col("o_orderdate"),
+                                      E.lit(60 * 86400)),
+            E.lit(1), E.lit(0))},
+        "select": ["l_orderkey", "l_suppkey", "late"],
+    })(joined)
+    per_supp = build_op({
+        "op": "group_agg", "keys": ["l_orderkey", "l_suppkey"],
+        "aggs": [("max", "late", "late")],
+    })(joined)
+    per_order = build_op({
+        "op": "group_agg", "keys": ["l_orderkey"],
+        "aggs": [("count", "l_suppkey", "n_supp"),
+                 ("sum", "late", "n_late")],
+    })(per_supp)
+    per_order = build_op({
+        "op": "filter",
+        "predicate": (E.col("n_supp") >= E.lit(2))
+        & (E.col("n_late") == E.lit(1)),
+    })(per_order).select_columns(["l_orderkey"])
+    lone = build_op({
+        "op": "sharded_join", "right": per_order,
+        "on": ["l_orderkey"], "right_on": ["l_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(build_op({
+        "op": "filter", "predicate": E.col("late") == E.lit(1),
+    })(per_supp))
+    counts = build_op({
+        "op": "group_agg", "keys": ["l_suppkey"],
+        "aggs": [("count", "l_orderkey", "numwait")],
+    })(lone)
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"])
+    counts = build_op({"op": "broadcast_join", "small": supp, "how": "inner",
+                       "on": ["l_suppkey"], "right_on": ["s_suppkey"]})(counts)
+    out = counts.select_columns(["s_name", "numwait"]) \
+        .sort(["numwait", "s_name"], descending=[True, False]).limit(10)
+    return out
+
+
+# the synthetic documents are single-line; derive a deterministic
+# multi-line / multi-paragraph corpus (word 'batch' → newline, word
+# 'window' → blank line) so the line/paragraph ops are actually
+# exercised — BOTH sides apply the identical rewrite
+_SEGMENTIZE_SQL = """
+      SELECT doc_id,
+             replace(replace(coalesce(text, ''),
+                             ' window ', chr(10) || chr(10)),
+                     ' batch ', chr(10)) AS text
+      FROM documents
+"""
+
+
+def _segmentize(ds):
+    return build_op({
+        "op": "mapping",
+        "cols": {"text": E.F(
+            "replace_all",
+            E.F("replace_all", E.F("coalesce", E.col("text"), E.lit("")),
+                E.lit(" window "), E.lit("\n\n")),
+            E.lit(" batch "), E.lit("\n"))},
+        "select": ["doc_id", "text"],
+    })(ds)
+
+
+@query(
+    "repetition_signals_docs",
+    f"""
+    WITH seg AS ({_SEGMENTIZE_SQL}),
+    l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS s FROM seg
+    ), lp AS (
+      SELECT doc_id, s, count(*) AS c, length(s) AS len
+      FROM l GROUP BY 1, 2
+    ), la AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS u,
+             sum(c * len) AS ch, sum((c - 1) * len) AS dch
+      FROM lp GROUP BY 1
+    ),
+    p AS (
+      SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS s
+      FROM seg
+    ), pp AS (
+      SELECT doc_id, s, count(*) AS c, length(s) AS len
+      FROM p GROUP BY 1, 2
+    ), pa AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS u,
+             sum(c * len) AS ch, sum((c - 1) * len) AS dch
+      FROM pp GROUP BY 1
+    )
+    SELECT la.doc_id,
+           CAST(la.n - la.u AS DOUBLE) / la.n AS dup_line_frac,
+           CASE WHEN la.ch > 0 THEN CAST(la.dch AS DOUBLE) / la.ch
+                ELSE 0.0 END AS dup_line_char_frac,
+           CAST(pa.n - pa.u AS DOUBLE) / pa.n AS dup_para_frac,
+           CASE WHEN pa.ch > 0 THEN CAST(pa.dch AS DOUBLE) / pa.ch
+                ELSE 0.0 END AS dup_para_char_frac
+    FROM la JOIN pa USING (doc_id)
+    """,
+)
+def repetition_signals_docs(sf_dir: str):
+    """Gopher repetition filters (dup line/paragraph fractions by count
+    and by characters) over the segmentized corpus — stateless
+    vectorized batch op, zero shuffles."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    ds = _segmentize(ds)
+    ds = build_op({"op": "repetition_signals", "column": "text"})(ds)
+    return ds.select_columns(["doc_id", "dup_line_frac",
+                              "dup_line_char_frac", "dup_para_frac",
+                              "dup_para_char_frac"])
+
+
+@query(
+    "paragraph_dedup_docs",
+    f"""
+    WITH seg AS ({_SEGMENTIZE_SQL}),
+    p AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10) || chr(10))) AS para,
+             unnest(range(len(string_split(text, chr(10) || chr(10)))))
+               AS para_idx
+      FROM seg
+    ), w AS (
+      SELECT doc_id, para_idx, para FROM p
+      QUALIFY row_number()
+              OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY para_idx) AS text
+    FROM w GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_docs(sf_dir: str):
+    """Corpus-level exact paragraph dedup (first occurrence in
+    (doc_id, position) order wins) over the segmentized corpus, docs
+    rebuilt from surviving paragraphs — the RefinedWeb pre-pass."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    ds = _segmentize(ds)
+    ds = build_op({"op": "paragraph_dedup", "id_col": "doc_id",
+                   "text_col": "text", "out_col": "text"})(ds)
+    return ds.select_columns(["doc_id", "text"])

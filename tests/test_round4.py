@@ -297,3 +297,94 @@ def test_jpeg_progressive_through_media_decode(ray_session):
     out = build_op({"op": "media_decode", "fake": False})(
         rd.from_arrow(t)).to_pandas()
     assert len(out) == 1
+
+
+def test_repetition_signals_hand_case(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "aa\nbb\naa\ncc",          # 4 lines, 1 dup ("aa" twice)
+            "x\n\nx\n\ny",             # 3 paras, 1 dup
+            "unique",                   # single segment, no dups
+        ]),
+    })
+    out = build_op({"op": "repetition_signals"})(
+        rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    r1, r2, r3 = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert r1.dup_line_frac == pytest.approx(1 / 4)
+    assert r1.dup_line_char_frac == pytest.approx(2 / 8)  # one extra "aa"
+    assert r1.dup_para_frac == 0.0
+    assert r2.dup_para_frac == pytest.approx(1 / 3)
+    assert r2.dup_para_char_frac == pytest.approx(1 / 3)
+    # "x\n\nx\n\ny" split on "\n" → lines x, '', x, '', y → 2 dups of 5
+    assert r2.dup_line_frac == pytest.approx(2 / 5)
+    assert r3.dup_line_frac == 0.0 and r3.dup_para_char_frac == 0.0
+
+
+def test_paragraph_dedup_first_occurrence_wins(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([10, 20, 30], pa.int64()),
+        "text": pa.array([
+            "alpha\n\nbeta",
+            "beta\n\ngamma\n\nalpha",   # loses beta+alpha, keeps gamma
+            "alpha\n\nbeta",            # loses everything → dropped
+        ]),
+    })
+    out = build_op({"op": "paragraph_dedup"})(
+        rd.from_arrow(t)).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out.doc_id.tolist() == [10, 20]
+    assert out.text.tolist() == ["alpha\n\nbeta", "gamma"]
+
+
+def test_paragraph_dedup_within_doc_repeat(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([5], pa.int64()),
+        "text": pa.array(["same\n\nsame\n\nother"]),
+    })
+    out = build_op({"op": "paragraph_dedup"})(
+        rd.from_arrow(t)).to_pandas()
+    assert out.text.tolist() == ["same\n\nother"]
+
+
+def test_paragraph_dedup_guards_pathological_doc(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["p\n\n" * 9]),
+    })
+    with pytest.raises(Exception, match="max_paras_per_doc"):
+        build_op({"op": "paragraph_dedup", "max_paras_per_doc": 8})(
+            rd.from_arrow(t)).to_pandas()
+
+
+@pytest.mark.parametrize("name", [
+    "nation_profit_q9_shape", "waiting_supplier_q21_shape",
+    "repetition_signals_docs", "paragraph_dedup_docs",
+])
+def test_round4_queries_match_oracle(ray_session, name):
+    import duckdb
+
+    from rayflow.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for tname in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tname}.parquet')")
+    res = QUERIES[name](sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    ora = con.execute(ORACLE_SQL[name]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(ora.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
