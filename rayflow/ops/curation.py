@@ -445,6 +445,82 @@ def build_stratified_sample(*, keys: list[str], n: int, id_col: str,
     return apply
 
 
+def _cap_kernel(t: pa.Table, key_col: str, order_col: str, n: int,
+                descending: bool) -> pa.Table:
+    """Keep the ``n`` first rows per key by ``order_col`` — vectorized:
+    dictionary-encode the key (local codes are fine, only equality
+    matters), one lexsort, per-group rank via run starts, take.
+    Original row order within the table is preserved."""
+    if t.num_rows == 0:
+        return t
+    keys = t.column(key_col)
+    codes = pc.dictionary_encode(
+        keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = t.column(order_col).to_numpy(zero_copy_only=False)
+    if descending:
+        if not np.issubdtype(order.dtype, np.number):
+            raise ValueError("group_cap: descending requires a numeric "
+                             f"order col, got {order.dtype}")
+        order = -order
+    o = np.lexsort((order, codes))
+    ks = codes[o]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    runlen = np.diff(np.concatenate((starts, [len(ks)])))
+    rank = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, runlen)
+    keep = o[rank < n]
+    keep.sort()
+    return t.take(pa.array(keep))
+
+
+@register_op("group_cap")
+def build_group_cap(*, key_col: str, order_col: str, n: int,
+                    descending: bool = False, num_shards: int = 64):
+    """Per-key row cap: keep at most ``n`` rows per ``key_col``, the
+    ones FIRST by ``order_col`` — the per-domain / per-source document
+    cap of a web-scale curation pipeline (bound any one host's share
+    of the corpus).  Deterministic iff ``order_col`` is unique within
+    a key (ties at the cut are broken arbitrarily); pass the crawl
+    timestamp or doc id.
+
+    Scale shape (same combiner discipline as stratified_sample, but
+    with a SHARDED finish so millions of keys never funnel through one
+    task): a per-batch cap first — a row outside its batch-local top-n
+    cannot be in the global top-n, so each batch forwards ≤ n rows per
+    key it sees — then ONE keyed exchange over ``hash(key) %
+    num_shards`` coarse shards, each shard re-running the identical
+    vectorized kernel over all its keys at once (no per-key group
+    tasks, no single-task finish)."""
+    from rayflow.ops.kernels import md5_rank64
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _cap_kernel(t, key_col, order_col, n, descending)
+
+    def shard(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if not (pa.types.is_string(keys.type) or pa.types.is_binary(keys.type)
+                or pa.types.is_large_string(keys.type)):
+            keys = pc.cast(keys, pa.string())
+        hi, _ = md5_rank64(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        return t.append_column(
+            "_gc_shard",
+            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
+                     pa.int64()))
+
+    def finish(g: pa.Table) -> pa.Table:
+        return _cap_kernel(g, key_col, order_col, n,
+                           descending).drop_columns(["_gc_shard"])
+
+    def apply(ds):
+        partials = ds.map_batches(partial, **_PA_KW)
+        return partials.map_batches(shard, **_PA_KW) \
+            .groupby("_gc_shard").map_groups(finish, batch_format="pyarrow")
+
+    return apply
+
+
 @register_op("pack_chunks")
 def build_pack_chunks(*, size_col: str, capacity: int, order_col: str,
                       out: str = "chunk_id", bucket_rows: int = 4096):

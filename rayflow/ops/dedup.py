@@ -1425,6 +1425,99 @@ def build_dup_span_pairs(*, k_tokens: int = 50, text_col: str = "text",
     return apply
 
 
+@register_op("dedup_against")
+def build_dedup_against(*, ref, text_col: str = "text",
+                        ref_text_col: str | None = None,
+                        method: str = "auto",
+                        broadcast_limit: int = 20_000_000,
+                        num_partitions: int = 16):
+    """Incremental (cross-snapshot) exact dedup: drop rows whose
+    ``text_col`` content already appears in a REFERENCE corpus ``ref``
+    (a Dataset — e.g. the previously-ingested lake, so a nightly CDC
+    ingest only admits genuinely new documents).  Membership is on the
+    16-byte MD5 digest of the content (collision odds ~n²/2¹²⁸ —
+    negligible at any corpus size); non-matching rows pass through
+    with all columns intact.
+
+    ``method``:
+
+    * ``broadcast`` — the reference is reduced to its DISTINCT digests
+      (16 B/doc), streamed to the driver, ``ray.put`` ONCE, and every
+      batch filters with one vectorized ``pc.is_in``.  No shuffle at
+      all; right size bounded by ``broadcast_limit`` with a loud
+      error.
+    * ``sharded`` — both sides get a digest column and the existing
+      ``sharded_semi(anti=True)`` runs: one keyed exchange, the ref
+      side pre-shrunk to distinct digests, NO size assumption.
+    * ``auto`` — broadcast when ``ref.count()`` fits the limit
+      (metadata-only for plain parquet reads), else sharded.
+    """
+    import hashlib
+
+    from rayflow.ops.joins import _fetch
+
+    rcol = ref_text_col or text_col
+    DG = "__dg"
+
+    def _digests(col) -> pa.Array:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out = [None if s is None else hashlib.md5(
+            s.encode("utf-8", "surrogatepass")).digest()
+            for s in arr.to_pylist()]
+        return pa.array(out, pa.binary())
+
+    def add_dg(t: pa.Table, col: str) -> pa.Table:
+        return t.append_column(DG, _digests(t.column(col)))
+
+    def apply(ds):
+        import ray
+
+        from rayflow.ops import build_op
+
+        mode = method
+        if mode == "auto":
+            mode = "broadcast" if ref.count() <= broadcast_limit else "sharded"
+
+        if mode == "sharded":
+            hashed_ref = ref.map_batches(
+                lambda t: pa.table({DG: _digests(t.column(rcol))}), **_PA_KW)
+            out = build_op({
+                "op": "sharded_semi", "right": hashed_ref, "on": DG,
+                "anti": True, "num_partitions": num_partitions,
+            })(ds.map_batches(lambda t: add_dg(t, text_col), **_PA_KW))
+            return out.map_batches(
+                lambda t: t.drop_columns([DG]), **_PA_KW)
+
+        if mode != "broadcast":
+            raise ValueError(
+                f"dedup_against: method must be auto|broadcast|sharded, "
+                f"got {method!r}")
+
+        digs: set[bytes] = set()
+        hashed = ref.map_batches(
+            lambda t: pa.table({DG: _digests(t.column(rcol))}), **_PA_KW)
+        for b in hashed.iter_batches(batch_format="pyarrow"):
+            for d in b.column(DG).to_pylist():
+                if d is not None:
+                    digs.add(d)
+            if len(digs) > broadcast_limit:
+                raise ValueError(
+                    f"dedup_against: reference digest set exceeds "
+                    f"broadcast_limit={broadcast_limit}; use "
+                    "method='sharded'")
+        ref_obj = ray.put(sorted(digs))
+
+        def filt(t: pa.Table) -> pa.Table:
+            value_set = _fetch(ref_obj, lambda ds_: pa.array(ds_, pa.binary()))
+            mask = pc.invert(
+                pc.is_in(_digests(t.column(text_col)), value_set=value_set))
+            return t.filter(mask)
+
+        return ds.map_batches(filt, **_PA_KW)
+
+    return apply
+
+
 @register_op("paragraph_dedup")
 def build_paragraph_dedup(*, id_col: str = "doc_id", text_col: str = "text",
                           sep: str = "\n\n", out_col: str = "text",

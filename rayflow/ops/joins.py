@@ -170,10 +170,13 @@ def build_sharded_semi(*, right, on: str, right_on: str | None = None,
             "aggs": [("count", None, "__semi_n")],
         })(right)
         if rk == on:
-            # Dataset.join rejects duplicate column names across sides
+            # Dataset.join rejects duplicate column names across sides.
+            # NB: bind rk as a default — the map runs lazily, after the
+            # rk = f"__semi_{rk}" reassignment below (late-binding trap)
             keys = keys.map_batches(
-                lambda t: t.rename_columns(
-                    [f"__semi_{c}" if c == rk else c for c in t.column_names]),
+                lambda t, _rk=rk: t.rename_columns(
+                    [f"__semi_{c}" if c == _rk else c
+                     for c in t.column_names]),
                 batch_format="pyarrow", zero_copy_batch=True)
             rk = f"__semi_{rk}"
 

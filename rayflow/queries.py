@@ -3536,3 +3536,65 @@ def paragraph_dedup_docs(sf_dir: str):
     ds = build_op({"op": "paragraph_dedup", "id_col": "doc_id",
                    "text_col": "text", "out_col": "text"})(ds)
     return ds.select_columns(["doc_id", "text"])
+
+
+@query(
+    "domain_cap_docs",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 10
+    """,
+)
+def domain_cap_docs(sf_dir: str):
+    """Per-domain document cap (bound any one host's corpus share —
+    the standard web-curation quota): keep the 10 earliest doc_ids per
+    source.  Per-batch partial cap, then ONE coarse-sharded keyed
+    exchange re-running the same vectorized kernel."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "source"])
+    return build_op({
+        "op": "group_cap", "key_col": "source", "order_col": "doc_id",
+        "n": 10,
+    })(ds)
+
+
+_INCR_DEDUP_SQL = """
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM documents r
+                      WHERE r.doc_id % 3 = 0 AND r.text = d.text)
+    """
+
+
+@query("incremental_dedup_docs", _INCR_DEDUP_SQL)
+def incremental_dedup_docs(sf_dir: str):
+    """Cross-snapshot exact dedup (broadcast path): drop docs whose
+    text already exists in the reference corpus (docs with
+    doc_id%3==0, standing in for the previously-ingested lake).  The
+    ref is reduced to 16-byte md5 digests, ray.put once, pc.is_in per
+    batch — no shuffle."""
+    rd = _rd()
+    ref = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ref = build_op({"op": "filter",
+                    "predicate": (E.col("doc_id") % 3) == 0})(ref)
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = build_op({"op": "dedup_against", "ref": ref,
+                    "method": "broadcast"})(ds)
+    return out.select_columns(["doc_id"])
+
+
+@query("incremental_dedup_sharded", _INCR_DEDUP_SQL)
+def incremental_dedup_sharded(sf_dir: str):
+    """Cross-snapshot exact dedup, SHARDED path (no size assumption on
+    the reference): digest both sides, one keyed exchange via
+    sharded_semi(anti) over distinct ref digests."""
+    rd = _rd()
+    ref = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ref = build_op({"op": "filter",
+                    "predicate": (E.col("doc_id") % 3) == 0})(ref)
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = build_op({"op": "dedup_against", "ref": ref, "method": "sharded",
+                    "num_partitions": 4})(ds)
+    return out.select_columns(["doc_id"])

@@ -388,3 +388,106 @@ def test_round4_queries_match_oracle(ray_session, name):
     a = df[cols].sort_values(cols).reset_index(drop=True)
     b = ora[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# -- group_cap (per-domain document quota) ----------------------------------
+
+
+def _mk_ds(rows: dict, parallelism: int = 8):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(rows)).repartition(parallelism)
+
+
+def test_group_cap_matches_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    n = 5000
+    key = np.array([f"dom{k}" for k in rng.integers(0, 40, n)])
+    order = rng.permutation(n).astype(np.int64)
+    ds = _mk_ds({"k": key, "o": order, "v": np.arange(n)})
+    out = build_op({"op": "group_cap", "key_col": "k", "order_col": "o",
+                    "n": 7})(ds).to_pandas()
+    exp = (pd.DataFrame({"k": key, "o": order, "v": np.arange(n)})
+           .sort_values("o").groupby("k").head(7))
+    assert len(out) == len(exp)
+    assert (out.sort_values(["k", "o"]).reset_index(drop=True)[["k", "o"]]
+            .equals(exp.sort_values(["k", "o"]).reset_index(drop=True)
+                    [["k", "o"]]))
+
+
+def test_group_cap_descending_and_zipf_skew(ray_session):
+    """One key holds ~60% of rows (hot domain); cap must hold and the
+    descending order must keep the LARGEST order values."""
+    rng = np.random.default_rng(3)
+    n = 8000
+    key = np.where(rng.random(n) < 0.6, "hot", "cold" +
+                   pd.Series(rng.integers(0, 20, n)).astype(str))
+    order = rng.permutation(n).astype(np.int64)
+    ds = _mk_ds({"k": key, "o": order}, parallelism=16)
+    out = build_op({"op": "group_cap", "key_col": "k", "order_col": "o",
+                    "n": 5, "descending": True})(ds).to_pandas()
+    exp = (pd.DataFrame({"k": key, "o": order})
+           .sort_values("o", ascending=False).groupby("k").head(5))
+    assert sorted(map(tuple, out[["k", "o"]].values.tolist())) == \
+        sorted(map(tuple, exp[["k", "o"]].values.tolist()))
+
+
+def test_group_cap_descending_string_order_raises(ray_session):
+    ds = _mk_ds({"k": ["a", "a"], "o": ["x", "y"]}, parallelism=1)
+    with pytest.raises(Exception, match="numeric"):
+        build_op({"op": "group_cap", "key_col": "k", "order_col": "o",
+                  "n": 1, "descending": True})(ds).to_pandas()
+
+
+# -- dedup_against (cross-snapshot incremental dedup) ------------------------
+
+
+def _dedup_against_case(method: str):
+    texts = [f"doc body {i}" for i in range(60)]
+    ref_rows = {"text": [texts[i] for i in range(0, 60, 3)]}
+    new_rows = {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+    return ref_rows, new_rows
+
+
+@pytest.mark.parametrize("method", ["broadcast", "sharded"])
+def test_dedup_against_drops_known_content(ray_session, method):
+    ref_rows, new_rows = _dedup_against_case(method)
+    ref = _mk_ds(ref_rows, parallelism=4)
+    ds = _mk_ds(new_rows, parallelism=6)
+    out = build_op({"op": "dedup_against", "ref": ref, "method": method,
+                    "num_partitions": 4})(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(60) if i % 3 != 0]
+    assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_dedup_against_null_text_passes_through(ray_session):
+    ref = _mk_ds({"text": ["a"]}, parallelism=1)
+    ds = _mk_ds({"doc_id": np.array([1, 2, 3], np.int64),
+                 "text": pd.array(["a", None, "b"], dtype=object)},
+                parallelism=1)
+    out = build_op({"op": "dedup_against", "ref": ref,
+                    "method": "broadcast"})(ds).to_pandas()
+    # NULL text never matches (SQL NOT EXISTS semantics) — rows 2, 3 stay
+    assert sorted(out["doc_id"]) == [2, 3]
+
+
+def test_dedup_against_broadcast_limit_is_loud(ray_session):
+    ref = _mk_ds({"text": [f"t{i}" for i in range(50)]}, parallelism=2)
+    ds = _mk_ds({"text": ["t1"]}, parallelism=1)
+    with pytest.raises(Exception, match="broadcast_limit"):
+        build_op({"op": "dedup_against", "ref": ref, "method": "broadcast",
+                  "broadcast_limit": 10})(ds).to_pandas()
+
+
+def test_sharded_semi_same_key_name_both_sides(ray_session):
+    """Regression: when right_on == on, the rename of the right key was
+    a late-binding closure over the reassigned ``rk`` — the rename
+    never fired and the join died with a missing-field KeyError."""
+    left = _mk_ds({"k": ["a", "b", "c", "d"]}, parallelism=2)
+    right = _mk_ds({"k": ["b", "d"]}, parallelism=2)
+    semi = build_op({"op": "sharded_semi", "right": right, "on": "k",
+                     "num_partitions": 2})(left).to_pandas()
+    assert sorted(semi["k"]) == ["b", "d"]
+    anti = build_op({"op": "sharded_semi", "right": right, "on": "k",
+                     "anti": True, "num_partitions": 2})(left).to_pandas()
+    assert sorted(anti["k"]) == ["a", "c"]
