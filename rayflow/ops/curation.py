@@ -521,6 +521,129 @@ def build_group_cap(*, key_col: str, order_col: str, n: int,
     return apply
 
 
+def _salted_hash64(t: pa.Table, id_col: str, salt: str):
+    """(hi, lo) uint64 of md5(salt || str(id)) — the engine-portable
+    deterministic rank: DuckDB's ``substr(md5(salt || CAST(id AS
+    VARCHAR)), 1, 16)`` hex compares identically to ``hi``."""
+    from rayflow.ops.kernels import md5_rank64
+
+    ids = t.column(id_col)
+    if not (pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type)):
+        ids = pc.cast(ids, pa.string())
+    salted = pc.binary_join_element_wise(
+        pa.scalar(salt, pa.string()), ids, pa.scalar("", pa.string()))
+    return md5_rank64(
+        salted.combine_chunks() if isinstance(salted, pa.ChunkedArray)
+        else salted)
+
+
+@register_op("weighted_mix")
+def build_weighted_mix(*, sources: list[dict], id_col: str = "doc_id"):
+    """Corpus mixing by per-source sampling rates — the pre-training
+    data-mixing step (e.g. web 0.6, books 1.0, code 0.8).  Each source
+    is ``{"ds": Dataset, "rate": float in [0, 1], "salt": str}``; a row
+    survives iff ``md5(salt || id)``'s leading 64 bits fall below
+    ``rate * 2^64`` — deterministic, engine-portable (the SQL oracle
+    compares the hex prefix to the same threshold), and independent
+    across sources when their salts differ.
+
+    Pure map + union: the filter runs inside ``map_batches`` per
+    source (vectorized single-block MD5 kernel), the union is Ray's
+    zero-shuffle concatenation — nothing materializes, no exchange."""
+
+    def one(src):
+        rate = float(src["rate"])
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"weighted_mix: rate must be in [0,1], "
+                             f"got {rate}")
+        salt = src.get("salt", "mix")
+        if rate >= 1.0:
+            return src["ds"]
+        thresh = np.uint64(int(rate * float(1 << 64)))
+
+        def filt(t: pa.Table) -> pa.Table:
+            hi, _ = _salted_hash64(t, id_col, salt)
+            return t.filter(pa.array(hi < thresh))
+
+        return src["ds"].map_batches(filt, **_PA_KW)
+
+    def apply(ds):
+        # ds is the FIRST source's dataset by pipeline convention; the
+        # op is usually invoked standalone with sources=[...] only
+        parts = [one(s) for s in sources]
+        out = parts[0]
+        return out.union(*parts[1:]) if len(parts) > 1 else out
+
+    return apply
+
+
+@register_op("global_shuffle")
+def build_global_shuffle(*, id_col: str = "doc_id", salt: str = "epoch0",
+                         out: str = "shuffle_pos", n_buckets: int = 1024):
+    """Deterministic global shuffle with EXACT global positions: every
+    row gets ``out`` = its row_number (0-based) in ``md5(salt || id)``
+    order — the reproducible epoch ordering of a training pipeline
+    (new salt per epoch, same data → same order on any cluster size).
+
+    Ray Data has no global-index primitive, so positions come from the
+    same bucketed prefix-sum as pack_chunks: the hash's top bits give
+    ``n_buckets`` ORDER-ALIGNED buckets (bucket i's hashes all sort
+    before bucket i+1's), a tiny per-bucket count table is prefix-
+    summed on the driver (n_buckets rows, never the corpus) and
+    broadcast; each bucket then sorts its own rows by (hi, lo, id) and
+    assigns ``offset + arange``.  ONE keyed exchange over the bucket
+    id; no global sort machinery."""
+    import ray
+
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    if (1 << (64 - int(shift))) != n_buckets:
+        raise ValueError("global_shuffle: n_buckets must be a power of 2")
+
+    def apply(ds):
+        def partial_counts(t: pa.Table) -> pa.Table:
+            hi, _ = _salted_hash64(t, id_col, salt)
+            b = (hi >> shift).astype(np.int64)
+            uniq, cnt = np.unique(b, return_counts=True)
+            return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                             "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+        agg: dict[int, int] = {}
+        for r in ds.map_batches(partial_counts, **_PA_KW).take_all():
+            agg[r["bucket"]] = agg.get(r["bucket"], 0) + r["n"]
+        offsets: dict[int, int] = {}
+        run = 0
+        for bk in sorted(agg):
+            offsets[bk] = run
+            run += agg[bk]
+        off_ref = ray.put(offsets)
+
+        def with_key(t: pa.Table) -> pa.Table:
+            hi, lo = _salted_hash64(t, id_col, salt)
+            return (t.append_column("_gs_hi", pa.array(hi, pa.uint64()))
+                     .append_column("_gs_lo", pa.array(lo, pa.uint64()))
+                     .append_column("_gs_bucket",
+                                    pa.array((hi >> shift).astype(np.int64),
+                                             pa.int64())))
+
+        def rank_bucket(g: pa.Table) -> pa.Table:
+            offs = _fetch(off_ref, lambda v: v)
+            hi = g.column("_gs_hi").to_numpy(zero_copy_only=False)
+            lo = g.column("_gs_lo").to_numpy(zero_copy_only=False)
+            ids = g.column(id_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, lo, hi))
+            pos = np.empty(len(order), np.int64)
+            base = offs[int(g.column("_gs_bucket")[0].as_py())]
+            pos[order] = base + np.arange(len(order), dtype=np.int64)
+            return g.append_column(out, pa.array(pos, pa.int64())) \
+                    .drop_columns(["_gs_hi", "_gs_lo", "_gs_bucket"])
+
+        keyed = ds.map_batches(with_key, **_PA_KW)
+        return keyed.groupby("_gs_bucket").map_groups(
+            rank_bucket, batch_format="pyarrow")
+
+    return apply
+
+
 @register_op("pack_chunks")
 def build_pack_chunks(*, size_col: str, capacity: int, order_col: str,
                       out: str = "chunk_id", bucket_rows: int = 4096):

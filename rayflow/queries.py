@@ -3598,3 +3598,62 @@ def incremental_dedup_sharded(sf_dir: str):
     out = build_op({"op": "dedup_against", "ref": ref, "method": "sharded",
                     "num_partitions": 4})(ds)
     return out.select_columns(["doc_id"])
+
+
+_MIX_RATE_A, _MIX_RATE_B = 0.75, 0.25
+_MIX_HEX_A = format(int(_MIX_RATE_A * float(1 << 64)), "016x")
+_MIX_HEX_B = format(int(_MIX_RATE_B * float(1 << 64)), "016x")
+
+
+@query(
+    "weighted_mix_docs",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 0
+      AND substr(md5('mixA' || CAST(doc_id AS VARCHAR)), 1, 16)
+            < '{_MIX_HEX_A}'
+    UNION ALL
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 1
+      AND substr(md5('mixB' || CAST(doc_id AS VARCHAR)), 1, 16)
+            < '{_MIX_HEX_B}'
+    """,
+)
+def weighted_mix_docs(sf_dir: str):
+    """Pre-training corpus mixing: two sources (even/odd doc ids
+    standing in for web/books) sampled at 0.75 / 0.25 by deterministic
+    salted-md5 thresholds, then unioned — pure map + zero-shuffle
+    union; the oracle applies the identical hex-prefix threshold."""
+    rd = _rd()
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    a = build_op({"op": "filter",
+                  "predicate": (E.col("doc_id") % 2) == 0})(docs)
+    b = build_op({"op": "filter",
+                  "predicate": (E.col("doc_id") % 2) == 1})(docs)
+    return build_op({
+        "op": "weighted_mix", "id_col": "doc_id",
+        "sources": [{"ds": a, "rate": _MIX_RATE_A, "salt": "mixA"},
+                    {"ds": b, "rate": _MIX_RATE_B, "salt": "mixB"}],
+    })(a)
+
+
+@query(
+    "global_shuffle_docs",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('ep0' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def global_shuffle_docs(sf_dir: str):
+    """Reproducible epoch shuffle: every doc gets its exact global
+    position in md5('ep0' || id) order via order-aligned hash buckets
+    + a driver prefix-sum over the tiny bucket-count table — one keyed
+    exchange, no global sort machinery."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = build_op({"op": "global_shuffle", "id_col": "doc_id",
+                    "salt": "ep0", "out": "shuffle_pos",
+                    "n_buckets": 64})(ds)
+    return out.select_columns(["doc_id", "shuffle_pos"])

@@ -491,3 +491,59 @@ def test_sharded_semi_same_key_name_both_sides(ray_session):
     anti = build_op({"op": "sharded_semi", "right": right, "on": "k",
                      "anti": True, "num_partitions": 2})(left).to_pandas()
     assert sorted(anti["k"]) == ["a", "c"]
+
+
+# -- weighted_mix / global_shuffle (training-order plane) --------------------
+
+
+def test_weighted_mix_rate_one_and_rate_error(ray_session):
+    ds = _mk_ds({"doc_id": np.arange(100, dtype=np.int64)}, parallelism=4)
+    out = build_op({"op": "weighted_mix",
+                    "sources": [{"ds": ds, "rate": 1.0}]})(ds).to_pandas()
+    assert len(out) == 100
+    with pytest.raises(ValueError, match="rate"):
+        build_op({"op": "weighted_mix",
+                  "sources": [{"ds": ds, "rate": 1.5}]})(ds)
+
+
+def test_weighted_mix_deterministic_and_rate_proportional(ray_session):
+    ds = _mk_ds({"doc_id": np.arange(4000, dtype=np.int64)}, parallelism=8)
+    cfg = {"op": "weighted_mix", "id_col": "doc_id",
+           "sources": [{"ds": ds, "rate": 0.5, "salt": "s1"}]}
+    a = sorted(build_op(cfg)(ds).to_pandas()["doc_id"])
+    b = sorted(build_op(cfg)(ds).to_pandas()["doc_id"])
+    assert a == b
+    # md5 threshold sampling is within a few % of the nominal rate
+    assert 0.45 < len(a) / 4000 < 0.55
+
+
+def test_global_shuffle_exact_permutation(ray_session):
+    import hashlib
+
+    n = 3000
+    ds = _mk_ds({"doc_id": np.arange(n, dtype=np.int64)}, parallelism=12)
+    out = build_op({"op": "global_shuffle", "id_col": "doc_id",
+                    "salt": "e7", "n_buckets": 32})(ds).to_pandas()
+    assert sorted(out["shuffle_pos"]) == list(range(n))
+    # matches the serial reference ordering exactly
+    ref = sorted(range(n),
+                 key=lambda i: (hashlib.md5(f"e7{i}".encode()).hexdigest(), i))
+    got = out.sort_values("shuffle_pos")["doc_id"].tolist()
+    assert got == ref
+
+
+def test_global_shuffle_salt_changes_order(ray_session):
+    n = 500
+    ds = _mk_ds({"doc_id": np.arange(n, dtype=np.int64)}, parallelism=4)
+    o1 = build_op({"op": "global_shuffle", "salt": "ep0",
+                   "n_buckets": 16})(ds).to_pandas()
+    o2 = build_op({"op": "global_shuffle", "salt": "ep1",
+                   "n_buckets": 16})(ds).to_pandas()
+    m1 = dict(zip(o1["doc_id"], o1["shuffle_pos"]))
+    m2 = dict(zip(o2["doc_id"], o2["shuffle_pos"]))
+    assert m1 != m2
+
+
+def test_global_shuffle_rejects_bad_buckets(ray_session):
+    with pytest.raises(ValueError, match="power of 2"):
+        build_op({"op": "global_shuffle", "n_buckets": 100})
