@@ -949,6 +949,107 @@ def build_simhash(*, text_col: str = "text", id_col: str = "doc_id"):
     return apply
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-LUT, no Python loop)."""
+    return _POPCNT8[np.ascontiguousarray(x).view(np.uint8)
+                    .reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+@register_op("simhash_near_dup")
+def build_simhash_near_dup(*, hd_max: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 256,
+                           hot_band_limit: int = 20_000):
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hd) for every pair
+    whose 63-bit Charikar simhashes differ in at most ``hd_max`` bits.
+
+    EXACT recall by pigeonhole: the hash is split into ``hd_max + 1``
+    bands, so any pair within ``hd_max`` differing bits shares at least
+    one band verbatim — band-equality blocking finds every qualifying
+    pair, and the popcount verify drops band-collision false positives.
+    Same one-exchange shape as minhash_lsh_dedup: signatures + band
+    explosion in ``map_batches`` (the 8-byte signature rides along, so
+    verification is an in-bucket popcount — the corpus is never
+    re-read), ONE coarse-bucket groupby for candidate generation +
+    verify, then the two-phase pair dedupe (a pair can collide in
+    several bands)."""
+    from rayflow.ops import build_op
+
+    num_bands = hd_max + 1
+    width = int(np.ceil(64.0 / num_bands))
+    mask = np.uint64((1 << width) - 1)
+
+    def apply(ds):
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
+
+        def bands(t: pa.Table) -> pa.Table:
+            sh = simhash_batch(t.column(text_col))
+            ids = t.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            n = len(ids)
+            band_idx = np.repeat(np.arange(num_bands, dtype=np.uint64), n)
+            sh_rep = np.tile(sh, num_bands)
+            vals = (sh_rep >> (band_idx * np.uint64(width))) & mask
+            key = (band_idx << np.uint64(width)) | vals
+            return pa.table({
+                id_col: pa.array(np.tile(ids, num_bands), pa.int64()),
+                "simhash": pa.array(sh_rep.astype(np.int64), pa.int64()),
+                "band_key": pa.array(key.astype(np.int64), pa.int64()),
+                "bucket": pa.array((key % np.uint64(n_buckets))
+                                   .astype(np.int32), pa.int32()),
+            })
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            keys = g["band_key"].to_numpy()
+            ids = g[id_col].to_numpy()
+            shs = g["simhash"].to_numpy().astype(np.uint64)
+            order = np.lexsort((ids, keys))
+            keys, ids, shs = keys[order], ids[order], shs[order]
+            _, starts, counts = np.unique(keys, return_index=True,
+                                          return_counts=True)
+            outs = []
+            for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+                if c > hot_band_limit:
+                    raise ValueError(
+                        f"simhash_near_dup: {c} documents share one band "
+                        f"(> hot_band_limit={hot_band_limit}) — usually a "
+                        "large exact-duplicate clique; run exact dedup "
+                        "first, or raise the limit")
+                i, j = np.triu_indices(c, k=1)
+                hd = _popcount64(shs[s + i] ^ shs[s + j])
+                keep = hd <= hd_max
+                outs.append((ids[s + i][keep], ids[s + j][keep], hd[keep]))
+            if not outs:
+                return pd.DataFrame({
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "hd": pd.Series([], dtype=np.int64)})
+            a = np.concatenate([o[0] for o in outs])
+            b = np.concatenate([o[1] for o in outs])
+            h = np.concatenate([o[2] for o in outs])
+            return pd.DataFrame({"doc_a": a, "doc_b": b, "hd": h}) \
+                .drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
+
+        pairs = ds.map_batches(bands, **_PA_KW) \
+            .groupby("bucket").map_groups(bucket_pairs,
+                                          batch_format="pandas")
+        # cross-band dedupe: a pair within hd_max bits can share
+        # several bands and be emitted by more than one bucket.  All
+        # copies carry the identical hd, so a two-phase grouped min is
+        # an exact distinct (dedupe's argextreme needs a UNIQUE order
+        # col, which hd is not)
+        return build_op({
+            "op": "group_agg", "keys": ["doc_a", "doc_b"],
+            "aggs": [("min", "hd", "hd")],
+        })(pairs)
+
+    return apply
+
+
 @register_op("jaccard_block_pairs")
 def build_jaccard_block_pairs(*, block_col: str = "source",
                               threshold: float = 0.5, shingle_k: int = 3,

@@ -3657,3 +3657,48 @@ def global_shuffle_docs(sf_dir: str):
                     "salt": "ep0", "out": "shuffle_pos",
                     "n_buckets": 64})(ds)
     return out.select_columns(["doc_id", "shuffle_pos"])
+
+
+@query(
+    "simhash_near_dup_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM t
+    ), h AS (
+      SELECT doc_id, n,
+             CAST('0x' || substring(md5(tk), 1, 16) AS UBIGINT) AS hv
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, n, i,
+             CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE 0 END AS b
+      FROM h CROSS JOIN (SELECT unnest(range(63)) AS i)
+    ), mj AS (
+      SELECT doc_id, i,
+             CASE WHEN 2 * sum(b) > any_value(n)
+                  THEN (1::UBIGINT << i) ELSE 0::UBIGINT END AS v
+      FROM bits GROUP BY doc_id, i
+    ), s0 AS (
+      SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash FROM mj GROUP BY doc_id
+    ), s AS (
+      SELECT d.doc_id, COALESCE(s0.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN s0 ON d.doc_id = s0.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))
+                AS BIGINT) AS hd
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
+    """,
+)
+def simhash_near_dup_pairs(sf_dir: str):
+    """SimHash near-dup detection: all pairs within 3 differing
+    signature bits, found by pigeonhole band blocking (4 exact-match
+    bands guarantee full recall at hd<=3) + in-bucket popcount verify —
+    one keyed exchange carrying only (id, signature, band) ints.  The
+    oracle brute-forces the full O(n^2) bit_count join."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    return build_op({"op": "simhash_near_dup", "hd_max": 3})(ds)

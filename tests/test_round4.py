@@ -547,3 +547,46 @@ def test_global_shuffle_salt_changes_order(ray_session):
 def test_global_shuffle_rejects_bad_buckets(ray_session):
     with pytest.raises(ValueError, match="power of 2"):
         build_op({"op": "global_shuffle", "n_buckets": 100})
+
+
+# -- simhash_near_dup ---------------------------------------------------------
+
+
+def test_popcount64_kernel():
+    from rayflow.ops.dedup import _popcount64
+
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 1 << 63, 1000, dtype=np.int64).astype(np.uint64)
+    got = _popcount64(xs)
+    exp = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == exp
+
+
+def test_simhash_near_dup_full_recall(ray_session):
+    """Pigeonhole banding must find EVERY pair within hd_max bits —
+    compare against the brute-force O(n^2) popcount reference."""
+    from rayflow.ops.dedup import simhash_batch
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(200)]
+    texts = []
+    for d in range(120):
+        base = list(rng.choice(words, 30))
+        texts.append(" ".join(base))
+        if d % 4 == 0:  # planted near-dup: one token swapped
+            mut = base.copy()
+            mut[0] = "zz" + mut[0]
+            texts.append(" ".join(mut))
+    n = len(texts)
+    ds = _mk_ds({"doc_id": np.arange(n, dtype=np.int64), "text": texts},
+                parallelism=6)
+    out = build_op({"op": "simhash_near_dup", "hd_max": 4})(ds).to_pandas()
+    sh = simhash_batch(pa.array(texts)).astype(np.uint64)
+    exp = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin(int(sh[i] ^ sh[j])).count("1") <= 4:
+                exp.add((i, j))
+    got = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    assert got == exp
+    assert len(out) == len(out.drop_duplicates(["doc_a", "doc_b"]))
