@@ -87,6 +87,16 @@ BENCH_QUERIES = [
     "lm_score_docs",          # corpus-trained bigram LM: train + broadcast + score
     "ngram_jaccard_near_dup",  # EXACT all-pairs near-dup (heaviest query:
                                # prefix-filter + 256-pair verify at t=0.4)
+    # round-4 additions: training-order plane + incremental-ingest dedup
+    "domain_cap_docs",         # per-domain quota: partial cap + sharded finish
+    "incremental_dedup_docs",  # cross-snapshot dedup, broadcast digests
+    "weighted_mix_docs",       # corpus mixing: salted-md5 threshold + union
+    "global_shuffle_docs",     # epoch shuffle: bucket prefix-sum positions
+    "simhash_near_dup_pairs",  # Hamming-band blocking + popcount verify
+    "repetition_signals_docs",  # Gopher dup-line/para fractions, zero shuffles
+    "paragraph_dedup_docs",    # corpus-level exact paragraph dedup
+    "nation_profit_q9_shape",  # widest remaining TPC-H shapes
+    "waiting_supplier_q21_shape",
 ]
 
 
