@@ -1061,11 +1061,24 @@ def build_jaccard_block_pairs(*, block_col: str = "source",
     def apply(ds):
         def per_block(g: pd.DataFrame) -> pd.DataFrame:
             ids = g[id_col].to_numpy()
-            shs = [_token_shingles(s or "", shingle_k) for s in g[text_col]]
+            # vectorized shingle kernel (bit-identical to the scalar
+            # _token_shingles reference): flat sorted-unique hashes +
+            # per-doc offsets, intersections via C intersect1d
+            flat, counts = shingle_hash_batch(
+                pa.array(["" if s is None else s for s in g[text_col]]),
+                shingle_k)
+            offs = np.concatenate(([0], np.cumsum(counts)))
             rows = []
             for i in range(len(ids)):
+                si = flat[offs[i]:offs[i + 1]]
                 for j in range(i + 1, len(ids)):
-                    ja = jaccard(shs[i], shs[j])
+                    sj = flat[offs[j]:offs[j + 1]]
+                    if si.size or sj.size:
+                        inter = np.intersect1d(si, sj,
+                                               assume_unique=True).size
+                        ja = inter / (si.size + sj.size - inter)
+                    else:
+                        ja = 1.0  # both empty — jaccard() convention
                     if ja >= threshold:
                         a, b = sorted((int(ids[i]), int(ids[j])))
                         rows.append((a, b, round(ja, 6)))
