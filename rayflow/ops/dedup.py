@@ -1544,7 +1544,8 @@ def build_dedup_against(*, ref, text_col: str = "text",
                         ref_text_col: str | None = None,
                         method: str = "auto",
                         broadcast_limit: int = 20_000_000,
-                        num_partitions: int = 16):
+                        num_partitions: int = 16,
+                        bloom_bits_per_key: int | None = None):
     """Incremental (cross-snapshot) exact dedup: drop rows whose
     ``text_col`` content already appears in a REFERENCE corpus ``ref``
     (a Dataset — e.g. the previously-ingested lake, so a nightly CDC
@@ -1598,6 +1599,9 @@ def build_dedup_against(*, ref, text_col: str = "text",
             out = build_op({
                 "op": "sharded_semi", "right": hashed_ref, "on": DG,
                 "anti": True, "num_partitions": num_partitions,
+                # opt-in: bloom of ref digests resolves most new docs
+                # with NO exchange (anti bloom-miss = proven-new)
+                "bloom_bits_per_key": bloom_bits_per_key,
             })(ds.map_batches(lambda t: add_dg(t, text_col), **_PA_KW))
             return out.map_batches(
                 lambda t: t.drop_columns([DG]), **_PA_KW)

@@ -21,6 +21,7 @@ internal/impl/pure/processor_branch.go⟩``).  Ray-Data-native mappings:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -151,20 +152,69 @@ def build_broadcast_semi(*, keys_ref, on: str, anti: bool = False):
     return apply
 
 
+def _bloom_prefilter(ds, right, on: str, right_key: str,
+                     bits_per_key: int, anti: bool):
+    """Split ``ds`` by a broadcast Bloom of the right side's keys:
+    returns ``(candidates, definite)`` where ``candidates`` must still
+    go through the exact join and ``definite`` already has its answer
+    (empty for semi; the guaranteed-absent rows for anti — a bloom miss
+    proves absence, so those rows skip the exchange entirely).  False
+    positives only inflate ``candidates`` — correctness is untouched.
+    NULL keys never equal anything in SQL: they are definite-pass for
+    anti and definite-drop for semi."""
+    import ray
+
+    from rayflow.ops.kernels import build_bloom_from
+
+    bloom_ref = ray.put(build_bloom_from(right, right_key,
+                                         bits_per_key=bits_per_key))
+
+    def split(keep_maybe: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            bf = _fetch(bloom_ref, lambda b: b)
+            col = t.column(on)
+            valid = np.asarray(pc.is_valid(col))
+            maybe = np.zeros(t.num_rows, dtype=bool)
+            if valid.any():
+                got = bf.contains(
+                    col.combine_chunks().drop_null()
+                    if isinstance(col, pa.ChunkedArray) else col.drop_null())
+                maybe[np.flatnonzero(valid)] = got
+            return t.filter(pa.array(maybe if keep_maybe else ~maybe))
+
+        return fn
+
+    candidates = ds.map_batches(split(True), **_PA_KW)
+    definite = ds.map_batches(split(False), **_PA_KW) if anti else None
+    return candidates, definite
+
+
 @register_op("sharded_semi")
 def build_sharded_semi(*, right, on: str, right_on: str | None = None,
-                       anti: bool = False, num_partitions: int = 16):
+                       anti: bool = False, num_partitions: int = 16,
+                       bloom_bits_per_key: int | None = None):
     """Semi/anti join with NO size assumption on either side (the
     broadcast variant needs the key set in one object): the right side
     is reduced to DISTINCT keys plus a marker column, LEFT-OUTER hash
     joined, and the marker's presence/absence is the filter.  Left
     columns pass through unchanged; exactly one keyed exchange, with
-    the right side pre-shrunk to its key cardinality."""
+    the right side pre-shrunk to its key cardinality.
+
+    ``bloom_bits_per_key`` (opt-in) builds a Bloom filter of the right
+    keys ONCE, broadcasts it (m/8 bytes regardless of key count) and
+    prefilters the left side BEFORE the exchange: semi ships only
+    maybe-members; anti resolves bloom-misses with no exchange at all
+    and joins only the maybe-members.  The join stays exact — bloom
+    false positives just ride the exchange and get filtered there."""
 
     def apply(ds):
         from rayflow.ops import build_op
 
         rk = right_on or on
+        definite = None
+        if bloom_bits_per_key:
+            ds, definite = _bloom_prefilter(
+                ds, right, on, rk, bloom_bits_per_key, anti)
         keys = build_op({
             "op": "group_agg", "keys": [rk],
             "aggs": [("count", None, "__semi_n")],
@@ -193,8 +243,11 @@ def build_sharded_semi(*, right, on: str, right_on: str | None = None,
             num_partitions=num_partitions,
             on=(on,), right_on=(rk,),
         )
-        return joined.map_batches(finish, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        out = joined.map_batches(finish, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        if definite is not None:
+            out = out.union(definite)  # bloom-miss rows: proven absent
+        return out
 
     return apply
 
@@ -203,7 +256,8 @@ def build_sharded_semi(*, right, on: str, right_on: str | None = None,
 def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = None,
                        how: str = "inner", num_partitions: int = 16,
                        strategy: str = "shuffle",
-                       broadcast_bytes_limit: int = 64 << 20):
+                       broadcast_bytes_limit: int = 64 << 20,
+                       bloom_bits_per_key: int | None = None):
     """Large-large hash join (the ``sharded_join`` sequence input):
     both sides shuffled on the key into ``num_partitions`` shards, merged
     shard-wise.  Uses ``Dataset.join``; sizing rule at scale: shard count
@@ -214,15 +268,29 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
     join is inner/left, switches to the broadcast path — the planner
     decision every engine makes for a dim-table join; the exchange is
     avoided entirely.  Default stays ``"shuffle"`` (explicit is better
-    for a bench surface)."""
+    for a bench surface).
+
+    ``bloom_bits_per_key`` (opt-in, inner single-key joins): broadcast
+    a Bloom of the right keys and drop left rows with no possible match
+    BEFORE the exchange — in a selective fact⋈filtered-dim join most of
+    the fact side never ships.  Exactness is untouched (false positives
+    still join and miss)."""
 
     # normalize SQL shorthands once so every branch (auto-broadcast
     # gate included) sees one spelling
     how = {"left_outer": "left", "right_outer": "right",
            "outer": "full_outer", "full": "full_outer"}.get(how, how)
+    if bloom_bits_per_key and (how != "inner" or len(on) != 1):
+        raise ValueError("sharded_join: bloom_bits_per_key needs an "
+                         "inner single-key join (other shapes keep "
+                         "unmatched left rows)")
 
     def apply(ds):
         r = right
+        if bloom_bits_per_key:
+            ds, _ = _bloom_prefilter(
+                ds, r, on[0], (right_on or on)[0], bloom_bits_per_key,
+                anti=False)
         if strategy == "auto" and how in ("inner", "left"):
             r = r.materialize()
             if (r.size_bytes() or 0) <= broadcast_bytes_limit:

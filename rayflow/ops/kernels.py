@@ -256,3 +256,86 @@ def md5_rank64(strings: list):
     dig = md5_digests(strings)
     be = dig.view(">u8").astype(np.uint64)  # (n, 2) big-endian words
     return be[:, 0], be[:, 1]
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over md5-hashed keys, built for the
+    broadcast-prefilter pattern: constructed ONCE (driver or build
+    task), ``ray.put`` once, probed vectorized per batch.  The bit
+    array is a numpy uint64 vector (``m_bits/8`` bytes regardless of
+    key count — 10 bits/key ≈ <1% FP with the derived k), so a
+    10^9-key join side broadcasts ~1.2 GB instead of re-shipping the
+    key set, and false positives only cost wasted exchange volume,
+    never correctness (the join itself stays exact).
+
+    Hashing: (hi, lo) = md5_rank64(str(key)); probe i uses the
+    standard double-hash ``(hi + i*lo) mod m`` (Kirsch–Mitzenmacher),
+    all probes vectorized across the batch.
+    """
+
+    def __init__(self, m_bits: int, k: int):
+        import numpy as np
+
+        if m_bits <= 0 or k <= 0:
+            raise ValueError("BloomFilter: m_bits and k must be positive")
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def sized(cls, n_keys: int, bits_per_key: int = 10) -> "BloomFilter":
+        import numpy as np
+
+        m = max(64, int(n_keys) * int(bits_per_key))
+        k = max(1, int(round(0.693 * bits_per_key)))
+        del np
+        return cls(m, k)
+
+    def _idx(self, col):
+        import numpy as np
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        if not (_pa.types.is_string(col.type) or _pa.types.is_binary(col.type)
+                or _pa.types.is_large_string(col.type)):
+            col = _pc.cast(col, _pa.string())
+        hi, lo = md5_rank64(
+            col.combine_chunks() if isinstance(col, _pa.ChunkedArray)
+            else col)
+        m = np.uint64(self.m)
+        ks = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (hi[None, :] + ks * lo[None, :]) % m  # (k, n)
+
+    def add(self, col) -> None:
+        import numpy as np
+
+        idx = self._idx(col).ravel()
+        np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains(self, col):
+        """Vectorized membership: bool ndarray, True = maybe present."""
+        import numpy as np
+
+        idx = self._idx(col)
+        word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+def build_bloom_from(ds, key_col: str, *, bits_per_key: int = 10,
+                     count_hint: int | None = None) -> BloomFilter:
+    """Stream a dataset's ``key_col`` through a BloomFilter build: the
+    driver holds only the bit array (m/8 bytes); key hashes are
+    consumed batch-by-batch and discarded — never the key set."""
+    n = count_hint if count_hint is not None else ds.count()
+    bf = BloomFilter.sized(max(n, 1), bits_per_key)
+    for b in ds.select_columns([key_col]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        col = b.column(key_col)
+        if col.null_count:
+            col = col.drop_null()
+        if len(col):
+            bf.add(col)
+    return bf

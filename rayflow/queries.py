@@ -3702,3 +3702,39 @@ def simhash_near_dup_pairs(sf_dir: str):
     ds = _rd().read_parquet(_t(sf_dir, "documents"),
                             columns=["doc_id", "text"])
     return build_op({"op": "simhash_near_dup", "hd_max": 3})(ds)
+
+
+@query(
+    "anti_join_bloom_prefilter",
+    """
+    SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+)
+def anti_join_bloom_prefilter(sf_dir: str):
+    """sharded_anti_quiet_customers' plan with the Bloom prefilter on:
+    a broadcast Bloom of the (filtered) order custkeys resolves
+    bloom-miss customers with NO exchange — only maybe-members ride the
+    keyed join.  Same SQL, bit-identical output: the oracle proves the
+    prefilter never changes results."""
+    rd = _rd()
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal"])
+    cust = build_op({
+        "op": "mapping",
+        "cols": {"acctbal": E.F("round", E.col("c_acctbal"), 4)},
+        "select": ["c_custkey", "acctbal"],
+    })(cust)
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    orders = build_op({
+        "op": "filter", "predicate": E.col("o_totalprice") > 300000.0,
+    })(orders)
+    return build_op({
+        "op": "sharded_semi", "right": orders,
+        "on": "c_custkey", "right_on": "o_custkey",
+        "anti": True, "num_partitions": 4, "bloom_bits_per_key": 10,
+    })(cust)

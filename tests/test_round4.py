@@ -590,3 +590,82 @@ def test_simhash_near_dup_full_recall(ray_session):
     got = set(map(tuple, out[["doc_a", "doc_b"]].values))
     assert got == exp
     assert len(out) == len(out.drop_duplicates(["doc_a", "doc_b"]))
+
+
+# -- Bloom prefilter ----------------------------------------------------------
+
+
+def test_bloom_filter_kernel():
+    from rayflow.ops.kernels import BloomFilter
+
+    bf = BloomFilter.sized(500, 10)
+    keys = pa.array([f"k{i}" for i in range(500)])
+    bf.add(keys)
+    assert bf.contains(keys).all()          # no false negatives, ever
+    fp = bf.contains(pa.array([f"miss{i}" for i in range(10000)])).mean()
+    assert fp < 0.03                        # ~1% nominal at 10 bits/key
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_sharded_semi_bloom_prefilter_exact(ray_session, anti):
+    rng = np.random.default_rng(9)
+    left_keys = rng.integers(0, 1000, 4000).astype(np.int64)
+    right_keys = np.unique(rng.integers(0, 1000, 300)).astype(np.int64)
+    left = _mk_ds({"k": left_keys, "v": np.arange(4000)}, parallelism=8)
+    right = _mk_ds({"k": right_keys}, parallelism=4)
+    plain = build_op({"op": "sharded_semi", "right": right, "on": "k",
+                      "anti": anti, "num_partitions": 4})(left).to_pandas()
+    bloom = build_op({"op": "sharded_semi", "right": right, "on": "k",
+                      "anti": anti, "num_partitions": 4,
+                      "bloom_bits_per_key": 10})(left).to_pandas()
+    assert sorted(map(tuple, plain[["k", "v"]].values)) == \
+        sorted(map(tuple, bloom[["k", "v"]].values))
+
+
+def test_sharded_join_bloom_prefilter_exact(ray_session):
+    rng = np.random.default_rng(13)
+    left = _mk_ds({"k": rng.integers(0, 500, 3000).astype(np.int64),
+                   "v": np.arange(3000)}, parallelism=6)
+    rk = np.unique(rng.integers(0, 500, 60)).astype(np.int64)
+    right = _mk_ds({"k2": rk, "w": rk * 10}, parallelism=2)
+    plain = build_op({"op": "sharded_join", "right": right, "on": ["k"],
+                      "right_on": ["k2"], "how": "inner",
+                      "num_partitions": 4})(left).to_pandas()
+    bloom = build_op({"op": "sharded_join", "right": right, "on": ["k"],
+                      "right_on": ["k2"], "how": "inner",
+                      "num_partitions": 4,
+                      "bloom_bits_per_key": 10})(left).to_pandas()
+    cols = ["k", "v", "w"]
+    assert sorted(map(tuple, plain[cols].values)) == \
+        sorted(map(tuple, bloom[cols].values))
+
+
+def test_sharded_join_bloom_rejects_outer(ray_session):
+    ds = _mk_ds({"k": np.array([1], np.int64)}, parallelism=1)
+    with pytest.raises(ValueError, match="inner single-key"):
+        build_op({"op": "sharded_join", "right": ds, "on": ["k"],
+                  "how": "left", "bloom_bits_per_key": 8})
+
+
+def test_sharded_semi_bloom_null_keys(ray_session):
+    left = _mk_ds({"k": pa.array([1, None, 2, None], pa.int64()),
+                   "v": np.arange(4)}, parallelism=1)
+    right = _mk_ds({"k": np.array([1], np.int64)}, parallelism=1)
+    semi = build_op({"op": "sharded_semi", "right": right, "on": "k",
+                     "bloom_bits_per_key": 8,
+                     "num_partitions": 2})(left).to_pandas()
+    assert sorted(semi["v"]) == [0]         # null keys never match
+    anti = build_op({"op": "sharded_semi", "right": right, "on": "k",
+                     "anti": True, "bloom_bits_per_key": 8,
+                     "num_partitions": 2})(left).to_pandas()
+    assert sorted(anti["v"]) == [1, 2, 3]   # null keys pass NOT EXISTS
+
+
+def test_dedup_against_sharded_with_bloom(ray_session):
+    ref_rows, new_rows = _dedup_against_case("sharded")
+    ref = _mk_ds(ref_rows, parallelism=4)
+    ds = _mk_ds(new_rows, parallelism=6)
+    out = build_op({"op": "dedup_against", "ref": ref, "method": "sharded",
+                    "num_partitions": 4,
+                    "bloom_bits_per_key": 10})(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(60) if i % 3 != 0]
