@@ -365,3 +365,118 @@ def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
         return build_group_agg(keys=keys + [out], aggs=aggs)(sessioned)
 
     return apply
+
+
+@register_op("group_rank")
+def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
+                     descending: bool = False, num_shards: int = 64):
+    """Per-key ``row_number()`` (1-based, ``OVER (PARTITION BY key
+    ORDER BY order)``): ONE coarse-sharded keyed exchange — every key's
+    rows land in the same hash(key)-shard, then the whole shard ranks
+    all its keys in one vectorized lexsort pass (no per-key group
+    tasks).  Ties in ``order_col`` break arbitrarily; pass a unique
+    order for determinism."""
+    from rayflow.ops.curation import _cap_kernel  # noqa: F401 (doc link)
+    from rayflow.ops.kernels import md5_rank64
+
+    def shard(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if not (pa.types.is_string(keys.type)
+                or pa.types.is_large_string(keys.type)
+                or pa.types.is_binary(keys.type)):
+            keys = pc.cast(keys, pa.string())
+        hi, _ = md5_rank64(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        return t.append_column(
+            "_gr_shard",
+            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
+                     pa.int64()))
+
+    def rank_shard(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(
+            g.column(key_col).combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = g.column(order_col).to_numpy(zero_copy_only=False)
+        if descending:
+            if not np.issubdtype(order.dtype, np.number):
+                raise ValueError("group_rank: descending needs a "
+                                 "numeric order col")
+            order = -order
+        o = np.lexsort((order, codes))
+        ks = codes[o]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(ks)])))
+        rank = (np.arange(len(ks), dtype=np.int64)
+                - np.repeat(starts, runlen) + 1)
+        rn = np.empty(len(ks), np.int64)
+        rn[o] = rank
+        return g.append_column(out, pa.array(rn, pa.int64())) \
+                .drop_columns(["_gr_shard"])
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_gr_shard").map_groups(rank_shard,
+                                             batch_format="pyarrow")
+
+    return apply
+
+
+@register_op("group_cumsum")
+def build_group_cumsum(*, key_col: str, order_col: str, value_col: str,
+                       out: str = "running", num_shards: int = 64):
+    """Per-key running sum (``SUM(v) OVER (PARTITION BY key ORDER BY
+    order)`` with the default RANGE frame — ties share the frame total,
+    matching SQL).  Same one-exchange coarse-shard shape as
+    group_rank; within a shard the cumsum over every key is one
+    vectorized pass (global cumsum minus each key run's start offset),
+    with per-(key, order) tie groups collapsed to their last value."""
+    from rayflow.ops.kernels import md5_rank64
+
+    def shard(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if not (pa.types.is_string(keys.type)
+                or pa.types.is_large_string(keys.type)
+                or pa.types.is_binary(keys.type)):
+            keys = pc.cast(keys, pa.string())
+        hi, _ = md5_rank64(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        return t.append_column(
+            "_gc_shard",
+            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
+                     pa.int64()))
+
+    def cumsum_shard(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(
+            g.column(key_col).combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = g.column(order_col).to_numpy(zero_copy_only=False)
+        vals = g.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((order, codes))
+        ks, os_, vs = codes[o], order[o], vals[o]
+        csum = np.cumsum(vs)
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(ks)])))
+        base = np.repeat(np.where(starts > 0, csum[starts - 1], 0.0)
+                         if len(starts) else np.zeros(0), runlen)
+        # SQL RANGE frame: rows tied on (key, order) share the total of
+        # the whole tie group — propagate each tie run's LAST cumsum
+        new_tie = np.concatenate(([True], (ks[1:] != ks[:-1])
+                                  | (os_[1:] != os_[:-1])))
+        tie_id = np.cumsum(new_tie) - 1
+        tie_starts = np.flatnonzero(new_tie)
+        tie_ends = np.concatenate((tie_starts[1:], [len(ks)])) - 1
+        run = csum[tie_ends][tie_id] - base
+        rn = np.empty(len(ks), np.float64)
+        rn[o] = run
+        return g.append_column(out, pa.array(rn, pa.float64())) \
+                .drop_columns(["_gc_shard"])
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_gc_shard").map_groups(cumsum_shard,
+                                             batch_format="pyarrow")
+
+    return apply

@@ -3738,3 +3738,66 @@ def anti_join_bloom_prefilter(sf_dir: str):
         "on": "c_custkey", "right_on": "o_custkey",
         "anti": True, "num_partitions": 4, "bloom_bits_per_key": 10,
     })(cust)
+
+
+@query(
+    "order_rank_per_customer",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def order_rank_per_customer(sf_dir: str):
+    """Per-key row_number (each customer's orders ranked by date):
+    ONE coarse-sharded keyed exchange, whole-shard vectorized lexsort
+    rank — no per-key group tasks.  (o_orderdate, o_orderkey) is a
+    unique order so the rank is deterministic; the op takes the packed
+    pair as its order column."""
+    ds = _rd().read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate"])
+    # pack (orderdate, orderkey) into one int64 order column: epoch
+    # seconds (< 2^31) * 2^32 + orderkey (< 2^32) — overflow-free int64
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"_ord": E.F("ts_unix", E.col("o_orderdate")) * (1 << 32)
+                 + E.col("o_orderkey")},
+    })(ds)
+    out = build_op({"op": "group_rank", "key_col": "o_custkey",
+                    "order_col": "_ord", "out": "rn"})(ds)
+    return out.select_columns(["o_orderkey", "o_custkey", "rn"])
+
+
+@query(
+    "running_revenue_per_customer",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                 4) AS running
+    FROM orders
+    """,
+)
+def running_revenue_per_customer(sf_dir: str):
+    """Per-key running sum (cumulative revenue per customer in order
+    date order) — SQL RANGE-frame semantics on ties, one coarse-shard
+    exchange, vectorized global-cumsum-minus-run-base within shards."""
+    ds = _rd().read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_totalprice"])
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"_ord": E.F("ts_unix", E.col("o_orderdate")) * (1 << 32)
+                 + E.col("o_orderkey")},
+    })(ds)
+    out = build_op({"op": "group_cumsum", "key_col": "o_custkey",
+                    "order_col": "_ord", "value_col": "o_totalprice",
+                    "out": "running"})(ds)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"running": E.F("round", E.col("running"), 4)},
+    })(out)
+    return out.select_columns(["o_orderkey", "o_custkey", "running"])

@@ -669,3 +669,42 @@ def test_dedup_against_sharded_with_bloom(ray_session):
                     "num_partitions": 4,
                     "bloom_bits_per_key": 10})(ds).to_pandas()
     assert sorted(out["doc_id"]) == [i for i in range(60) if i % 3 != 0]
+
+
+# -- group_rank / group_cumsum (per-key window functions) --------------------
+
+
+def test_group_rank_matches_pandas(ray_session):
+    rng = np.random.default_rng(21)
+    n = 3000
+    key = rng.integers(0, 50, n).astype(np.int64)
+    order = rng.permutation(n).astype(np.int64)
+    ds = _mk_ds({"k": key, "o": order}, parallelism=8)
+    out = build_op({"op": "group_rank", "key_col": "k",
+                    "order_col": "o"})(ds).to_pandas()
+    df = pd.DataFrame({"k": key, "o": order})
+    df["rn"] = df.sort_values("o").groupby("k").cumcount() + 1
+    got = out.sort_values(["k", "o"]).reset_index(drop=True)
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    assert got["rn"].tolist() == exp["rn"].tolist()
+
+
+def test_group_cumsum_range_frame_ties(ray_session):
+    """SQL RANGE frame: rows tied on (key, order) share the tie group's
+    TOTAL — pin against DuckDB's window semantics."""
+    import duckdb
+
+    key = np.array([1, 1, 1, 1, 2, 2], np.int64)
+    order = np.array([10, 10, 20, 30, 5, 5], np.int64)
+    val = np.array([1.0, 2.0, 4.0, 8.0, -3.0, 7.0])
+    ds = _mk_ds({"k": key, "o": order, "v": val}, parallelism=2)
+    out = build_op({"op": "group_cumsum", "key_col": "k", "order_col": "o",
+                    "value_col": "v", "out": "r"})(ds).to_pandas()
+    exp = duckdb.sql(
+        "SELECT k, o, v, sum(v) OVER (PARTITION BY k ORDER BY o) AS r "
+        "FROM (SELECT unnest($k) k, unnest($o) o, unnest($v) v)",
+        params={"k": key.tolist(), "o": order.tolist(), "v": val.tolist()},
+    ).df()
+    got = out.sort_values(["k", "o", "v"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "o", "v"]).reset_index(drop=True)
+    assert np.allclose(got["r"], exp["r"])
