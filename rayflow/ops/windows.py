@@ -480,3 +480,62 @@ def build_group_cumsum(*, key_col: str, order_col: str, value_col: str,
                                              batch_format="pyarrow")
 
     return apply
+
+
+@register_op("group_lag")
+def build_group_lag(*, key_col: str, order_col: str, value_col: str,
+                    out: str = "lag", offset: int = 1,
+                    num_shards: int = 64):
+    """Per-key ``lag(value, offset)`` / ``lead`` (negative ``offset``)
+    ``OVER (PARTITION BY key ORDER BY order)`` — the consecutive-event
+    delta primitive (inter-event gaps, previous-state comparison in a
+    change feed).  Same one-exchange coarse-shard shape as group_rank;
+    within a shard every key's shift happens in one vectorized pass
+    (sorted positions ± offset, run-boundary mask → nulls).  Pass a
+    unique ``order_col`` for determinism."""
+    from rayflow.ops.kernels import md5_rank64
+
+    if offset == 0:
+        raise ValueError("group_lag: offset must be nonzero "
+                         "(positive = lag, negative = lead)")
+
+    def shard(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if not (pa.types.is_string(keys.type)
+                or pa.types.is_large_string(keys.type)
+                or pa.types.is_binary(keys.type)):
+            keys = pc.cast(keys, pa.string())
+        hi, _ = md5_rank64(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        return t.append_column(
+            "_gl_shard",
+            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
+                     pa.int64()))
+
+    def lag_shard(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(
+            g.column(key_col).combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = g.column(order_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((order, codes))
+        n = len(o)
+        src = np.arange(n, dtype=np.int64) - offset
+        ok = (src >= 0) & (src < n)
+        src_c = np.clip(src, 0, max(n - 1, 0))
+        ok &= codes[o][src_c] == codes[o]  # same key run only
+        vals = g.column(value_col).combine_chunks()
+        take_idx = np.full(n, -1, np.int64)
+        take_idx[o] = np.where(ok, o[src_c], -1)
+        lag_col = vals.take(
+            pa.array(np.where(take_idx >= 0, take_idx, 0), pa.int64()))
+        lag_col = pc.if_else(pa.array(take_idx >= 0), lag_col,
+                             pa.scalar(None, vals.type))
+        return g.append_column(out, lag_col).drop_columns(["_gl_shard"])
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_gl_shard").map_groups(lag_shard,
+                                             batch_format="pyarrow")
+
+    return apply

@@ -3801,3 +3801,37 @@ def running_revenue_per_customer(sf_dir: str):
         "cols": {"running": E.F("round", E.col("running"), 4)},
     })(out)
     return out.select_columns(["o_orderkey", "o_custkey", "running"])
+
+
+@query(
+    "event_gap_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(date_diff('second',
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                          ts) AS BIGINT) AS gap_s
+    FROM events
+    """,
+)
+def event_gap_per_user(sf_dir: str):
+    """Per-user inter-event gap (lag over the event stream) — the
+    sessionization / cadence primitive.  One coarse-shard exchange,
+    vectorized shifted-take within shards; first event per user gets
+    NULL like SQL lag."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["event_id", "user_id", "ts"])
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"_ord": E.F("ts_unix", E.col("ts")) * (1 << 32)
+                 + E.col("event_id"),
+                 "_ts_s": E.F("ts_unix", E.col("ts"))},
+    })(ds)
+    out = build_op({"op": "group_lag", "key_col": "user_id",
+                    "order_col": "_ord", "value_col": "_ts_s",
+                    "out": "_prev_s"})(ds)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"gap_s": E.col("_ts_s") - E.col("_prev_s")},
+    })(out)
+    return out.select_columns(["event_id", "user_id", "gap_s"])

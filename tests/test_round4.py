@@ -708,3 +708,24 @@ def test_group_cumsum_range_frame_ties(ray_session):
     got = out.sort_values(["k", "o", "v"]).reset_index(drop=True)
     exp = exp.sort_values(["k", "o", "v"]).reset_index(drop=True)
     assert np.allclose(got["r"], exp["r"])
+
+
+def test_group_lag_and_lead_match_pandas(ray_session):
+    rng = np.random.default_rng(31)
+    n = 2000
+    key = rng.integers(0, 40, n).astype(np.int64)
+    order = rng.permutation(n).astype(np.int64)
+    val = rng.normal(size=n)
+    ds = _mk_ds({"k": key, "o": order, "v": val}, parallelism=8)
+    df = pd.DataFrame({"k": key, "o": order, "v": val}).sort_values("o")
+    for off in (1, 2, -1):
+        out = build_op({"op": "group_lag", "key_col": "k", "order_col": "o",
+                        "value_col": "v", "offset": off})(ds).to_pandas()
+        exp = df.copy()
+        exp["lag"] = exp.groupby("k")["v"].shift(off)
+        got = out.sort_values("o").reset_index(drop=True)
+        e = exp.sort_values("o").reset_index(drop=True)
+        assert np.allclose(got["lag"].fillna(1e18), e["lag"].fillna(1e18))
+    with pytest.raises(ValueError, match="nonzero"):
+        build_op({"op": "group_lag", "key_col": "k", "order_col": "o",
+                  "value_col": "v", "offset": 0})
