@@ -451,12 +451,11 @@ def _cap_kernel(t: pa.Table, key_col: str, order_col: str, n: int,
     dictionary-encode the key (local codes are fine, only equality
     matters), one lexsort, per-group rank via run starts, take.
     Original row order within the table is preserved."""
+    from rayflow.ops.kernels import group_codes
+
     if t.num_rows == 0:
         return t
-    keys = t.column(key_col)
-    codes = pc.dictionary_encode(
-        keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
-    ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = group_codes(t.column(key_col))
     order = t.column(order_col).to_numpy(zero_copy_only=False)
     if descending:
         if not np.issubdtype(order.dtype, np.number):
@@ -491,23 +490,15 @@ def build_group_cap(*, key_col: str, order_col: str, n: int,
     num_shards`` coarse shards, each shard re-running the identical
     vectorized kernel over all its keys at once (no per-key group
     tasks, no single-task finish)."""
-    from rayflow.ops.kernels import md5_rank64
-
     def partial(t: pa.Table) -> pa.Table:
         return _cap_kernel(t, key_col, order_col, n, descending)
 
     def shard(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col)
-        if not (pa.types.is_string(keys.type) or pa.types.is_binary(keys.type)
-                or pa.types.is_large_string(keys.type)):
-            keys = pc.cast(keys, pa.string())
-        hi, _ = md5_rank64(
-            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
-            else keys)
+        from rayflow.ops.kernels import shard_codes
+
         return t.append_column(
             "_gc_shard",
-            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
-                     pa.int64()))
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
 
     def finish(g: pa.Table) -> pa.Table:
         return _cap_kernel(g, key_col, order_col, n,

@@ -339,3 +339,41 @@ def build_bloom_from(ds, key_col: str, *, bits_per_key: int = 10,
         if len(col):
             bf.add(col)
     return bf
+
+
+def group_codes(keys) -> "np.ndarray":
+    """Local int64 group codes for a key column (only equality matters):
+    dictionary-encode + EXPLICIT null handling — null keys form one
+    group (code -1), matching SQL's PARTITION BY null partition, rather
+    than riding the implementation-defined NaN→int cast."""
+    import numpy as np
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if isinstance(keys, _pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    idx = _pc.dictionary_encode(keys).indices
+    if idx.null_count:
+        idx = _pc.fill_null(idx, -1)
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def shard_codes(keys, num_shards: int) -> "np.ndarray":
+    """Deterministic hash-shard ids (int64 in [0, num_shards)) for a
+    key column of any type: cast to string, md5 hi mod shards.  Null
+    keys shard together (explicit sentinel, not hash-of-garbage)."""
+    import numpy as np
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if isinstance(keys, _pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if not (_pa.types.is_string(keys.type) or _pa.types.is_binary(keys.type)
+            or _pa.types.is_large_string(keys.type)):
+        keys = _pc.cast(keys, _pa.string())
+    if keys.null_count:
+        keys = _pc.fill_null(keys, "\x00<null>")
+    hi, _ = md5_rank64(keys)
+    return (hi % np.uint64(num_shards)).astype(np.int64)

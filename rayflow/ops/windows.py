@@ -376,27 +376,18 @@ def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
     all its keys in one vectorized lexsort pass (no per-key group
     tasks).  Ties in ``order_col`` break arbitrarily; pass a unique
     order for determinism."""
-    from rayflow.ops.curation import _cap_kernel  # noqa: F401 (doc link)
-    from rayflow.ops.kernels import md5_rank64
 
     def shard(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col)
-        if not (pa.types.is_string(keys.type)
-                or pa.types.is_large_string(keys.type)
-                or pa.types.is_binary(keys.type)):
-            keys = pc.cast(keys, pa.string())
-        hi, _ = md5_rank64(
-            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
-            else keys)
+        from rayflow.ops.kernels import shard_codes
+
         return t.append_column(
             "_gr_shard",
-            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
-                     pa.int64()))
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
 
     def rank_shard(g: pa.Table) -> pa.Table:
-        codes = pc.dictionary_encode(
-            g.column(key_col).combine_chunks()
-        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from rayflow.ops.kernels import group_codes
+
+        codes = group_codes(g.column(key_col))
         order = g.column(order_col).to_numpy(zero_copy_only=False)
         if descending:
             if not np.issubdtype(order.dtype, np.number):
@@ -431,26 +422,17 @@ def build_group_cumsum(*, key_col: str, order_col: str, value_col: str,
     group_rank; within a shard the cumsum over every key is one
     vectorized pass (global cumsum minus each key run's start offset),
     with per-(key, order) tie groups collapsed to their last value."""
-    from rayflow.ops.kernels import md5_rank64
-
     def shard(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col)
-        if not (pa.types.is_string(keys.type)
-                or pa.types.is_large_string(keys.type)
-                or pa.types.is_binary(keys.type)):
-            keys = pc.cast(keys, pa.string())
-        hi, _ = md5_rank64(
-            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
-            else keys)
+        from rayflow.ops.kernels import shard_codes
+
         return t.append_column(
             "_gc_shard",
-            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
-                     pa.int64()))
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
 
     def cumsum_shard(g: pa.Table) -> pa.Table:
-        codes = pc.dictionary_encode(
-            g.column(key_col).combine_chunks()
-        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from rayflow.ops.kernels import group_codes
+
+        codes = group_codes(g.column(key_col))
         order = g.column(order_col).to_numpy(zero_copy_only=False)
         vals = g.column(value_col).to_numpy(
             zero_copy_only=False).astype(np.float64)
@@ -493,30 +475,21 @@ def build_group_lag(*, key_col: str, order_col: str, value_col: str,
     within a shard every key's shift happens in one vectorized pass
     (sorted positions ± offset, run-boundary mask → nulls).  Pass a
     unique ``order_col`` for determinism."""
-    from rayflow.ops.kernels import md5_rank64
-
     if offset == 0:
         raise ValueError("group_lag: offset must be nonzero "
                          "(positive = lag, negative = lead)")
 
     def shard(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col)
-        if not (pa.types.is_string(keys.type)
-                or pa.types.is_large_string(keys.type)
-                or pa.types.is_binary(keys.type)):
-            keys = pc.cast(keys, pa.string())
-        hi, _ = md5_rank64(
-            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
-            else keys)
+        from rayflow.ops.kernels import shard_codes
+
         return t.append_column(
             "_gl_shard",
-            pa.array((hi % np.uint64(num_shards)).astype(np.int64),
-                     pa.int64()))
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
 
     def lag_shard(g: pa.Table) -> pa.Table:
-        codes = pc.dictionary_encode(
-            g.column(key_col).combine_chunks()
-        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from rayflow.ops.kernels import group_codes
+
+        codes = group_codes(g.column(key_col))
         order = g.column(order_col).to_numpy(zero_copy_only=False)
         o = np.lexsort((order, codes))
         n = len(o)

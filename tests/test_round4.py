@@ -729,3 +729,16 @@ def test_group_lag_and_lead_match_pandas(ray_session):
     with pytest.raises(ValueError, match="nonzero"):
         build_op({"op": "group_lag", "key_col": "k", "order_col": "o",
                   "value_col": "v", "offset": 0})
+
+
+def test_group_rank_null_keys_form_one_partition(ray_session):
+    """SQL PARTITION BY treats NULL as one partition — pin it."""
+    key = pa.array(["a", None, "a", None, None], pa.string())
+    order = np.array([3, 1, 1, 2, 3], np.int64)
+    ds = _mk_ds({"k": key, "o": order}, parallelism=2)
+    out = build_op({"op": "group_rank", "key_col": "k",
+                    "order_col": "o"})(ds).to_pandas()
+    nulls = out[out["k"].isna()].sort_values("o")
+    assert nulls["rn"].tolist() == [1, 2, 3]
+    a = out[out["k"] == "a"].sort_values("o")
+    assert a["rn"].tolist() == [1, 2]
