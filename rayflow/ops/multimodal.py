@@ -1042,3 +1042,75 @@ def build_media_frame_sample(*, every_ms: int = 1000,
                               batch_format="pyarrow", zero_copy_batch=True)
 
     return apply
+
+
+class AudioFeaturizer:
+    """Actor-pool audio feature extraction: PCM-16 WAV payloads →
+    (duration_s, sample_rate, n_channels, rms, peak).  One decode per
+    row (variable binary), numpy reductions per clip; non-audio /
+    unsupported-codec payloads drop (default) or error, mirroring
+    MediaResizer's contract."""
+
+    def __init__(self, *, payload_col: str = "payload",
+                 id_col: str = "media_id", on_non_audio: str = "drop"):
+        if on_non_audio not in ("drop", "error"):
+            raise ValueError("on_non_audio must be 'drop' or 'error'")
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.on_non_audio = on_non_audio
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keep, dur, rate_o, ch_o, rms_o, peak_o = [], [], [], [], [], []
+        for i, p in enumerate(t.column(self.payload_col).to_pylist()):
+            try:
+                if p is None:
+                    raise ValueError("null payload")
+                pcm, rate = decode_wav(p)
+            except (ValueError, NotImplementedError, IndexError,
+                    __import__("struct").error):
+                if self.on_non_audio == "error":
+                    raise
+                continue
+            keep.append(i)
+            x = pcm.astype(np.float64) / 32768.0
+            dur.append(pcm.shape[0] / rate if rate else 0.0)
+            rate_o.append(rate)
+            ch_o.append(pcm.shape[1])
+            rms_o.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+            peak_o.append(float(np.abs(x).max()) if x.size else 0.0)
+        base = t.take(pa.array(keep, pa.int64()))
+        out = base.drop_columns([self.payload_col])
+        return (out.append_column("duration_s", pa.array(dur, pa.float64()))
+                   .append_column("sample_rate", pa.array(rate_o, pa.int32()))
+                   .append_column("n_channels", pa.array(ch_o, pa.int32()))
+                   .append_column("rms", pa.array(rms_o, pa.float64()))
+                   .append_column("peak", pa.array(peak_o, pa.float64())))
+
+
+@register_op("audio_features")
+def build_audio_features(*, payload_col: str = "payload",
+                         id_col: str = "media_id",
+                         on_non_audio: str = "drop",
+                         batch_size: int = 64, concurrency: int = 2):
+    """Audio feature-extract stage (the training-pipeline filter that
+    drops silent/clipped/too-short clips): actor-pool ``map_batches``
+    over binary WAV payloads → per-clip duration/rate/channels/RMS/peak
+    columns; payload column is dropped from the output (features are
+    what flows on).  Small batches — payloads are large binaries."""
+    if on_non_audio not in ("drop", "error"):
+        raise ValueError("on_non_audio must be 'drop' or 'error'")
+
+    def apply(ds):
+        return ds.map_batches(
+            AudioFeaturizer,
+            fn_constructor_kwargs=dict(payload_col=payload_col,
+                                       id_col=id_col,
+                                       on_non_audio=on_non_audio),
+            batch_size=batch_size,
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            num_cpus=1,
+        )
+
+    return apply

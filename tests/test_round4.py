@@ -742,3 +742,31 @@ def test_group_rank_null_keys_form_one_partition(ray_session):
     assert nulls["rn"].tolist() == [1, 2, 3]
     a = out[out["k"] == "a"].sort_values("o")
     assert a["rn"].tolist() == [1, 2]
+
+
+def test_audio_features_over_synth_wavs(ray_session):
+    from rayflow.ops.multimodal import decode_wav, synth_wav
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i, (rate, secs) in enumerate([(8000, 0.5), (16000, 0.25),
+                                      (16000, 1.0)]):
+        samp = (rng.normal(0, 0.1, int(rate * secs)) * 32767) \
+            .clip(-32768, 32767).astype(np.int16)
+        rows.append({"media_id": i,
+                     "payload": synth_wav(rate=rate, samples=samp)})
+    rows.append({"media_id": 99, "payload": b"not audio at all"})
+    import ray.data as rd
+
+    ds = rd.from_items(rows)
+    out = build_op({"op": "audio_features"})(ds).to_pandas()
+    assert sorted(out["media_id"]) == [0, 1, 2]   # non-audio dropped
+    r0 = out[out.media_id == 0].iloc[0]
+    assert abs(r0["duration_s"] - 0.5) < 1e-6 and r0["sample_rate"] == 8000
+    # features agree with a direct decode
+    pcm, rate = decode_wav(rows[2]["payload"])
+    x = pcm.astype(np.float64) / 32768.0
+    r2 = out[out.media_id == 2].iloc[0]
+    assert abs(r2["rms"] - np.sqrt((x * x).mean())) < 1e-12
+    with pytest.raises(Exception):
+        build_op({"op": "audio_features", "on_non_audio": "explode"})
