@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "paragraph_dedup_docs",    # corpus-level exact paragraph dedup
     "nation_profit_q9_shape",  # widest remaining TPC-H shapes
     "waiting_supplier_q21_shape",
+    "order_rank_per_customer",  # per-key window fns: one coarse-shard
+    "running_revenue_per_customer",  # exchange, vectorized in-shard
+    "event_gap_per_user",      # lag/lead over the event stream
+    "anti_join_bloom_prefilter",  # bloom-miss rows skip the exchange
 ]
 
 
