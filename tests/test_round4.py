@@ -770,3 +770,50 @@ def test_audio_features_over_synth_wavs(ray_session):
     assert abs(r2["rms"] - np.sqrt((x * x).mean())) < 1e-12
     with pytest.raises(Exception):
         build_op({"op": "audio_features", "on_non_audio": "explode"})
+
+
+def test_window_fns_random_duckdb_crosscheck(ray_session):
+    """Randomized cross-check of all three per-key window functions
+    against DuckDB on data WITH order ties and negative values."""
+    import duckdb
+
+    rng = np.random.default_rng(47)
+    n = 1500
+    key = rng.integers(0, 25, n).astype(np.int64)
+    order = rng.integers(0, 80, n).astype(np.int64)      # ties guaranteed
+    val = np.round(rng.normal(0, 5, n), 3)
+    uniq = np.arange(n, dtype=np.int64)                  # tiebreak id
+    ds = _mk_ds({"k": key, "o": order, "u": uniq, "v": val}, parallelism=8)
+    base = "SELECT unnest($k) k, unnest($o) o, unnest($u) u, unnest($v) v"
+    params = {"k": key.tolist(), "o": order.tolist(),
+              "u": uniq.tolist(), "v": val.tolist()}
+
+    # rank with a unique (o, u) packed order — deterministic
+    packed = order * (1 << 32) + uniq
+    ds_p = _mk_ds({"k": key, "p": packed, "u": uniq}, parallelism=8)
+    out = build_op({"op": "group_rank", "key_col": "k", "order_col": "p",
+                    "out": "rn"})(ds_p).to_pandas().sort_values("u")
+    exp = duckdb.sql(
+        f"SELECT u, row_number() OVER (PARTITION BY k ORDER BY o, u) rn "
+        f"FROM ({base})", params=params).df().sort_values("u")
+    assert out["rn"].tolist() == exp["rn"].tolist()
+
+    # cumsum with RANGE-frame ties on the raw (non-unique) order
+    out = build_op({"op": "group_cumsum", "key_col": "k", "order_col": "o",
+                    "value_col": "v", "out": "r"})(ds).to_pandas() \
+        .sort_values("u")
+    exp = duckdb.sql(
+        f"SELECT u, sum(v) OVER (PARTITION BY k ORDER BY o) r "
+        f"FROM ({base})", params=params).df().sort_values("u")
+    assert np.allclose(out["r"], exp["r"], atol=1e-9)
+
+    # lag over the packed unique order
+    ds_pv = _mk_ds({"k": key, "p": packed, "u": uniq, "v": val},
+                   parallelism=8)
+    out = build_op({"op": "group_lag", "key_col": "k", "order_col": "p",
+                    "value_col": "v", "out": "lg"})(ds_pv).to_pandas() \
+        .sort_values("u")
+    exp = duckdb.sql(
+        f"SELECT u, lag(v) OVER (PARTITION BY k ORDER BY o, u) lg "
+        f"FROM ({base})", params=params).df().sort_values("u")
+    assert np.allclose(out["lg"].fillna(1e18), exp["lg"].fillna(1e18))
