@@ -369,13 +369,21 @@ def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
 
 @register_op("group_rank")
 def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
-                     descending: bool = False, num_shards: int = 64):
+                     descending: bool = False, num_shards: int = 64,
+                     out_percent: str | None = None,
+                     out_ntile: str | None = None, ntile: int = 4):
     """Per-key ``row_number()`` (1-based, ``OVER (PARTITION BY key
     ORDER BY order)``): ONE coarse-sharded keyed exchange — every key's
     rows land in the same hash(key)-shard, then the whole shard ranks
     all its keys in one vectorized lexsort pass (no per-key group
     tasks).  Ties in ``order_col`` break arbitrarily; pass a unique
-    order for determinism."""
+    order for determinism.
+
+    ``out_percent`` adds SQL ``percent_rank()`` = (rn-1)/(n_key-1)
+    (0.0 for single-row keys) and ``out_ntile`` adds ``ntile(k)`` with
+    SQL's larger-buckets-first split — both from the same pass, no
+    extra exchange (the per-key count is the run length already in
+    hand)."""
 
     def shard(t: pa.Table) -> pa.Table:
         from rayflow.ops.kernels import shard_codes
@@ -402,8 +410,30 @@ def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
                 - np.repeat(starts, runlen) + 1)
         rn = np.empty(len(ks), np.int64)
         rn[o] = rank
-        return g.append_column(out, pa.array(rn, pa.int64())) \
-                .drop_columns(["_gr_shard"])
+        res = g.append_column(out, pa.array(rn, pa.int64()))
+        if out_percent or out_ntile:
+            nk_sorted = np.repeat(runlen, runlen)  # per-row key size
+            nk = np.empty(len(ks), np.int64)
+            nk[o] = nk_sorted
+        if out_percent:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pr = np.where(nk > 1, (rn - 1) / np.maximum(nk - 1, 1), 0.0)
+            res = res.append_column(out_percent, pa.array(pr, pa.float64()))
+        if out_ntile:
+            k = np.int64(ntile)
+            q, r = nk // k, nk % k
+            big_span = r * (q + 1)
+            in_big = rn <= big_span
+            # q can be 0 (fewer rows than tiles): every row its own tile
+            tile_small = np.where(
+                q > 0, r + (rn - big_span + np.maximum(q, 1) - 1)
+                // np.maximum(q, 1), rn)
+            tile = np.where(in_big, (rn + q) // np.maximum(q + 1, 1),
+                            tile_small)
+            res = res.append_column(out_ntile,
+                                    pa.array(tile.astype(np.int64),
+                                             pa.int64()))
+        return res.drop_columns(["_gr_shard"])
 
     def apply(ds):
         return ds.map_batches(shard, **_PA_KW) \

@@ -3835,3 +3835,44 @@ def event_gap_per_user(sf_dir: str):
         "cols": {"gap_s": E.col("_ts_s") - E.col("_prev_s")},
     })(out)
     return out.select_columns(["event_id", "user_id", "gap_s"])
+
+
+@query(
+    "customer_value_quartiles",
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6)
+             AS pr,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile
+    FROM customer
+    """,
+)
+def customer_value_quartiles(sf_dir: str):
+    """percent_rank (global — single partition) + per-segment ntile(4)
+    quartiles, both from group_rank's one-pass kernel.  The global
+    percent_rank uses a constant key (one 'partition'), showing the
+    same op covers the unpartitioned OVER () case."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    # unique order: acctbal then custkey, packed (acctbal is 2dp money —
+    # scale by 100 to an exact int)
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"_ord": E.F("round", E.col("c_acctbal") * 100.0, 0)
+                 * (1 << 32) + E.col("c_custkey"),
+                 "_one": E.lit(1)},
+    })(ds)
+    ds = build_op({"op": "group_rank", "key_col": "_one",
+                   "order_col": "_ord", "out": "_rn_g",
+                   "out_percent": "pr"})(ds)
+    ds = build_op({"op": "group_rank", "key_col": "c_mktsegment",
+                   "order_col": "_ord", "out": "_rn_s",
+                   "out_ntile": "quartile", "ntile": 4})(ds)
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"pr": E.F("round", E.col("pr"), 6)},
+    })(ds)
+    return ds.select_columns(["c_custkey", "pr", "quartile"])

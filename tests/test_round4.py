@@ -817,3 +817,31 @@ def test_window_fns_random_duckdb_crosscheck(ray_session):
         f"SELECT u, lag(v) OVER (PARTITION BY k ORDER BY o, u) lg "
         f"FROM ({base})", params=params).df().sort_values("u")
     assert np.allclose(out["lg"].fillna(1e18), exp["lg"].fillna(1e18))
+
+
+def test_group_rank_percent_and_ntile_vs_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(53)
+    n = 1200
+    key = rng.integers(0, 30, n).astype(np.int64)   # varied key sizes
+    order = rng.permutation(n).astype(np.int64)     # unique order
+    ds = _mk_ds({"k": key, "o": order}, parallelism=8)
+    out = build_op({"op": "group_rank", "key_col": "k", "order_col": "o",
+                    "out": "rn", "out_percent": "pr", "out_ntile": "nt",
+                    "ntile": 5})(ds).to_pandas().sort_values("o")
+    exp = duckdb.sql(
+        "SELECT o, percent_rank() OVER (PARTITION BY k ORDER BY o) pr, "
+        "ntile(5) OVER (PARTITION BY k ORDER BY o) nt "
+        "FROM (SELECT unnest($k) k, unnest($o) o)",
+        params={"k": key.tolist(), "o": order.tolist()}).df() \
+        .sort_values("o")
+    assert np.allclose(out["pr"], exp["pr"])
+    assert out["nt"].tolist() == exp["nt"].tolist()
+    # tiny keys (fewer rows than tiles): each row its own tile
+    ds2 = _mk_ds({"k": np.array([9, 9], np.int64),
+                  "o": np.array([2, 1], np.int64)}, parallelism=1)
+    o2 = build_op({"op": "group_rank", "key_col": "k", "order_col": "o",
+                   "out_ntile": "nt", "ntile": 7})(ds2).to_pandas() \
+        .sort_values("o")
+    assert o2["nt"].tolist() == [1, 2]
