@@ -3413,10 +3413,14 @@ def waiting_supplier_q21_shape(sf_dir: str):
         "predicate": (E.col("n_supp") >= E.lit(2))
         & (E.col("n_late") == E.lit(1)),
     })(per_order).select_columns(["l_orderkey"])
+    # the lone-late-order key set is tiny after the n_supp>=2 &
+    # n_late==1 filter — strategy="auto" sizes it and broadcasts,
+    # skipping the second exchange (falls back to the shuffle join if
+    # it ever grows past the limit)
     lone = build_op({
         "op": "sharded_join", "right": per_order,
         "on": ["l_orderkey"], "right_on": ["l_orderkey"],
-        "how": "inner", "num_partitions": 4,
+        "how": "inner", "num_partitions": 4, "strategy": "auto",
     })(build_op({
         "op": "filter", "predicate": E.col("late") == E.lit(1),
     })(per_supp))
