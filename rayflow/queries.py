@@ -1568,10 +1568,13 @@ def multi_join_q3(sf_dir: str):
         "select": ["l_orderkey", "rev"],
     })(li)
 
+    # the semi-filtered orders side is small at bench scale —
+    # strategy="auto" sizes it and broadcasts (the planner decision);
+    # past 64 MB it falls back to the keyed shuffle unchanged
     joined = build_op({
         "op": "sharded_join", "right": orders,
         "on": ["l_orderkey"], "right_on": ["o_orderkey"],
-        "how": "inner", "num_partitions": 8,
+        "how": "inner", "num_partitions": 8, "strategy": "auto",
     })(li)
     agg = build_op({
         "op": "group_agg", "keys": ["l_orderkey", "o_orderdate"],
