@@ -377,7 +377,34 @@ def _salted_map_groups(both, *, on: str, side_col: str, salt_keys,
 
     prefer_push_shuffle()
     if not salt_keys or num_salts <= 1:
-        return both.groupby(on).map_groups(per_group, batch_format="pandas")
+        # COARSE shards, not one Ray group per key: hash(key) %
+        # num_shards co-locates every key's rows exactly like the
+        # per-key groupby, but the per-group callback runs as a plain
+        # pandas iteration inside ~64 shard tasks — at corpus scale
+        # (millions of keys) per-key Ray group callbacks are the
+        # bottleneck, same reasoning as minhash's bucket groups
+        from rayflow.ops.kernels import shard_codes
+
+        n_shards = 64
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_smg_shard",
+                pa.array(shard_codes(t.column(on), n_shards), pa.int64()))
+
+        def run_shard(g):
+            import pandas as pd
+
+            g = g.drop(columns=["_smg_shard"])
+            outs = [per_group(sub)
+                    for _, sub in g.groupby(on, sort=False, dropna=False)]
+            outs = [o for o in outs if o is not None and len(o)]
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else pd.DataFrame())
+
+        return both.map_batches(add_shard, **_PA_KW) \
+            .groupby("_smg_shard").map_groups(run_shard,
+                                              batch_format="pandas")
 
     import numpy as np
 
