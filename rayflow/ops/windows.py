@@ -303,9 +303,30 @@ def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
             g[out] = ts.where(new).ffill()
             return g
 
+        # COARSE shards of the (key, bucket) groups — one Ray callback
+        # per ~64th of the corpus instead of per group (billions of
+        # (key, bucket) pairs at scale); sessionize runs as plain
+        # pandas iteration inside each shard task
+        def with_shard(t: pa.Table) -> pa.Table:
+            from rayflow.ops.kernels import shard_codes
+
+            combo = pc.binary_join_element_wise(
+                *[pc.cast(t.column(c), pa.string()) for c in gkeys], "#")
+            return t.append_column(
+                "_sess_shard", pa.array(shard_codes(combo, 64), pa.int64()))
+
+        def sessionize_shard(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["_sess_shard"])
+            outs = [sessionize(sub) for _, sub in
+                    g.groupby(gkeys, sort=False, dropna=False)]
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else pd.DataFrame())
+
         sessioned = (
             ds.map_batches(with_bucket, **_PA_KW)
-            .groupby(gkeys).map_groups(sessionize, batch_format="pandas")
+            .map_batches(with_shard, **_PA_KW)
+            .groupby("_sess_shard").map_groups(sessionize_shard,
+                                               batch_format="pandas")
             .materialize()
         )
 
