@@ -184,10 +184,26 @@ def build_dedupe(*, keys: list[str], order_col: str, keep: str = "max",
         from rayflow.ops import prefer_push_shuffle
 
         prefer_push_shuffle()
-        return partials.groupby(keys).map_groups(
-            lambda t: argextreme_reduce(t, keys, order_col, keep),
-            batch_format="pyarrow",
-        )
+
+        # COARSE key shards, not one Ray group per key — argextreme is
+        # a multi-key table kernel already, so each shard reduces all
+        # its keys in one vectorized pass
+        def add_shard(t: pa.Table) -> pa.Table:
+            from rayflow.ops.kernels import shard_codes
+
+            combo = (t.column(keys[0]) if len(keys) == 1 else
+                     pc.binary_join_element_wise(
+                         *[pc.cast(t.column(c), pa.string())
+                           for c in keys], "#"))
+            return t.append_column(
+                "_dd_shard", pa.array(shard_codes(combo, 64), pa.int64()))
+
+        return partials.map_batches(add_shard, **_PA_KW) \
+            .groupby("_dd_shard").map_groups(
+                lambda t: argextreme_reduce(
+                    t, keys, order_col, keep).drop_columns(["_dd_shard"]),
+                batch_format="pyarrow",
+            )
 
     return apply
 
@@ -522,10 +538,26 @@ def build_group_topk(*, keys: list[str], order_col: str, k: int,
         by = [order_col] + ([tiebreak] if tiebreak else [])
         asc = [not descending] + ([True] if tiebreak else [])
 
-        def per_group(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(by, ascending=asc).head(k)
+        def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+            # whole-shard vectorized: one sort + grouped head over ALL
+            # of the shard's keys (no per-key Ray group callbacks)
+            g = g.drop(columns=["_tk_shard"])
+            return (g.sort_values(by, ascending=asc)
+                     .groupby(keys, sort=False, dropna=False).head(k))
 
-        return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+        def add_shard(t: pa.Table) -> pa.Table:
+            from rayflow.ops.kernels import shard_codes
+
+            combo = (t.column(keys[0]) if len(keys) == 1 else
+                     pc.binary_join_element_wise(
+                         *[pc.cast(t.column(c), pa.string())
+                           for c in keys], "#"))
+            return t.append_column(
+                "_tk_shard", pa.array(shard_codes(combo, 64), pa.int64()))
+
+        return ds.map_batches(add_shard, **_PA_KW) \
+            .groupby("_tk_shard").map_groups(per_shard,
+                                             batch_format="pandas")
 
     return apply
 

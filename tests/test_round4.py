@@ -845,3 +845,33 @@ def test_group_rank_percent_and_ntile_vs_duckdb(ray_session):
                    "out_ntile": "nt", "ntile": 7})(ds2).to_pandas() \
         .sort_values("o")
     assert o2["nt"].tolist() == [1, 2]
+
+
+def test_dedupe_sharded_fallback_path(ray_session):
+    """Force partial_limit=0 so the high-cardinality sharded combine
+    runs (coarse key shards + multi-key argextreme per shard)."""
+    rng = np.random.default_rng(61)
+    n = 2000
+    key = rng.integers(0, 400, n).astype(np.int64)
+    lsn = rng.permutation(n).astype(np.int64)
+    ds = _mk_ds({"k": key, "lsn": lsn}, parallelism=8)
+    out = build_op({"op": "dedupe", "keys": ["k"], "order_col": "lsn",
+                    "keep": "max", "partial_limit": 0})(ds).to_pandas()
+    exp = (pd.DataFrame({"k": key, "lsn": lsn})
+           .sort_values("lsn").groupby("k").tail(1))
+    assert sorted(map(tuple, out[["k", "lsn"]].values)) == \
+        sorted(map(tuple, exp[["k", "lsn"]].values))
+
+
+def test_group_topk_sharded_matches_pandas(ray_session):
+    rng = np.random.default_rng(67)
+    n = 3000
+    key = rng.integers(0, 150, n).astype(np.int64)
+    v = rng.permutation(n).astype(np.int64)
+    ds = _mk_ds({"k": key, "v": v}, parallelism=8)
+    out = build_op({"op": "group_topk", "keys": ["k"], "order_col": "v",
+                    "k": 3, "descending": True})(ds).to_pandas()
+    exp = (pd.DataFrame({"k": key, "v": v})
+           .sort_values("v", ascending=False).groupby("k").head(3))
+    assert sorted(map(tuple, out[["k", "v"]].values)) == \
+        sorted(map(tuple, exp[["k", "v"]].values))
