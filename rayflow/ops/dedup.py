@@ -1388,10 +1388,32 @@ def build_group_hll(*, keys: list[str], column: str, p: int = 12,
 
     def apply(ds):
         from rayflow.ops import prefer_push_shuffle
+        from rayflow.ops.kernels import shard_codes
 
         prefer_push_shuffle()
         partials = ds.map_batches(partial, **_PA_KW)
-        return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+
+        # coarse key shards: register merge per key runs as plain
+        # pandas iteration inside ~64 shard tasks, not one Ray group
+        # callback per key
+        def add_shard(t: pa.Table) -> pa.Table:
+            combo = (t.column(keys[0]) if len(keys) == 1 else
+                     pc.binary_join_element_wise(
+                         *[pc.cast(t.column(c), pa.string())
+                           for c in keys], "#"))
+            return t.append_column(
+                "_hll_shard", pa.array(shard_codes(combo, 64), pa.int64()))
+
+        def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["_hll_shard"])
+            outs = [merge(sub) for _, sub in
+                    g.groupby(keys, sort=False, dropna=False)]
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else pd.DataFrame())
+
+        return partials.map_batches(add_shard, **_PA_KW) \
+            .groupby("_hll_shard").map_groups(merge_shard,
+                                              batch_format="pandas")
 
     return apply
 
