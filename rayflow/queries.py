@@ -3883,3 +3883,87 @@ def customer_value_quartiles(sf_dir: str):
         "cols": {"pr": E.F("round", E.col("pr"), 6)},
     })(ds)
     return ds.select_columns(["c_custkey", "pr", "quartile"])
+
+
+@query(
+    "cdc_incremental_admit",
+    """
+    WITH changes AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  ELSE 4 END AS INTEGER)     AS turn_idx,
+             event_type                      AS role,
+             props                           AS text,
+             event_id                        AS lsn,
+             CASE WHEN value < 10 THEN 'delete' ELSE 'update' END AS op
+      FROM events
+    ), cut AS (
+      SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS c FROM events
+    ), old AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY lsn DESC) AS rn
+        FROM changes WHERE lsn <= (SELECT c FROM cut)) t
+      WHERE rn = 1 AND op <> 'delete'
+    ), feed AS (
+      SELECT * FROM changes
+      WHERE lsn > (SELECT c FROM cut) AND op <> 'delete'
+    )
+    SELECT f.conv_id, f.turn_idx, f.lsn, f.role
+    FROM feed f
+    WHERE NOT EXISTS (SELECT 1 FROM old o
+                      WHERE o.conv_id = f.conv_id AND o.text = f.text)
+    """,
+)
+def cdc_incremental_admit(sf_dir: str):
+    """The nightly-ingest admission pipeline, composed from the
+    engine's own planes: replay the change log through the REAL lake
+    (two LSN bands), TIME-TRAVEL to the mid-log watermark
+    (``snapshot_dataset``), read the post-watermark CHANGE FEED
+    (``changes_between``, file-pruned), and admit only feed upserts
+    whose content is NOT already in the as-of lake state
+    (``dedup_against``, broadcast digests).  The oracle reproduces the
+    same watermark split + LWW + anti-semantics in SQL."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rayflow.cdc.changelog import write_changelog_dataset
+    from rayflow.cdc.replay import CdcEngine
+    from rayflow.cdc.source import changes_between
+
+    ev_ids = pq.read_table(_t(sf_dir, "events"), columns=["event_id"])
+    max_lsn = pc.max(ev_ids["event_id"]).as_py()
+    cutoff = max_lsn // 2
+
+    changes = _events_as_changes(sf_dir)
+    work = tempfile.mkdtemp(prefix="rayflow-admitq-")
+    log_dir = os.path.join(work, "log")
+    write_changelog_dataset(changes, log_dir, n_bands=2)
+    eng = CdcEngine(os.path.join(work, "lake"), num_partitions=8,
+                    auto_salt=False)
+    eng.replay(log_dir)
+
+    def add_content(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.coalesce(t.column("text"), pa.scalar("", pa.string())),
+            "\x1f")
+        return t.append_column("__content", c)
+
+    # admission content = (conversation, text): a feed upsert is new
+    # unless THAT conversation already holds THAT text in the as-of lake
+    ref = eng.snapshot_dataset(as_of_lsn=cutoff) \
+        .select_columns(["conv_id", "text"]) \
+        .map_batches(add_content, **{"batch_format": "pyarrow",
+                                     "zero_copy_batch": True})
+    feed = changes_between(log_dir, cutoff, max_lsn)
+    feed = build_op({"op": "filter",
+                     "predicate": E.col("op") != E.lit("delete")})(feed)
+    feed = feed.map_batches(add_content, **{"batch_format": "pyarrow",
+                                            "zero_copy_batch": True})
+    out = build_op({"op": "dedup_against", "ref": ref,
+                    "text_col": "__content",
+                    "method": "broadcast"})(feed)
+    return out.select_columns(["conv_id", "turn_idx", "lsn", "role"])
