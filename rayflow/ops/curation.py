@@ -550,7 +550,9 @@ def build_weighted_mix(*, sources: list[dict], id_col: str = "doc_id"):
         salt = src.get("salt", "mix")
         if rate >= 1.0:
             return src["ds"]
-        thresh = np.uint64(int(rate * float(1 << 64)))
+        # rates that ROUND to 1.0 in float (e.g. 1 - 2^-60) would
+        # overflow uint64 — clamp to the max representable threshold
+        thresh = np.uint64(min(int(rate * float(1 << 64)), (1 << 64) - 1))
 
         def filt(t: pa.Table) -> pa.Table:
             hi, _ = _salted_hash64(t, id_col, salt)

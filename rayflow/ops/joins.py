@@ -399,8 +399,11 @@ def _salted_map_groups(both, *, on: str, side_col: str, salt_keys,
             outs = [per_group(sub)
                     for _, sub in g.groupby(on, sort=False, dropna=False)]
             outs = [o for o in outs if o is not None and len(o)]
+            # all-empty shard: emit the OUTPUT schema (per_group on an
+            # empty slice), not a column-less frame — a 0-column block
+            # trips Ray's schema unification warning/behavior
             return (pd.concat(outs, ignore_index=True) if outs
-                    else pd.DataFrame())
+                    else per_group(g.iloc[0:0]))
 
         return both.map_batches(add_shard, **_PA_KW) \
             .groupby("_smg_shard").map_groups(run_shard,
@@ -603,29 +606,35 @@ def build_asof_join(*, right, on: str, time_col: str,
                                      salt_keys=hot, num_salts=num_salts,
                                      per_group=per_key)
 
-        def restore_types(t: pa.Table) -> pa.Table:
-            # pandas groups promote int columns with any NaN to float64;
-            # cast back to the source Arrow types (NaN → null)
-            cols, names = [], []
-            for name in t.column_names:
-                col = t.column(name)
-                want = all_cols.get(name)
-                if want is not None and col.type != want:
-                    arr = col.combine_chunks()
-                    if pa.types.is_floating(arr.type) and \
-                            not pa.types.is_floating(want):
-                        nan = pc.fill_null(pc.is_nan(arr), True)
-                        arr = pc.if_else(nan, pa.nulls(len(arr), arr.type),
-                                         arr)
-                    arr = pc.cast(arr, want, safe=False)
-                    col = arr
-                names.append(name)
-                cols.append(col)
-            return pa.Table.from_arrays(cols, names=names)
-
-        return grouped.map_batches(restore_types, **_PA_KW)
+        return grouped.map_batches(_restore_types(all_cols), **_PA_KW)
 
     return apply
+
+
+def _restore_types(all_cols: dict):
+    """Batch fn casting columns back to the source Arrow types — the
+    tag-union-align + pandas-group path promotes int columns with any
+    NaN to float64 (NaN → null on the way back)."""
+
+    def restore_types(t: pa.Table) -> pa.Table:
+        cols, names = [], []
+        for name in t.column_names:
+            col = t.column(name)
+            want = all_cols.get(name)
+            if want is not None and col.type != want:
+                arr = col.combine_chunks()
+                if pa.types.is_floating(arr.type) and \
+                        not pa.types.is_floating(want):
+                    nan = pc.fill_null(pc.is_nan(arr), True)
+                    arr = pc.if_else(nan, pa.nulls(len(arr), arr.type),
+                                     arr)
+                arr = pc.cast(arr, want, safe=False)
+                col = arr
+            names.append(name)
+            cols.append(col)
+        return pa.Table.from_arrays(cols, names=names)
+
+    return restore_types
 
 
 @register_op("interval_join")
@@ -699,8 +708,11 @@ def build_interval_join(*, right, on: str, time_col: str,
         hot = list(salt_keys or [])
         if auto_salt and not hot:
             hot = _detect_hot_keys(ds, on)
-        return _salted_map_groups(both, on=on, side_col="_iv_side",
-                                  salt_keys=hot, num_salts=num_salts,
-                                  per_group=per_key)
+        grouped = _salted_map_groups(both, on=on, side_col="_iv_side",
+                                     salt_keys=hot, num_salts=num_salts,
+                                     per_group=per_key)
+        # same float64 promotion as asof (union-align NaN-pads the
+        # missing side): cast back to the source Arrow types
+        return grouped.map_batches(_restore_types(all_cols), **_PA_KW)
 
     return apply

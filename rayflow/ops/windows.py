@@ -319,8 +319,10 @@ def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
             g = g.drop(columns=["_sess_shard"])
             outs = [sessionize(sub) for _, sub in
                     g.groupby(gkeys, sort=False, dropna=False)]
+            # all-empty shard: emit the OUTPUT schema (sessionize on an
+            # empty slice), not a column-less frame
             return (pd.concat(outs, ignore_index=True) if outs
-                    else pd.DataFrame())
+                    else sessionize(g.iloc[0:0]))
 
         sessioned = (
             ds.map_batches(with_bucket, **_PA_KW)

@@ -875,3 +875,54 @@ def test_group_topk_sharded_matches_pandas(ray_session):
            .sort_values("v", ascending=False).groupby("k").head(3))
     assert sorted(map(tuple, out[["k", "v"]].values)) == \
         sorted(map(tuple, exp[["k", "v"]].values))
+
+
+# -- session fixes: near-1.0 rates, empty-shard schemas, interval dtypes -----
+
+def test_weighted_mix_rate_rounds_to_one_no_overflow(ray_session):
+    import ray.data as rd
+
+    # 1 - 2^-60 ROUNDS to 1.0 in float64: the uint64 threshold must
+    # clamp, not OverflowError; semantically it's keep-everything
+    docs = rd.from_arrow(pa.table({"doc_id": [str(i) for i in range(50)]}))
+    out = build_op({"op": "weighted_mix",
+                    "sources": [{"ds": docs, "rate": 1.0 - 2**-60,
+                                 "salt": "s"}]})(docs)
+    assert out.count() == 50
+
+
+def test_interval_join_restores_arrow_types(ray_session):
+    import ray.data as rd
+
+    # union-align NaN-pads the missing side -> pandas promotes ints to
+    # float64; the op must cast back (asof already did; interval now too)
+    keys = [f"k{i}" for i in range(40)]
+    left = rd.from_arrow(pa.table({
+        "k": keys, "t": list(range(40)), "v": list(range(40))}))
+    right = rd.from_arrow(pa.table({
+        "k": keys, "lo": [0] + [1000] * 39, "hi": [50] + [2000] * 39,
+        "rv": list(range(40))}))
+    out = build_op({"op": "interval_join", "right": right, "on": "k",
+                    "time_col": "t", "start_col": "lo",
+                    "end_col": "hi"})(left)
+    tb = out.to_pandas()
+    # only k0 matches; 39 of 40 keys produce EMPTY per-group results,
+    # so several of the 64 shards are all-empty (schema regression bait)
+    assert len(tb) == 1
+    for c in ("t", "v", "lo", "hi", "rv"):
+        assert str(tb[c].dtype) == "int64", (c, tb[c].dtype)
+
+
+def test_interval_join_all_empty_output_schema(ray_session):
+    import ray.data as rd
+
+    # zero matches anywhere: result must still be well-formed (0 rows)
+    left = rd.from_arrow(pa.table({
+        "k": ["a", "b"], "t": [1, 2], "v": [10, 20]}))
+    right = rd.from_arrow(pa.table({
+        "k": ["a", "b"], "lo": [100, 100], "hi": [200, 200],
+        "rv": [1, 2]}))
+    out = build_op({"op": "interval_join", "right": right, "on": "k",
+                    "time_col": "t", "start_col": "lo",
+                    "end_col": "hi"})(left)
+    assert out.count() == 0
