@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "running_revenue_per_customer",  # exchange, vectorized in-shard
     "event_gap_per_user",      # lag/lead over the event stream
     "anti_join_bloom_prefilter",  # bloom-miss rows skip the exchange
+    "customer_value_quartiles",   # percent_rank + ntile, same one pass
+    "cdc_incremental_admit",   # full composition: replay -> time-travel
+                               # snapshot -> change feed -> dedup_against
 ]
 
 
