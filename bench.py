@@ -199,6 +199,61 @@ def _shm_probe() -> float:
     return round(sorted(samples)[1], 1)
 
 
+def _plasma_pretouch(frac: float | None = None,
+                     budget_s: float | None = None) -> dict:
+    """Fault the plasma store's /dev/shm pages ONCE before timing.
+
+    This box has a measured hypervisor pathology where /dev/shm
+    FIRST-touch runs 3-300x slower than re-touch (BASELINE.md,
+    2026-08-18: 512 MiB ray.put = 1.63 s cold vs 0.06 s warm in the
+    same session, 26x).  Plasma keeps its arena mapped for the session,
+    so faulting the pages once up front takes the host's fault tax out
+    of every later block the engine moves — the timed section then
+    measures the ENGINE's sustained throughput, not the neighbor's
+    memory churn.  One-time setup, same rationale as the changelog
+    page-cache warm and the untimed first band.
+
+    Holds refs while touching so chunks land on distinct pages (plasma
+    reuses freed regions), then drops them all.  Tunables:
+    ``RAYFLOW_PRETOUCH_FRAC`` (0 disables), ``RAYFLOW_PRETOUCH_BUDGET_S``
+    (default 120 — a very sick window stops early with a partial warm
+    rather than eating the battery).
+
+    DEFAULT OFF: the microbench effect is unambiguous (26x), but an
+    interleaved A/B at sf0.1 replay scale (2026-08-18, shm probe
+    41-92) was inconclusive — window variance (OFF samples 4.8-16.2 s)
+    swamps the warm-up gain, and in the sickest windows the pre-touch
+    itself pays the fault tax on more bytes than the replay's working
+    set.  Kept opt-in for clean-window evidence runs; the default
+    keeps bench methodology identical to rounds 1-3 for
+    comparability."""
+    import numpy as np
+    import ray
+
+    frac = float(os.environ.get("RAYFLOW_PRETOUCH_FRAC", frac or 0.0))
+    budget_s = float(os.environ.get("RAYFLOW_PRETOUCH_BUDGET_S",
+                                    budget_s or 120.0))
+    if frac <= 0:
+        return {"gb": 0.0, "sec": 0.0}
+    try:
+        total = int(ray.cluster_resources().get("object_store_memory", 0))
+    except Exception:
+        return {"gb": 0.0, "sec": 0.0}
+    if not total:
+        return {"gb": 0.0, "sec": 0.0}
+    target = int(total * min(frac, 0.8))
+    chunk = 512 << 20
+    arr = np.ones(chunk // 8, np.float64)  # one driver-side buffer, reused
+    refs, touched = [], 0
+    t0 = time.perf_counter()
+    while touched < target and time.perf_counter() - t0 < budget_s:
+        refs.append(ray.put(arr))
+        touched += chunk
+    del refs  # pages stay faulted for the session; store is free again
+    return {"gb": round(touched / (1 << 30), 1),
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -225,6 +280,8 @@ def run_bench() -> dict:
     import ray.data as rd
 
     rd.range(10_000).map_batches(lambda b: b).count()
+
+    pretouch = _plasma_pretouch()
 
     bands_per_commit = int(os.environ.get("RAYFLOW_BENCH_BANDS_PER_COMMIT", "8"))
     # 3 samples: this box's ambient noise swings single replay runs by
@@ -270,6 +327,7 @@ def run_bench() -> dict:
         "bands_per_commit": bands_per_commit,
         "ambient_alloc_ms_per_64mb": _ambient_probe(),
         "shm_touch_ms_per_64mb": _shm_probe(),
+        "plasma_pretouch": pretouch,
         "queries": {},
     }
 
