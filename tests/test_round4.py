@@ -926,3 +926,29 @@ def test_interval_join_all_empty_output_schema(ray_session):
                     "time_col": "t", "start_col": "lo",
                     "end_col": "hi"})(left)
     assert out.count() == 0
+
+
+def test_window_session_bucket_smaller_than_gap(ray_session):
+    """bucket_s < gap_s: a session can span NON-adjacent buckets (the
+    intermediate bucket is empty) — the summary fold must stitch on
+    actual timestamps over the buckets PRESENT, not on adjacency."""
+    import datetime
+
+    import ray.data as rd
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = [0.0, 5000.0,           # one session: buckets 0 and 2 (b1 empty)
+          20000.0, 21000.0]      # second session after a >gap break
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["x"] * 4),
+        "ts": pa.array([base + datetime.timedelta(seconds=s) for s in ts],
+                       pa.timestamp("us")),
+    }))
+    out = build_op({
+        "op": "window_session", "keys": ["k"], "ts_col": "ts",
+        "gap_s": 6000.0, "bucket_s": 1800.0,
+        "aggs": [("count", None, "n")],
+    })(ds).to_pandas().sort_values("session_start", ignore_index=True)
+    assert out["n"].tolist() == [2, 2]
+    starts = pd.to_datetime(out["session_start"]).tolist()
+    assert starts == [base, base + datetime.timedelta(seconds=20000)]
