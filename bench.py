@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "customer_value_quartiles",   # percent_rank + ntile, same one pass
     "cdc_incremental_admit",   # full composition: replay -> time-travel
                                # snapshot -> change feed -> dedup_against
+    "dialogue_pairs_transcripts",    # transcript plane: rank + 2-col lag,
+                                     # both exchanges on conv_id
+    "conversation_admit_transcripts",  # group-predicate admission via
+                                       # bloom-prefiltered anti join
 ]
 
 

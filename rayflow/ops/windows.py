@@ -518,19 +518,36 @@ def build_group_cumsum(*, key_col: str, order_col: str, value_col: str,
 
 
 @register_op("group_lag")
-def build_group_lag(*, key_col: str, order_col: str, value_col: str,
+def build_group_lag(*, key_col: str, order_col: str,
+                    value_col: str | None = None,
                     out: str = "lag", offset: int = 1,
-                    num_shards: int = 64):
+                    num_shards: int = 64,
+                    value_cols: list[str] | None = None,
+                    outs: list[str] | None = None):
     """Per-key ``lag(value, offset)`` / ``lead`` (negative ``offset``)
     ``OVER (PARTITION BY key ORDER BY order)`` — the consecutive-event
     delta primitive (inter-event gaps, previous-state comparison in a
     change feed).  Same one-exchange coarse-shard shape as group_rank;
     within a shard every key's shift happens in one vectorized pass
     (sorted positions ± offset, run-boundary mask → nulls).  Pass a
-    unique ``order_col`` for determinism."""
+    unique ``order_col`` for determinism.
+
+    ``value_cols``/``outs``: lag SEVERAL columns in the SAME single
+    exchange — the shift index is computed once per shard and applied
+    per column; N chained ``group_lag`` ops would pay N keyed
+    exchanges for work one pass covers."""
     if offset == 0:
         raise ValueError("group_lag: offset must be nonzero "
                          "(positive = lag, negative = lead)")
+    if (value_col is None) == (value_cols is None):
+        raise ValueError("group_lag: pass exactly one of value_col / "
+                         "value_cols")
+    cols_in = list(value_cols) if value_cols else [value_col]
+    outs_ = (list(outs) if outs else
+             ([out] if value_cols is None
+              else [c + "_lag" for c in cols_in]))
+    if len(outs_) != len(cols_in):
+        raise ValueError("group_lag: outs must match value_cols")
 
     def shard(t: pa.Table) -> pa.Table:
         from rayflow.ops.kernels import shard_codes
@@ -550,14 +567,16 @@ def build_group_lag(*, key_col: str, order_col: str, value_col: str,
         ok = (src >= 0) & (src < n)
         src_c = np.clip(src, 0, max(n - 1, 0))
         ok &= codes[o][src_c] == codes[o]  # same key run only
-        vals = g.column(value_col).combine_chunks()
         take_idx = np.full(n, -1, np.int64)
         take_idx[o] = np.where(ok, o[src_c], -1)
-        lag_col = vals.take(
-            pa.array(np.where(take_idx >= 0, take_idx, 0), pa.int64()))
-        lag_col = pc.if_else(pa.array(take_idx >= 0), lag_col,
-                             pa.scalar(None, vals.type))
-        return g.append_column(out, lag_col).drop_columns(["_gl_shard"])
+        valid = pa.array(take_idx >= 0)
+        safe = pa.array(np.where(take_idx >= 0, take_idx, 0), pa.int64())
+        for c, o_name in zip(cols_in, outs_):
+            vals = g.column(c).combine_chunks()
+            lag_col = pc.if_else(valid, vals.take(safe),
+                                 pa.scalar(None, vals.type))
+            g = g.append_column(o_name, lag_col)
+        return g.drop_columns(["_gl_shard"])
 
     def apply(ds):
         return ds.map_batches(shard, **_PA_KW) \

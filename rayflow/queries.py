@@ -3967,3 +3967,187 @@ def cdc_incremental_admit(sf_dir: str):
                     "text_col": "__content",
                     "method": "broadcast"})(feed)
     return out.select_columns(["conv_id", "turn_idx", "lsn", "role"])
+
+
+# --------------------------------------------------------------------------
+# transcript-native curation: the engine's payload shape (conv_id,
+# turn_idx, role, text, ts) as a first-class table, not just the CDC key
+# --------------------------------------------------------------------------
+
+
+def _events_as_transcripts(sf_dir: str):
+    """The ``events`` table dressed as multi-turn conversation
+    transcripts — (conv_id, turn_idx, role, text, ts): turn_idx is the
+    event's rank WITHIN its conversation in event_id order (~67 turns
+    per conversation at sf0.01), assigned distributed by ``group_rank``
+    (one coarse-sharded exchange, no per-key tasks).  Shared by the
+    transcript-plane queries; matches the input_hint shape the engine
+    is built for."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type",
+                                  "props", "ts", "value"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(t["user_id"], pa.string()), "")
+        return pa.table({
+            "conv_id": conv,
+            "role": t["event_type"],
+            "text": t["props"],
+            "ts": t["ts"].cast(pa.timestamp("us")),
+            "value": t["value"],
+            "event_id": t["event_id"],
+        })
+
+    ds = ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+    return build_op({"op": "group_rank", "key_col": "conv_id",
+                     "order_col": "event_id", "out": "turn_idx"})(ds)
+
+
+@query(
+    "dialogue_pairs_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS turn_idx,
+             event_type AS role, props AS text
+      FROM events
+    ), lagd AS (
+      SELECT conv_id, turn_idx, role, text,
+             lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prompt,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role
+      FROM tr)
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+           prompt, text AS response
+    FROM lagd WHERE prev_role = 'click' AND role = 'purchase'
+    """,
+)
+def dialogue_pairs_transcripts(sf_dir: str):
+    """Training-pair extraction over the transcript shape: each turn
+    joined to its PREVIOUS turn (``group_lag`` with ``value_cols`` —
+    text AND role lagged in ONE keyed exchange), keeping the
+    (click → purchase) adjacent pairs as (prompt, response).  Two
+    exchanges total (rank, lag), both coarse-sharded on conv_id —
+    the same key, so at scale a reused partitioning carries both."""
+    tr = _events_as_transcripts(sf_dir)
+    tr = build_op({"op": "group_lag", "key_col": "conv_id",
+                   "order_col": "turn_idx",
+                   "value_cols": ["text", "role"],
+                   "outs": ["prompt", "prev_role"]})(tr)
+    tr = build_op({
+        "op": "filter",
+        "predicate": (E.col("prev_role") == E.lit("click"))
+        & (E.col("role") == E.lit("purchase")),
+    })(tr)
+    return build_op({
+        "op": "mapping",
+        "cols": {"response": E.col("text")},
+        "select": ["conv_id", "turn_idx", "prompt", "response"],
+    })(tr)
+
+
+@query(
+    "conversation_rollup_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             event_type AS role, props AS text, ts
+      FROM events)
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT)            AS n_turns,
+           CAST(sum(length(text)) AS BIGINT)   AS total_chars,
+           CAST(epoch_us(min(ts)) AS BIGINT)   AS first_ts_us,
+           CAST(epoch_us(max(ts)) AS BIGINT)   AS last_ts_us,
+           CAST(sum(CASE WHEN role = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT)                     AS n_purchase
+    FROM tr GROUP BY conv_id
+    """,
+)
+def conversation_rollup_transcripts(sf_dir: str):
+    """Per-conversation rollup (the curation unit of a transcript
+    corpus is the CONVERSATION, not the turn): turn count, total
+    chars, first/last activity, per-role counts — one vectorized
+    flag/length pass + ONE two-phase ``group_agg`` exchange."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "props", "ts"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(t["user_id"], pa.string()), "")
+        return pa.table({
+            "conv_id": conv,
+            "nchars": pc.cast(pc.utf8_length(t["props"]), pa.int64()),
+            "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+            "is_purchase": pc.cast(
+                pc.equal(t["event_type"], "purchase"), pa.int64()),
+        })
+
+    ds = ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+    out = build_op({
+        "op": "group_agg", "keys": ["conv_id"],
+        "aggs": [("count", None, "n_turns"),
+                 ("sum", "nchars", "total_chars"),
+                 ("min", "ts_us", "first_ts_us"),
+                 ("max", "ts_us", "last_ts_us"),
+                 ("sum", "is_purchase", "n_purchase")],
+    })(ds)
+    return build_op({
+        "op": "mapping",
+        "cols": {c: E.F("int64", E.col(c))
+                 for c in ("n_turns", "total_chars", "first_ts_us",
+                           "last_ts_us", "n_purchase")},
+        "select": ["conv_id", "n_turns", "total_chars", "first_ts_us",
+                   "last_ts_us", "n_purchase"],
+    })(out)
+
+
+@query(
+    "conversation_admit_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, value AS v
+      FROM events)
+    SELECT t.conv_id, CAST(count(*) AS BIGINT) AS n_turns
+    FROM tr t
+    WHERE NOT EXISTS (SELECT 1 FROM tr b
+                      WHERE b.conv_id = t.conv_id AND b.v < 0.2)
+    GROUP BY t.conv_id
+    """,
+)
+def conversation_admit_transcripts(sf_dir: str):
+    """Conversation-LEVEL admission: one bad turn disqualifies the
+    whole conversation (the group-predicate shape of transcript
+    curation — contamination/PII/abuse in any turn drops the unit).
+    Plan: vectorized flag pass → tiny distinct flagged-conv set →
+    Bloom-prefiltered sharded ANTI join (clean conversations skip the
+    exchange on a bloom miss) → per-conversation count."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "value"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(t["user_id"], pa.string()), "")
+        return pa.table({"conv_id": conv, "v": t["value"]})
+
+    tr = ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+    bad = build_op({"op": "filter",
+                    "predicate": E.col("v") < E.lit(0.2)})(tr)
+    bad = build_op({"op": "group_agg", "keys": ["conv_id"],
+                    "aggs": [("count", None, "_n_bad")]})(bad)
+    kept = build_op({
+        "op": "sharded_semi", "right": bad, "on": "conv_id",
+        "anti": True, "num_partitions": 4, "bloom_bits_per_key": 10,
+    })(tr)
+    out = build_op({"op": "group_agg", "keys": ["conv_id"],
+                    "aggs": [("count", None, "n_turns")]})(kept)
+    return build_op({
+        "op": "mapping",
+        "cols": {"n_turns": E.F("int64", E.col("n_turns"))},
+        "select": ["conv_id", "n_turns"],
+    })(out)
