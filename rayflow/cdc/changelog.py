@@ -267,3 +267,68 @@ def generate_changelog(log_dir: str, spec: ChangeLogSpec) -> dict:
         "n_files": n_files,
         "max_lsn": n - 1,
     }
+
+
+def compact_changelog(log_dir: str, out_dir: str,
+                      up_to_lsn: int | None = None) -> dict:
+    """Kafka-style LOG compaction of a change log: rewrite the band
+    prefix whose ``lsn_hi <= up_to_lsn`` keeping only the LATEST event
+    per (conv_id, turn_idx) — deletes survive as tombstones — and
+    carry the tail bands over untouched.  At 10^10 events with heavy
+    update churn, a fresh replay of the compacted log costs O(live
+    keys), not O(events), with an IDENTICAL final table: per key the
+    max-lsn event of (compacted prefix ∪ tail) is the max-lsn event of
+    the original log, and LSN values are preserved verbatim so
+    last-writer-wins, ``changes_between`` pruning and band watermarks
+    all hold.
+
+    Fully distributed: the prefix streams through the two-phase
+    ``dedupe`` combine (one keyed exchange of the surviving rows);
+    nothing materializes on the driver.
+
+    Consumers: a lake whose ``committed_lsn >= up_to_lsn`` can keep
+    replaying from the compacted log (its next bands are the untouched
+    tail — band watermarks are all-or-nothing); a consumer mid-prefix
+    must re-replay from scratch, same as after Kafka compaction.
+
+    Returns ``{"events_before", "events_after", "up_to_lsn",
+    "prefix_bands", "tail_bands"}``."""
+    import shutil
+
+    from rayflow.cdc.source import list_bands
+
+    bands = list_bands(log_dir)
+    if not bands:
+        raise ValueError(f"compact_changelog: no bands in {log_dir}")
+    if up_to_lsn is None:
+        up_to_lsn = max(b.lsn_hi for b in bands)
+    prefix = [b for b in bands if b.lsn_hi <= up_to_lsn]
+    tail = [b for b in bands if b.lsn_hi > up_to_lsn]
+    if not prefix:
+        raise ValueError("compact_changelog: up_to_lsn below every "
+                         "band — nothing to compact")
+
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    ds = rd.read_parquet([f for b in prefix for f in b.files])
+    events_before = ds.count()
+    compacted = build_op({
+        "op": "dedupe", "keys": ["conv_id", "turn_idx"],
+        "order_col": "lsn", "keep": "max",
+    })(ds)
+    os.makedirs(out_dir, exist_ok=True)
+    info = write_changelog_dataset(compacted, out_dir, band_id=0,
+                                   n_bands=1)
+    # tail bands carry over verbatim, renumbered after the compacted
+    # band (band ids only need to be ordered, names carry the lsns)
+    for i, b in enumerate(tail, start=1):
+        bdir = os.path.join(out_dir, f"band-{i:05d}")
+        os.makedirs(bdir, exist_ok=True)
+        for f in b.files:
+            shutil.copy2(f, os.path.join(bdir, os.path.basename(f)))
+    return {"events_before": int(events_before),
+            "events_after": int(info["n_events"]),
+            "up_to_lsn": int(up_to_lsn),
+            "prefix_bands": len(prefix), "tail_bands": len(tail)}

@@ -80,3 +80,74 @@ def test_write_changelog_empty_blocks(ray_session, tmp_path):
     info = write_changelog_dataset(ds, log_dir)
     assert info["n_events"] == 3
     assert len(list_bands(log_dir, after_lsn=-1)) == 1
+
+
+def test_compact_changelog_replay_equivalence(ray_session, tmp_path):
+    """Fresh replay of (compacted prefix + tail) must equal fresh
+    replay of the full log — deletes survive as tombstones, LSNs are
+    preserved, schema evolution crosses the compaction point."""
+    from rayflow.cdc.changelog import (ChangeLogSpec, compact_changelog,
+                                       generate_changelog)
+    from rayflow.cdc.oracle import lww_oracle, read_changelog_pandas
+    from rayflow.cdc.replay import CdcEngine
+
+    log = str(tmp_path / "log")
+    spec = ChangeLogSpec(n_convs=60, turns_per_conv=6.0, update_ratio=4.0,
+                         delete_ratio=0.4, n_bands=4, seed=11,
+                         evolve_at_lsn=600)
+    info = generate_changelog(log, spec)
+
+    # watermark mid-log: band boundary independence is the point
+    cut = info["n_events"] // 2
+    out = str(tmp_path / "log_compacted")
+    stats = compact_changelog(log, out, up_to_lsn=cut)
+    assert stats["events_after"] < stats["events_before"]
+    assert stats["tail_bands"] >= 1
+
+    e_full = CdcEngine(str(tmp_path / "lake_full"), num_partitions=4)
+    e_full.replay(log)
+    e_comp = CdcEngine(str(tmp_path / "lake_comp"), num_partitions=4)
+    e_comp.replay(out)
+
+    cols = ["conv_id", "turn_idx"]
+    a = e_full.final_table().to_pandas().sort_values(cols,
+                                                     ignore_index=True)
+    b = e_comp.final_table().to_pandas().sort_values(cols,
+                                                     ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    # and both equal the single-process LWW oracle over the FULL log
+    want = lww_oracle(read_changelog_pandas(log)).sort_values(
+        cols, ignore_index=True)
+    shared = [c for c in want.columns if c in a.columns]
+    pd.testing.assert_frame_equal(a[shared], want[shared],
+                                  check_dtype=False)
+
+
+def test_compact_changelog_full_log_collapses_to_keys(ray_session,
+                                                      tmp_path):
+    """Compacting the WHOLE log (default watermark) leaves exactly one
+    event per surviving key + one tombstone per deleted key."""
+    from rayflow.cdc.changelog import (ChangeLogSpec, compact_changelog,
+                                       generate_changelog)
+    from rayflow.cdc.oracle import read_changelog_pandas
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(
+        n_convs=40, turns_per_conv=5.0, update_ratio=6.0,
+        delete_ratio=0.3, n_bands=3, seed=3))
+    out = str(tmp_path / "out")
+    stats = compact_changelog(log, out)
+    assert stats["tail_bands"] == 0
+    full = read_changelog_pandas(log)
+    n_keys = full.groupby(["conv_id", "turn_idx"]).ngroups
+    assert stats["events_after"] == n_keys
+    comp = read_changelog_pandas(out)
+    # per key: exactly the max-lsn event, op preserved (tombstones too)
+    last = full.sort_values("lsn").groupby(
+        ["conv_id", "turn_idx"], as_index=False).last()
+    got = comp.sort_values(["conv_id", "turn_idx"],
+                           ignore_index=True)
+    want = last.sort_values(["conv_id", "turn_idx"],
+                            ignore_index=True)
+    pd.testing.assert_frame_equal(got[["conv_id", "turn_idx", "lsn", "op"]],
+                                  want[["conv_id", "turn_idx", "lsn", "op"]])
