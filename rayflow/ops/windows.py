@@ -523,7 +523,8 @@ def build_group_lag(*, key_col: str, order_col: str,
                     out: str = "lag", offset: int = 1,
                     num_shards: int = 64,
                     value_cols: list[str] | None = None,
-                    outs: list[str] | None = None):
+                    outs: list[str] | None = None,
+                    offsets: list[int] | None = None):
     """Per-key ``lag(value, offset)`` / ``lead`` (negative ``offset``)
     ``OVER (PARTITION BY key ORDER BY order)`` — the consecutive-event
     delta primitive (inter-event gaps, previous-state comparison in a
@@ -535,10 +536,12 @@ def build_group_lag(*, key_col: str, order_col: str,
     ``value_cols``/``outs``: lag SEVERAL columns in the SAME single
     exchange — the shift index is computed once per shard and applied
     per column; N chained ``group_lag`` ops would pay N keyed
-    exchanges for work one pass covers."""
-    if offset == 0:
-        raise ValueError("group_lag: offset must be nonzero "
-                         "(positive = lag, negative = lead)")
+    exchanges for work one pass covers.
+
+    ``offsets``: a per-column offset paired with ``value_cols`` (e.g.
+    the same column lagged 1, 2 and 3 turns back for fixed-window
+    context assembly) — still ONE keyed exchange; the shift index is
+    computed once per DISTINCT offset within the shard."""
     if (value_col is None) == (value_cols is None):
         raise ValueError("group_lag: pass exactly one of value_col / "
                          "value_cols")
@@ -548,6 +551,16 @@ def build_group_lag(*, key_col: str, order_col: str,
               else [c + "_lag" for c in cols_in]))
     if len(outs_) != len(cols_in):
         raise ValueError("group_lag: outs must match value_cols")
+    if offsets is not None:
+        if value_cols is None or len(offsets) != len(cols_in):
+            raise ValueError("group_lag: offsets must pair with "
+                             "value_cols")
+        offs_ = [int(x) for x in offsets]
+    else:
+        offs_ = [int(offset)] * len(cols_in)
+    if any(x == 0 for x in offs_):
+        raise ValueError("group_lag: offset must be nonzero "
+                         "(positive = lag, negative = lead)")
 
     def shard(t: pa.Table) -> pa.Table:
         from rayflow.ops.kernels import shard_codes
@@ -563,15 +576,20 @@ def build_group_lag(*, key_col: str, order_col: str,
         order = g.column(order_col).to_numpy(zero_copy_only=False)
         o = np.lexsort((order, codes))
         n = len(o)
-        src = np.arange(n, dtype=np.int64) - offset
-        ok = (src >= 0) & (src < n)
-        src_c = np.clip(src, 0, max(n - 1, 0))
-        ok &= codes[o][src_c] == codes[o]  # same key run only
-        take_idx = np.full(n, -1, np.int64)
-        take_idx[o] = np.where(ok, o[src_c], -1)
-        valid = pa.array(take_idx >= 0)
-        safe = pa.array(np.where(take_idx >= 0, take_idx, 0), pa.int64())
-        for c, o_name in zip(cols_in, outs_):
+        ks = codes[o]
+        shifts: dict[int, tuple] = {}
+        for off in set(offs_):
+            src = np.arange(n, dtype=np.int64) - off
+            ok = (src >= 0) & (src < n)
+            src_c = np.clip(src, 0, max(n - 1, 0))
+            ok &= ks[src_c] == ks  # same key run only
+            take_idx = np.full(n, -1, np.int64)
+            take_idx[o] = np.where(ok, o[src_c], -1)
+            shifts[off] = (
+                pa.array(take_idx >= 0),
+                pa.array(np.where(take_idx >= 0, take_idx, 0), pa.int64()))
+        for c, o_name, off in zip(cols_in, outs_, offs_):
+            valid, safe = shifts[off]
             vals = g.column(c).combine_chunks()
             lag_col = pc.if_else(valid, vals.take(safe),
                                  pa.scalar(None, vals.type))
@@ -581,6 +599,76 @@ def build_group_lag(*, key_col: str, order_col: str,
     def apply(ds):
         return ds.map_batches(shard, **_PA_KW) \
             .groupby("_gl_shard").map_groups(lag_shard,
+                                             batch_format="pyarrow")
+
+    return apply
+
+
+@register_op("group_concat")
+def build_group_concat(*, key_col: str, order_col: str, value_col: str,
+                       out: str = "concat", sep: str = "\n",
+                       num_shards: int = 64):
+    """Per-key ORDERED string concatenation — SQL
+    ``string_agg(value, sep ORDER BY order) GROUP BY key`` — the
+    chat-template / document-assembly primitive for transcript
+    corpora (turns → one training document per conversation).
+
+    One coarse-sharded keyed exchange (hash(key) → shard), then the
+    whole shard concatenates ALL its keys in one vectorized pass:
+    lexsort by (key, order), per-key run offsets over the sorted value
+    buffer → ``pa.ListArray.from_arrays`` → ``pc.binary_join`` (one C
+    kernel, no per-key Python, no per-key string accumulation).  Null
+    values are skipped, matching SQL ``string_agg``; ties in
+    ``order_col`` break arbitrarily — pass a unique order for a
+    deterministic document.  Output: one row per key,
+    ``(key_col, out)``.
+
+    Scale note: a key's full document is materialized contiguously in
+    its shard, so the per-shard memory bound is (shard's total text
+    bytes) — the same bound the exchange itself already implies.  Hot
+    conversations bound single-DOCUMENT size, not single-task group
+    count (the shard concatenates all keys in one pass)."""
+
+    def shard(t: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import shard_codes
+
+        return t.append_column(
+            "_gs_shard",
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
+
+    def concat_shard(g: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import group_codes
+
+        vals = g.column(value_col).combine_chunks()
+        mask = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        if not mask.all():                      # SQL string_agg skips nulls
+            keep = np.flatnonzero(mask)
+            g = g.take(pa.array(keep, pa.int64()))
+            vals = g.column(value_col).combine_chunks()
+        codes = group_codes(g.column(key_col))
+        order = g.column(order_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((order, codes))
+        ks = codes[o]
+        # large_string / int64 offsets: a shard's concatenated text can
+        # pass the 2 GB int32 offset ceiling long before memory does
+        sorted_vals = vals.cast(pa.large_string()).take(
+            pa.array(o, pa.int64()))
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1]))) \
+            if len(ks) else np.zeros(0, np.int64)
+        offsets = np.concatenate((starts, [len(ks)])).astype(np.int64) \
+            if len(ks) else np.zeros(1, np.int64)
+        if isinstance(sorted_vals, pa.ChunkedArray):
+            sorted_vals = sorted_vals.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                              sorted_vals)
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        keys_out = g.column(key_col).take(
+            pa.array(o[starts] if len(ks) else [], pa.int64()))
+        return pa.table({key_col: keys_out, out: joined})
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_gs_shard").map_groups(concat_shard,
                                              batch_format="pyarrow")
 
     return apply

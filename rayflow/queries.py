@@ -4151,3 +4151,239 @@ def conversation_admit_transcripts(sf_dir: str):
         "cols": {"n_turns": E.F("int64", E.col("n_turns"))},
         "select": ["conv_id", "n_turns"],
     })(out)
+
+
+@query(
+    "chat_render_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS turn_idx,
+             event_type AS role, props AS text
+      FROM events)
+    SELECT conv_id,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+             AS doc
+    FROM tr GROUP BY conv_id
+    """,
+)
+def chat_render_transcripts(sf_dir: str):
+    """Chat-template rendering: every conversation becomes ONE training
+    document — its turns as ``role: text`` lines in turn order.  The
+    assembly primitive of SFT-corpus preparation.  Plan: vectorized
+    line render (one Arrow join kernel) → ``group_concat`` (ONE
+    coarse-sharded exchange; the whole shard concatenates all its
+    conversations via list-offset ``binary_join``, no per-conversation
+    tasks or Python string loops)."""
+    tr = _events_as_transcripts(sf_dir)
+
+    def line(t: pa.Table) -> pa.Table:
+        ln = pc.binary_join_element_wise(t["role"], t["text"], ": ")
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": t["turn_idx"], "line": ln})
+
+    tr = tr.map_batches(line, batch_format="pyarrow", zero_copy_batch=True)
+    return build_op({"op": "group_concat", "key_col": "conv_id",
+                     "order_col": "turn_idx", "value_col": "line",
+                     "out": "doc", "sep": "\n"})(tr)
+
+
+@query(
+    "sft_context_pairs_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS turn_idx,
+             event_type AS role, props AS text,
+             event_type || ': ' || props AS line
+      FROM events
+    ), lagd AS (
+      SELECT conv_id, turn_idx, role, text,
+             lag(line, 1) OVER w AS l1,
+             lag(line, 2) OVER w AS l2,
+             lag(line, 3) OVER w AS l3
+      FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+           concat_ws(chr(10), l3, l2, l1) AS context, text AS response
+    FROM lagd WHERE role = 'purchase' AND l1 IS NOT NULL
+    """,
+)
+def sft_context_pairs_transcripts(sf_dir: str):
+    """SFT example extraction with a FIXED context window: each
+    target turn (role ``purchase`` standing in for "assistant") paired
+    with its previous ≤3 turns rendered as context.  A fixed k keeps
+    the op fully vectorized AND bounds output size by k×corpus (the
+    unbounded-prefix variant is O(turns²) by construction — that cost
+    is in the OUTPUT, not a plan choice).  Plan: one line render, ONE
+    keyed exchange (``group_lag`` with per-column ``offsets`` — the
+    same column lagged 1/2/3 in a single pass), then a null-skipping
+    element-wise join (= SQL ``concat_ws``)."""
+    tr = _events_as_transcripts(sf_dir)
+
+    def line(t: pa.Table) -> pa.Table:
+        ln = pc.binary_join_element_wise(t["role"], t["text"], ": ")
+        return t.append_column("line", ln)
+
+    tr = tr.map_batches(line, batch_format="pyarrow", zero_copy_batch=True)
+    tr = build_op({"op": "group_lag", "key_col": "conv_id",
+                   "order_col": "turn_idx",
+                   "value_cols": ["line", "line", "line"],
+                   "outs": ["l1", "l2", "l3"],
+                   "offsets": [1, 2, 3]})(tr)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["role"], "purchase"),
+                       pc.is_valid(t["l1"]))
+        t = t.filter(keep)
+        ctx = pc.binary_join_element_wise(
+            t["l3"].combine_chunks(), t["l2"].combine_chunks(),
+            t["l1"].combine_chunks(), pa.array(["\n"] * t.num_rows),
+            null_handling="skip")
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": t["turn_idx"],
+                         "context": ctx, "response": t["text"]})
+
+    return tr.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@query(
+    "role_alternation_check_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS turn_idx,
+             event_type AS role
+      FROM events
+    ), lagd AS (
+      SELECT conv_id, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev
+      FROM tr)
+    SELECT conv_id,
+           CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_role_repeats,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM lagd GROUP BY conv_id
+    """,
+)
+def role_alternation_check_transcripts(sf_dir: str):
+    """Transcript structural validation: per conversation, how many
+    adjacent turns REPEAT the same role (a well-formed dialogue
+    alternates).  One ``group_lag`` exchange + a vectorized compare +
+    one two-phase ``group_agg`` — the repeat count and the turn count
+    come out of the same aggregation."""
+    tr = _events_as_transcripts(sf_dir)
+    tr = build_op({"op": "group_lag", "key_col": "conv_id",
+                   "order_col": "turn_idx", "value_col": "role",
+                   "out": "prev"})(tr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        rep = pc.cast(pc.fill_null(
+            pc.equal(t["role"], t["prev"]), False), pa.int64())
+        return pa.table({"conv_id": t["conv_id"], "rep": rep})
+
+    tr = tr.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    out = build_op({"op": "group_agg", "keys": ["conv_id"],
+                    "aggs": [("sum", "rep", "n_role_repeats"),
+                             ("count", None, "n_turns")]})(tr)
+    return build_op({
+        "op": "mapping",
+        "cols": {"n_role_repeats": E.F("int64", E.col("n_role_repeats")),
+                 "n_turns": E.F("int64", E.col("n_turns"))},
+        "select": ["conv_id", "n_role_repeats", "n_turns"],
+    })(out)
+
+
+@query(
+    "role_transition_matrix_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS turn_idx,
+             event_type AS role
+      FROM events
+    ), lagd AS (
+      SELECT conv_id, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS from_role
+      FROM tr)
+    SELECT from_role, role AS to_role,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lagd WHERE from_role IS NOT NULL
+    GROUP BY from_role, role
+    """,
+)
+def role_transition_matrix_transcripts(sf_dir: str):
+    """Corpus-wide role-transition matrix (who-follows-whom counts —
+    the structure fingerprint of a dialogue corpus, and the input to
+    Markov-style synthetic-dialogue QA).  ``group_lag`` is the only
+    keyed exchange on conv_id; the (from, to) aggregation is a
+    two-phase combine whose key space is |roles|² — tiny — so the
+    second exchange moves a few rows per block regardless of corpus
+    size."""
+    tr = _events_as_transcripts(sf_dir)
+    tr = build_op({"op": "group_lag", "key_col": "conv_id",
+                   "order_col": "turn_idx", "value_col": "role",
+                   "out": "from_role"})(tr)
+    tr = build_op({"op": "filter",
+                   "predicate": E.F("not_null", E.col("from_role"))})(tr)
+    tr = build_op({"op": "mapping",
+                   "cols": {"to_role": E.col("role")},
+                   "select": ["from_role", "to_role"]})(tr)
+    out = build_op({"op": "group_agg", "keys": ["from_role", "to_role"],
+                    "aggs": [("count", None, "n")]})(tr)
+    return build_op({
+        "op": "mapping", "cols": {"n": E.F("int64", E.col("n"))},
+        "select": ["from_role", "to_role", "n"],
+    })(out)
+
+
+@query(
+    "boilerplate_turns_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             lower(props) AS norm
+      FROM events
+    ), d AS (SELECT DISTINCT conv_id, norm FROM tr)
+    SELECT norm, CAST(count(*) AS BIGINT) AS n_convs
+    FROM d GROUP BY norm HAVING count(*) >= 50
+    """,
+)
+def boilerplate_turns_transcripts(sf_dir: str):
+    """Cross-conversation boilerplate detection: normalized turn texts
+    that appear in ≥50 DISTINCT conversations (canned greetings,
+    templated tool output — text to strip before near-dup sketching).
+    Exact distinct-conv counting via the two-phase ``dedupe`` on
+    (norm, conv) — each pair survives once — then a count keyed on the
+    normalized text.  Both exchanges carry at most one row per
+    (text, conversation), already a tiny projection of the corpus."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "props"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(t["user_id"], pa.string()), "")
+        return pa.table({"conv_id": conv,
+                         "norm": pc.utf8_lower(t["props"])})
+
+    tr = ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+    # DISTINCT (norm, conv) via the two-phase group_agg combine (the
+    # count is discarded — each pair survives exactly once)
+    tr = build_op({"op": "group_agg", "keys": ["norm", "conv_id"],
+                   "aggs": [("count", None, "_n")]})(tr)
+    out = build_op({"op": "group_agg", "keys": ["norm"],
+                    "aggs": [("count", None, "n_convs")]})(tr)
+    out = build_op({"op": "filter",
+                    "predicate": E.col("n_convs") >= E.lit(50)})(out)
+    return build_op({
+        "op": "mapping", "cols": {"n_convs": E.F("int64", E.col("n_convs"))},
+        "select": ["norm", "n_convs"],
+    })(out)
+

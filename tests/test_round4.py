@@ -952,3 +952,81 @@ def test_window_session_bucket_smaller_than_gap(ray_session):
     assert out["n"].tolist() == [2, 2]
     starts = pd.to_datetime(out["session_start"]).tolist()
     assert starts == [base, base + datetime.timedelta(seconds=20000)]
+
+
+def test_group_concat_vs_duckdb_string_agg(ray_session):
+    """group_concat ≡ string_agg(v, sep ORDER BY o) GROUP BY k — with
+    nulls (skipped), empty strings (kept), ties broken by a unique
+    order, and multi-char separators."""
+    import duckdb
+
+    rng = np.random.default_rng(91)
+    n = 4000
+    key = rng.integers(0, 150, n).astype(np.int64)
+    order = rng.permutation(n).astype(np.int64)        # unique
+    vals = np.array(["t%d" % i for i in range(n)], dtype=object)
+    vals[rng.choice(n, 200, replace=False)] = None     # string_agg skips
+    vals[rng.choice(n, 50, replace=False)] = ""        # but keeps empties
+    ds = _mk_ds({"k": key, "o": order,
+                 "v": pa.array(vals.tolist(), pa.string())})
+    out = build_op({"op": "group_concat", "key_col": "k", "order_col": "o",
+                    "value_col": "v", "out": "doc", "sep": "<|>"})(ds) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    exp = duckdb.sql(
+        "SELECT k, string_agg(v, '<|>' ORDER BY o) doc "
+        "FROM (SELECT unnest($k) k, unnest($o) o, unnest($v) v) "
+        "GROUP BY k ORDER BY k",
+        params={"k": key.tolist(), "o": order.tolist(),
+                "v": vals.tolist()}).df()
+    assert out["k"].tolist() == exp["k"].tolist()
+    assert out["doc"].tolist() == exp["doc"].tolist()
+
+
+def test_group_concat_all_null_key_matches_sql(ray_session):
+    """A key whose every value is null: SQL string_agg returns NULL for
+    it (the key still appears via GROUP BY) — group_concat drops the
+    null rows BEFORE grouping, so the key vanishes.  Assert the
+    documented semantics: only keys with ≥1 non-null value emit."""
+    ds = _mk_ds({"k": pa.array(["a", "a", "b"]),
+                 "o": pa.array([1, 2, 3], pa.int64()),
+                 "v": pa.array([None, None, "x"], pa.string())},
+                parallelism=2)
+    out = build_op({"op": "group_concat", "key_col": "k", "order_col": "o",
+                    "value_col": "v"})(ds).to_pandas()
+    assert out["k"].tolist() == ["b"]
+    assert out["concat"].tolist() == ["x"]
+
+
+def test_group_lag_per_column_offsets_vs_duckdb(ray_session):
+    """offsets=[1,2,-1]: the same column lagged twice and led once in
+    ONE exchange matches three DuckDB windows."""
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    key = rng.integers(0, 40, n).astype(np.int64)
+    order = rng.permutation(n).astype(np.int64)
+    val = np.round(rng.normal(0, 3, n), 3)
+    ds = _mk_ds({"k": key, "o": order, "v": val})
+    out = build_op({"op": "group_lag", "key_col": "k", "order_col": "o",
+                    "value_cols": ["v", "v", "v"],
+                    "outs": ["l1", "l2", "ld"],
+                    "offsets": [1, 2, -1]})(ds).to_pandas().sort_values("o")
+    exp = duckdb.sql(
+        "SELECT o, lag(v,1) OVER w l1, lag(v,2) OVER w l2, "
+        "lead(v,1) OVER w ld "
+        "FROM (SELECT unnest($k) k, unnest($o) o, unnest($v) v) "
+        "WINDOW w AS (PARTITION BY k ORDER BY o) ORDER BY o",
+        params={"k": key.tolist(), "o": order.tolist(),
+                "v": val.tolist()}).df()
+    for c in ("l1", "l2", "ld"):
+        assert np.allclose(out[c].fillna(1e18), exp[c].fillna(1e18))
+
+
+def test_group_lag_offsets_validation(ray_session):
+    with pytest.raises(ValueError, match="offsets must pair"):
+        build_op({"op": "group_lag", "key_col": "k", "order_col": "o",
+                  "value_col": "v", "offsets": [1, 2]})
+    with pytest.raises(ValueError, match="nonzero"):
+        build_op({"op": "group_lag", "key_col": "k", "order_col": "o",
+                  "value_cols": ["v"], "outs": ["x"], "offsets": [0]})
