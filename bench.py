@@ -108,6 +108,10 @@ BENCH_QUERIES = [
                                      # both exchanges on conv_id
     "conversation_admit_transcripts",  # group-predicate admission via
                                        # bloom-prefiltered anti join
+    "chat_render_transcripts",       # conv -> one doc: group_concat's
+                                     # list-offset binary_join shard pass
+    "sft_context_pairs_transcripts",  # 3 lags of one column in ONE exchange
+    "boilerplate_turns_transcripts",  # distinct-conv counts, 2-phase combine
 ]
 
 

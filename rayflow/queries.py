@@ -33,6 +33,10 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r} — the "
+                             "second registration would silently "
+                             "shadow the first")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE_SQL[name] = sql
