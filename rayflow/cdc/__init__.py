@@ -15,9 +15,12 @@ internal/checkpoint/capped.go⟩`` contiguous-ack offset checkpointing,
 - resumable replay (:mod:`rayflow.cdc.replay`).
 """
 
+from rayflow.cdc.branch import (branch_lake, rebase_branch_to_copy,
+                                remove_branch_pin)
 from rayflow.cdc.changelog import ChangeLogSpec, generate_changelog
 from rayflow.cdc.replay import CdcEngine, ReplayStats
 from rayflow.cdc.views import TumblingWindowView
 
 __all__ = ["ChangeLogSpec", "generate_changelog", "CdcEngine", "ReplayStats",
-           "TumblingWindowView"]
+           "TumblingWindowView", "branch_lake", "remove_branch_pin",
+           "rebase_branch_to_copy"]

@@ -429,10 +429,21 @@ class CdcEngine:
     def vacuum(self) -> int:
         """Delete state files not referenced by the manifest (older
         versions superseded by later commits).  Safe any time: a file
-        not in the manifest does not exist, by definition."""
+        not in the manifest does not exist, by definition.
+
+        Files PINNED by reference branches (``rayflow.cdc.branch``)
+        are kept — a branch's manifest points into this lake, so its
+        pins are part of this lake's live set until
+        ``remove_branch_pin`` releases them.  Re-reads the manifest
+        from disk first: pins are written out-of-band by
+        ``branch_lake`` and this engine's in-memory copy may predate
+        them."""
         import glob as _glob
 
-        live = set(self.manifest.live_files())
+        manifest = LakeManifest(self.lake_dir)    # fresh: see docstring
+        live = set(manifest.live_files())
+        for pin in manifest.state.get("pins", {}).values():
+            live.update(os.path.join(self.lake_dir, rel) for rel in pin)
         removed = 0
         for f in _glob.glob(os.path.join(self.lake_dir, "part-*", "*.parquet")):
             if f not in live:
