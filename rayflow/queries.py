@@ -4391,3 +4391,86 @@ def boilerplate_turns_transcripts(sf_dir: str):
         "select": ["norm", "n_convs"],
     })(out)
 
+
+
+@query(
+    "sft_corpus_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS turn_idx,
+             event_type AS role, props AS text, value AS v
+      FROM events
+    ), adm AS (
+      SELECT conv_id FROM tr GROUP BY conv_id HAVING avg(v) >= 45.0
+    ), docs AS (
+      SELECT t.conv_id,
+             string_agg(t.role || ': ' || t.text, chr(10)
+                        ORDER BY t.turn_idx) AS doc
+      FROM tr t WHERE t.conv_id IN (SELECT conv_id FROM adm)
+      GROUP BY t.conv_id
+    ), ded AS (
+      SELECT min(conv_id) AS conv_id, min(doc) AS doc,
+             CAST(count(*) AS BIGINT) AS n_dups
+      FROM docs GROUP BY md5(doc))
+    SELECT conv_id, doc, n_dups,
+           CAST(length(doc) AS BIGINT) AS n_chars
+    FROM ded WHERE length(doc) >= 1000
+    """,
+)
+def sft_corpus_transcripts(sf_dir: str):
+    """FLAGSHIP COMPOSITION — the SFT-corpus preparation pipeline over
+    the transcript shape, end to end:
+
+      admission (conversation-level quality gate, avg turn value)
+      → chat-template rendering (conversation → one document)
+      → exact near-entry dedup (documents grouped by md5, keep the
+        lexicographically-first conversation, count duplicates)
+      → length floor.
+
+    Plan economics at scale: the admission aggregate's key space is
+    |conversations| (partial-combined); the admitted set broadcasts
+    (no second pass over the corpus for the semi); rendering is the
+    ONE conv_id exchange reused from turn ranking; dedup groups on the
+    16-byte md5 — never shuffling the documents twice (the doc rides
+    the same exchange as its hash, carried as min())."""
+    tr = _events_as_transcripts(sf_dir)
+
+    adm = build_op({"op": "group_agg", "keys": ["conv_id"],
+                    "aggs": [("mean", "value", "_avg_v")]})(tr)
+    adm = build_op({"op": "filter",
+                    "predicate": E.col("_avg_v") >= E.lit(45.0)})(adm)
+    kept = build_op({"op": "sharded_semi", "right": adm,
+                     "on": "conv_id", "num_partitions": 4,
+                     "bloom_bits_per_key": 10})(tr)
+
+    def line(t: pa.Table) -> pa.Table:
+        ln = pc.binary_join_element_wise(t["role"], t["text"], ": ")
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": t["turn_idx"], "line": ln})
+
+    kept = kept.map_batches(line, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    docs = build_op({"op": "group_concat", "key_col": "conv_id",
+                     "order_col": "turn_idx", "value_col": "line",
+                     "out": "doc", "sep": "\n"})(kept)
+    docs = build_op({"op": "mapping",
+                     "cols": {"h": E.F("hash_md5", E.col("doc"))}})(docs)
+    ded = build_op({"op": "group_agg", "keys": ["h"],
+                    "aggs": [("min", "conv_id", "conv_id"),
+                             ("min", "doc", "doc"),
+                             ("count", None, "n_dups")]})(docs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t["doc"]), pa.int64())
+        t = t.append_column("n_chars", n)
+        t = t.filter(pc.greater_equal(t["n_chars"], 1000))
+        return t.select(["conv_id", "doc", "n_dups", "n_chars"])
+
+    out = ded.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return build_op({
+        "op": "mapping", "cols": {"n_dups": E.F("int64", E.col("n_dups"))},
+        "select": ["conv_id", "doc", "n_dups", "n_chars"],
+    })(out)
