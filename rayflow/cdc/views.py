@@ -23,6 +23,18 @@ table.  The state table is (windows × keys) partial sums — tiny by
 the nature of an aggregate view — so the fold is a driver-side Arrow
 group-sum.  Only sum/count/mean/std are maintainable this way (they
 retract); min/max need a from-scratch recompute and are rejected.
+
+Two extensions beyond the windowed case:
+
+- **group-only views** (``ts_col=None``): the same delta/retraction
+  machinery maintains a plain grouped aggregate (one global window);
+- **durable state** (``state_dir=...``): every refresh checkpoints the
+  partial-sum table + ``applied_lsn`` atomically (meta json is the
+  commit point, manifest discipline) so a restarted process resumes
+  folding from the watermark instead of from scratch — the view-level
+  analogue of the lake's resumable replay.  A checkpoint is bound to
+  its view DEFINITION by a cfg hash; reusing a state_dir with a
+  different definition fails loud.
 """
 
 from __future__ import annotations
@@ -41,14 +53,19 @@ def _weighted_partials(t: pa.Table, w: int, cfg: dict) -> pa.Table:
     dict, never the view/engine objects.  Column names follow
     :func:`rayflow.ops.core.partial_table` so the view state feeds
     ``finalize_from_sums`` unchanged."""
-    t = t.filter(pc.is_valid(t[cfg["ts_col"]]))
+    if cfg["ts_col"] is not None:
+        t = t.filter(pc.is_valid(t[cfg["ts_col"]]))
     if t.num_rows == 0:
         return _empty_state(cfg)
-    us = pc.cast(pc.cast(t[cfg["ts_col"]], pa.timestamp("us")), pa.int64())
-    win = pc.multiply(
-        pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
-                                   cfg["size_us"])), pa.int64()),
-        cfg["size_us"])
+    if cfg["ts_col"] is None:        # group-only view: one global window
+        win = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+    else:
+        us = pc.cast(pc.cast(t[cfg["ts_col"]], pa.timestamp("us")),
+                     pa.int64())
+        win = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                       cfg["size_us"])), pa.int64()),
+            cfg["size_us"])
     cols: dict = {cfg["out"]: win}
     for k in cfg["keys"]:
         cols[k] = t[k]
@@ -94,17 +111,26 @@ class TumblingWindowView:
     >>> view.result()           # pa.Table: window_start, n
     """
 
-    def __init__(self, engine, log_dir: str, *, ts_col: str, size_s: float,
+    def __init__(self, engine, log_dir: str, *, ts_col: str | None = None,
+                 size_s: float | None = None,
                  keys: list[str] | None = None,
                  aggs: list[tuple[str, str | None, str]],
                  key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-                 out: str = "window_start"):
+                 out: str = "window_start",
+                 state_dir: str | None = None):
         bad = [f for f, _, _ in aggs if f not in _RETRACTABLE]
         if bad:
             raise ValueError(
                 f"TumblingWindowView: {bad} cannot be maintained "
                 "incrementally (no retraction); use sum/count/mean/std or "
                 "recompute from a snapshot")
+        if (ts_col is None) != (size_s is None):
+            raise ValueError("TumblingWindowView: pass ts_col AND size_s "
+                             "for a windowed view, or neither for a "
+                             "group-only view")
+        if ts_col is None and not keys:
+            raise ValueError("TumblingWindowView: a group-only view "
+                             "needs keys")
         self.engine = engine
         self.log_dir = log_dir
         self.aggs = list(aggs)
@@ -124,11 +150,80 @@ class TumblingWindowView:
         # state always tracks a row count so emptied groups can be dropped
         names.append("count_all")
         #: everything a worker-side partial needs — plain picklable dict
-        self.cfg = {"ts_col": ts_col, "size_us": int(size_s * 1e6),
+        self.cfg = {"ts_col": ts_col,
+                    "size_us": None if size_s is None else int(size_s * 1e6),
                     "keys": list(keys or []), "out": out,
                     "need": need, "names": names}
         self.applied_lsn = -1
         self._state: pa.Table | None = None
+        self.state_dir = state_dir
+        if state_dir is not None:
+            self._load_state()
+
+    # -- durability ----------------------------------------------------------
+
+    def _cfg_key(self) -> str:
+        import hashlib
+        import json
+
+        blob = json.dumps({"cfg": self.cfg, "aggs": self.aggs,
+                           "key_cols": self.key_cols}, sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    def _load_state(self) -> None:
+        """Resume from a persisted checkpoint, if one exists and was
+        written by a view with the IDENTICAL definition (cfg hash —
+        silently folding new deltas into a differently-shaped state
+        would corrupt the view)."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        meta_p = os.path.join(self.state_dir, "view.json")
+        if not os.path.exists(meta_p):
+            return
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if meta.get("cfg_key") != self._cfg_key():
+            raise ValueError(
+                f"view state in {self.state_dir} was written by a view "
+                "with a different definition (ts/size/keys/aggs); use a "
+                "fresh state_dir or delete the stale checkpoint")
+        self.applied_lsn = int(meta["applied_lsn"])
+        state_p = os.path.join(self.state_dir, "state.parquet")
+        self._state = pq.read_table(state_p) if os.path.exists(state_p) \
+            else None
+
+    def _persist_state(self) -> None:
+        """Checkpoint atomically: state parquet first, then the meta
+        json via write-temp + ``os.replace`` — the meta is the commit
+        point, so a crash between the two leaves the OLD checkpoint
+        fully intact (the new parquet is just an orphan overwrite
+        target).  Same discipline as the lake manifest."""
+        import json
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.state_dir, exist_ok=True)
+        state_p = os.path.join(self.state_dir, "state.parquet")
+        if self._state is not None:
+            tmp = state_p + f".tmp.{os.getpid()}"
+            pq.write_table(self._state, tmp)
+            os.replace(tmp, state_p)
+        fd, tmp = tempfile.mkstemp(dir=self.state_dir, prefix=".view.")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"applied_lsn": self.applied_lsn,
+                           "cfg_key": self._cfg_key()}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.state_dir, "view.json"))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     # -- maintenance ---------------------------------------------------------
 
@@ -203,6 +298,8 @@ class TumblingWindowView:
         else:
             self._state = _empty_state(cfg)
         self.applied_lsn = to
+        if self.state_dir is not None:
+            self._persist_state()
         return self
 
     # -- read ----------------------------------------------------------------
@@ -217,6 +314,9 @@ class TumblingWindowView:
         ren = {n: n + "_sum" for n in cfg["names"]}
         st = st.rename_columns([ren.get(c, c) for c in st.column_names])
         fin = finalize_from_sums(st, [cfg["out"]] + cfg["keys"], self.aggs)
+        if cfg["ts_col"] is None:      # group-only: drop the constant window
+            fin = fin.drop_columns([cfg["out"]])
+            return fin.sort_by([(c, "ascending") for c in cfg["keys"]])
         fin = fin.set_column(
             fin.schema.get_field_index(cfg["out"]), cfg["out"],
             pc.cast(fin[cfg["out"]], pa.timestamp("us")))

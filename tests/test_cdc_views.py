@@ -173,3 +173,78 @@ def test_view_over_tail_daemon(ray_session, tmp_path):
     t.join()
     stop.wait(0)
     assert len(seen) >= 2  # maintained through multiple arrivals
+
+
+def test_view_durable_resume(ray_session, tmp_path):
+    """A view with state_dir checkpoints every refresh; a FRESH view
+    object over the same state_dir resumes at applied_lsn and folds
+    only the remaining bands — final result equals a from-scratch
+    recompute AND a never-persisted single-shot view."""
+    log = str(tmp_path / "log")
+    generate_changelog(log, SPEC)
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=4)
+    sdir = str(tmp_path / "view_state")
+
+    eng.replay(log, max_bands=2)
+    v1 = TumblingWindowView(eng, log, ts_col="ts", size_s=SIZE_S,
+                            keys=["role"], aggs=AGGS, state_dir=sdir)
+    v1.refresh()
+    mid_lsn = v1.applied_lsn
+    del v1                                     # process restart stand-in
+
+    eng.replay(log)
+    v2 = TumblingWindowView(eng, log, ts_col="ts", size_s=SIZE_S,
+                            keys=["role"], aggs=AGGS, state_dir=sdir)
+    assert v2.applied_lsn == mid_lsn           # resumed, not from scratch
+    v2.refresh()
+    _assert_view_equal(v2, _recompute(eng))
+
+
+def test_view_state_dir_definition_mismatch(ray_session, tmp_path):
+    log = str(tmp_path / "log")
+    generate_changelog(log, SPEC)
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(log)
+    sdir = str(tmp_path / "view_state")
+    TumblingWindowView(eng, log, ts_col="ts", size_s=SIZE_S, keys=["role"],
+                       aggs=AGGS, state_dir=sdir).refresh()
+    with pytest.raises(ValueError, match="different definition"):
+        TumblingWindowView(eng, log, ts_col="ts", size_s=SIZE_S * 2,
+                           keys=["role"], aggs=AGGS, state_dir=sdir)
+
+
+def test_group_only_view_matches_recompute(ray_session, tmp_path):
+    """ts_col=None: a maintained grouped aggregate (no windows) —
+    equal to the from-scratch group-by at every commit point, through
+    updates and deletes."""
+    log = str(tmp_path / "log")
+    generate_changelog(log, SPEC)
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=4)
+    view = TumblingWindowView(eng, log, keys=["role"], aggs=AGGS)
+    for _ in range(2):
+        eng.replay(log, max_bands=2)
+        view.refresh()
+        got = view.result().to_pandas().reset_index(drop=True)
+        assert list(got.columns) == ["role", "n", "s", "m", "sd"]
+        df = eng.final_dataset().to_pandas()
+        ref = df.groupby("role", dropna=False)["turn_idx"].agg(
+            n="count", s="sum", m="mean", sd="std").reset_index() \
+            .sort_values("role").reset_index(drop=True)
+        assert got["role"].tolist() == ref["role"].tolist()
+        np.testing.assert_array_equal(got["n"].to_numpy(),
+                                      ref["n"].to_numpy())
+        for c in ("s", "m", "sd"):
+            assert np.allclose(got[c].to_numpy(float),
+                               ref[c].to_numpy(float),
+                               equal_nan=True, atol=1e-9), c
+
+
+def test_group_only_view_validation(ray_session, tmp_path):
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangeLogSpec(n_convs=5, turns_per_conv=3.0,
+                                          n_bands=1, seed=1))
+    eng = CdcEngine(str(tmp_path / "lake"), num_partitions=2)
+    with pytest.raises(ValueError, match="needs keys"):
+        TumblingWindowView(eng, log, aggs=AGGS)
+    with pytest.raises(ValueError, match="ts_col AND size_s"):
+        TumblingWindowView(eng, log, ts_col="ts", keys=["role"], aggs=AGGS)
