@@ -112,6 +112,8 @@ BENCH_QUERIES = [
                                      # list-offset binary_join shard pass
     "sft_context_pairs_transcripts",  # 3 lags of one column in ONE exchange
     "boilerplate_turns_transcripts",  # distinct-conv counts, 2-phase combine
+    "sft_corpus_transcripts",        # flagship composition: admit -> render
+                                     # -> md5 dedup -> length floor
 ]
 
 

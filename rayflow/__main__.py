@@ -61,6 +61,19 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("lake_dir")
     st.add_argument("--partitions", action="store_true",
                     help="also print the per-partition table")
+    br = sub.add_parser("branch", help="branch a lake: zero-copy clone of "
+                                       "its committed state (manifest-only, "
+                                       "no Ray session)")
+    br.add_argument("src_lake")
+    br.add_argument("dst_lake")
+    br.add_argument("--as-of", type=int, default=None,
+                    help="branch at an earlier committed watermark")
+    br.add_argument("--mode", choices=("reference", "copy"),
+                    default="reference")
+    ub = sub.add_parser("unbranch", help="release a reference branch's "
+                                         "vacuum pin on its source lake")
+    ub.add_argument("src_lake")
+    ub.add_argument("branch")
     bl = sub.add_parser(
         "blobl",
         help="one-shot Bloblang evaluator (the `benthos blobl` analogue): "
@@ -110,6 +123,20 @@ def main(argv: list[str] | None = None) -> int:
         report = lint(args.config)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
+
+    if args.cmd == "branch":
+        from rayflow.cdc import branch_lake
+
+        print(json.dumps(branch_lake(args.src_lake, args.dst_lake,
+                                     as_of_lsn=args.as_of, mode=args.mode)))
+        return 0
+
+    if args.cmd == "unbranch":
+        from rayflow.cdc import remove_branch_pin
+
+        existed = remove_branch_pin(args.src_lake, args.branch)
+        print(json.dumps({"pin_removed": existed}))
+        return 0
 
     if args.cmd == "stats":
         from rayflow.cdc import CdcEngine
