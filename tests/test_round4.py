@@ -1030,3 +1030,28 @@ def test_group_lag_offsets_validation(ray_session):
     with pytest.raises(ValueError, match="nonzero"):
         build_op({"op": "group_lag", "key_col": "k", "order_col": "o",
                   "value_cols": ["v"], "outs": ["x"], "offsets": [0]})
+
+
+def test_group_concat_zipf_hot_key(ray_session):
+    """One key holding ~50% of all rows must not blow up a single
+    group task: the shard pass concatenates ALL its keys in one
+    vectorized kernel, so the hot key costs its text bytes, not a
+    per-key task.  Output equality vs pandas on 30k rows."""
+    rng = np.random.default_rng(3)
+    n = 30_000
+    hot = rng.random(n) < 0.5
+    key = np.where(hot, 0, rng.integers(1, 500, n)).astype(np.int64)
+    order = rng.permutation(n).astype(np.int64)
+    val = np.array([f"w{i % 97}" for i in range(n)], dtype=object)
+    ds = _mk_ds({"k": key, "o": order,
+                 "v": pa.array(val.tolist(), pa.string())}, parallelism=16)
+    out = build_op({"op": "group_concat", "key_col": "k", "order_col": "o",
+                    "value_col": "v", "out": "doc", "sep": " "})(ds) \
+        .to_pandas().set_index("k")["doc"]
+    df = pd.DataFrame({"k": key, "o": order, "v": val}).sort_values("o")
+    want = df.groupby("k")["v"].agg(" ".join)
+    assert len(out) == len(want)
+    assert out.loc[0] == want.loc[0]            # the hot key, byte-exact
+    for k in (1, 17, 499):
+        if k in want.index:
+            assert out.loc[k] == want.loc[k]
