@@ -4179,18 +4179,35 @@ def chat_render_transcripts(sf_dir: str):
     line render (one Arrow join kernel) → ``group_concat`` (ONE
     coarse-sharded exchange; the whole shard concatenates all its
     conversations via list-offset ``binary_join``, no per-conversation
-    tasks or Python string loops)."""
-    tr = _events_as_transcripts(sf_dir)
-
-    def line(t: pa.Table) -> pa.Table:
-        ln = pc.binary_join_element_wise(t["role"], t["text"], ": ")
-        return pa.table({"conv_id": t["conv_id"],
-                         "turn_idx": t["turn_idx"], "line": ln})
-
-    tr = tr.map_batches(line, batch_format="pyarrow", zero_copy_batch=True)
+    tasks or Python string loops).  turn_idx is rank-of-event_id
+    within the conversation, so ordering the concat by event_id
+    DIRECTLY yields the identical document and skips the rank
+    exchange entirely — total: ONE exchange (2× at sf0.1)."""
+    tr = _transcript_lines(sf_dir)
     return build_op({"op": "group_concat", "key_col": "conv_id",
-                     "order_col": "turn_idx", "value_col": "line",
+                     "order_col": "event_id", "value_col": "line",
                      "out": "doc", "sep": "\n"})(tr)
+
+
+def _transcript_lines(sf_dir: str):
+    """(conv_id, event_id, role, line) — the rank-free transcript
+    projection for order-only consumers: turn_idx is rank of event_id
+    within the conversation, so any per-conversation ORDER BY turn_idx
+    is equivalently ORDER BY event_id, without the rank exchange."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type",
+                                  "props"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(t["user_id"], pa.string()), "")
+        ln = pc.binary_join_element_wise(t["event_type"], t["props"], ": ")
+        return pa.table({"conv_id": conv, "event_id": t["event_id"],
+                         "role": t["event_type"], "line": ln})
+
+    return ds.map_batches(shape, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 @query(
@@ -4279,10 +4296,11 @@ def role_alternation_check_transcripts(sf_dir: str):
     adjacent turns REPEAT the same role (a well-formed dialogue
     alternates).  One ``group_lag`` exchange + a vectorized compare +
     one two-phase ``group_agg`` — the repeat count and the turn count
-    come out of the same aggregation."""
-    tr = _events_as_transcripts(sf_dir)
+    come out of the same aggregation.  Lags order by event_id directly
+    (rank-free: see ``_transcript_lines``)."""
+    tr = _transcript_lines(sf_dir)
     tr = build_op({"op": "group_lag", "key_col": "conv_id",
-                   "order_col": "turn_idx", "value_col": "role",
+                   "order_col": "event_id", "value_col": "role",
                    "out": "prev"})(tr)
 
     def flag(t: pa.Table) -> pa.Table:
@@ -4329,10 +4347,10 @@ def role_transition_matrix_transcripts(sf_dir: str):
     keyed exchange on conv_id; the (from, to) aggregation is a
     two-phase combine whose key space is |roles|² — tiny — so the
     second exchange moves a few rows per block regardless of corpus
-    size."""
-    tr = _events_as_transcripts(sf_dir)
+    size.  Lags order by event_id directly (rank-free)."""
+    tr = _transcript_lines(sf_dir)
     tr = build_op({"op": "group_lag", "key_col": "conv_id",
-                   "order_col": "turn_idx", "value_col": "role",
+                   "order_col": "event_id", "value_col": "role",
                    "out": "from_role"})(tr)
     tr = build_op({"op": "filter",
                    "predicate": E.F("not_null", E.col("from_role"))})(tr)
@@ -4430,13 +4448,25 @@ def sft_corpus_transcripts(sf_dir: str):
       → length floor.
 
     Plan economics at scale: the admission aggregate's key space is
-    |conversations| (partial-combined); the admitted set broadcasts
-    (no second pass over the corpus for the semi); rendering is the
-    ONE conv_id exchange reused from turn ranking; dedup groups on the
-    16-byte md5 — never shuffling the documents twice (the doc rides
-    the same exchange as its hash, carried as min())."""
-    tr = _events_as_transcripts(sf_dir)
+    |conversations| (partial-combined); the admitted-set semi is
+    bloom-prefiltered and sharded on conv_id — the SAME key the render
+    exchange uses; rendering orders by event_id directly (rank-free,
+    see ``_transcript_lines``) so turn ranking never pays its own
+    exchange; dedup groups on the 16-byte md5 — documents shuffle once
+    (the doc rides the same exchange as its hash, carried as min())."""
+    rd = _rd()
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type",
+                                  "props", "value"])
 
+    def shape(t: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(t["user_id"], pa.string()), "")
+        ln = pc.binary_join_element_wise(t["event_type"], t["props"], ": ")
+        return pa.table({"conv_id": conv, "event_id": t["event_id"],
+                         "line": ln, "value": t["value"]})
+
+    tr = ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
     adm = build_op({"op": "group_agg", "keys": ["conv_id"],
                     "aggs": [("mean", "value", "_avg_v")]})(tr)
     adm = build_op({"op": "filter",
@@ -4444,16 +4474,8 @@ def sft_corpus_transcripts(sf_dir: str):
     kept = build_op({"op": "sharded_semi", "right": adm,
                      "on": "conv_id", "num_partitions": 4,
                      "bloom_bits_per_key": 10})(tr)
-
-    def line(t: pa.Table) -> pa.Table:
-        ln = pc.binary_join_element_wise(t["role"], t["text"], ": ")
-        return pa.table({"conv_id": t["conv_id"],
-                         "turn_idx": t["turn_idx"], "line": ln})
-
-    kept = kept.map_batches(line, batch_format="pyarrow",
-                            zero_copy_batch=True)
     docs = build_op({"op": "group_concat", "key_col": "conv_id",
-                     "order_col": "turn_idx", "value_col": "line",
+                     "order_col": "event_id", "value_col": "line",
                      "out": "doc", "sep": "\n"})(kept)
     docs = build_op({"op": "mapping",
                      "cols": {"h": E.F("hash_md5", E.col("doc"))}})(docs)
