@@ -114,6 +114,13 @@ BENCH_QUERIES = [
     "boilerplate_turns_transcripts",  # distinct-conv counts, 2-phase combine
     "sft_corpus_transcripts",        # flagship composition: admit -> render
                                      # -> md5 dedup -> length floor
+    "min_cost_supplier_q2_shape",    # TPC-H tail: argmin-rejoin (Q2),
+    "important_parts_q11_shape",     # global-fraction threshold (Q11),
+    "excess_supplier_q20_shape",     # correlated-quantity semi chain (Q20)
+    "pivot_returnflag_revenue",      # reshape plane: declared-domain pivot,
+    "rollup_status_priority",        # ROLLUP re-aggregating the aggregate
+    "c4_clean_docs",                 # C4 line/page cleaning, zero exchange
+    "fuzzy_name_pairs",              # exact edit-distance pairs, banded DP
 ]
 
 

@@ -800,3 +800,152 @@ def build_log_stage(*, name: str = "stage", sample: int = 3):
         return ds.map_batches(fn, **_PA_KW)
 
     return apply
+
+
+@register_op("pivot")
+def build_pivot(*, keys: list[str], pivot_col: str, value_col: str,
+                values: list, agg: str = "sum",
+                name_prefix: str = ""):
+    """Long→wide pivot (the reference's ``group_by_value`` + per-group
+    mapping fan-out, reshaped as a single grouped aggregate).
+
+    ``values`` is the EXPLICIT pivot domain — at 100 TB a
+    discover-the-distincts pass is its own query, and a stable output
+    schema is a requirement for downstream stages, so the caller names
+    the columns.  Each pivot value becomes one conditional column
+    (``if_else(pivot==v, value, 0)``), computed vectorized inside the
+    map stage, and ALL columns then ride the SAME two-phase
+    ``group_agg`` — one keyed exchange total, identical cost to a
+    plain grouped aggregate with ``len(values)`` measures.
+
+    ``agg`` ∈ sum/count/min/max/mean.  count counts matching rows
+    (``sum`` of 0/1); min/max of non-matching rows are null-ignoring
+    (matches SQL ``min(CASE WHEN ... END)``)."""
+    if agg not in ("sum", "count", "min", "max", "mean"):
+        raise ValueError(f"pivot: agg must be sum/count/min/max/mean, "
+                         f"got {agg!r}")
+
+    def col_name(v) -> str:
+        return f"{name_prefix}{v}"
+
+    cols: dict[str, E.Expr] = {}
+    for v in values:
+        cond = E.col(pivot_col) == E.lit(v)
+        if agg == "count":
+            cols[col_name(v)] = E.when(cond, E.lit(1), E.lit(0))
+        elif agg in ("min", "max", "mean"):
+            # null out non-matching rows so min/max/mean ignore them,
+            # exactly like SQL's CASE WHEN without ELSE
+            cols[col_name(v)] = E.when(cond, E.col(value_col),
+                                       E.lit(None))
+        else:
+            cols[col_name(v)] = E.when(cond, E.col(value_col), E.lit(0.0))
+    agg_fn = "sum" if agg == "count" else agg
+    aggs = [(agg_fn, col_name(v), col_name(v)) for v in values]
+
+    from rayflow.ops import build_op
+
+    def apply(ds):
+        ds = build_op({"op": "mapping", "cols": cols,
+                       "select": keys + [col_name(v) for v in values]})(ds)
+        return build_op({"op": "group_agg", "keys": keys,
+                         "aggs": aggs})(ds)
+
+    return apply
+
+
+@register_op("unpivot")
+def build_unpivot(*, keys: list[str], value_cols: list[str],
+                  var_name: str = "variable", value_name: str = "value"):
+    """Wide→long melt (``unarchive`` on a struct-of-measures, in
+    reference terms).  Entirely row-local: each Arrow batch emits
+    ``len(value_cols)`` stacked slices — key columns are repeated by
+    zero-copy take, the variable column is a dictionary-encoded
+    constant run per slice.  NO exchange; block sizes grow by the
+    melt factor, which the streaming executor re-splits downstream."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            vals = pc.cast(t.column(c), pa.float64())
+            cols = {k: t.column(k) for k in keys}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = vals
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces) if pieces else pa.table(
+            {k: t.column(k).slice(0, 0) for k in keys})
+
+    def apply(ds):
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply
+
+
+@register_op("group_rollup")
+def build_group_rollup(*, keys: list[str],
+                       aggs: list[tuple[str, str | None, str]],
+                       partial_limit: int = 2_000_000):
+    """Hierarchical grouping-sets aggregate (SQL ``GROUP BY ROLLUP``):
+    one row set per prefix of ``keys`` — (a,b), (a), and the grand
+    total for ``keys=[a,b]`` — with rolled-up key columns null, SQL
+    style.
+
+    Scale plan: the FACT is aggregated exactly once (the finest-level
+    two-phase ``group_agg``); every coarser level re-aggregates the
+    finest AGGREGATE (group-cardinality-sized, orders of magnitude
+    smaller than the fact).  sum/count re-aggregate as sums, min/max
+    as min/max — so no second pass over raw rows, and the exchanges
+    above level 0 move aggregate rows only.  ``mean``/``std`` are
+    rejected (not re-aggregable from finished values; carry sum+count
+    yourself and divide)."""
+    for f, _, _ in aggs:
+        if f not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"group_rollup: agg {f!r} is not re-aggregable from the "
+                "finest level — use sum/count/min/max (for mean, carry "
+                "sum and count and divide downstream)")
+
+    from rayflow.ops import build_op
+
+    # coarser levels re-aggregate the finest: count→sum, sum→sum,
+    # min→min, max→max, all keyed on the finished alias
+    re_aggs = [("sum" if f in ("count", "sum") else f, alias, alias)
+               for f, _, alias in aggs]
+    alias_cols = [alias for _, _, alias in aggs]
+
+    def apply(ds):
+        finest = build_op({"op": "group_agg", "keys": keys, "aggs": aggs,
+                           "partial_limit": partial_limit})(ds).materialize()
+        sch = finest.schema()
+        key_types = {n: ty for n, ty in zip(sch.names, sch.types)
+                     if n in keys}
+
+        def null_fill(level_ds, present: list[str]):
+            # add the rolled-up key columns as typed nulls (original
+            # key types) so every level unions under one schema
+            absent = [k for k in keys if k not in present]
+
+            def fn(t: pa.Table) -> pa.Table:
+                out = {k: t.column(k) for k in present}
+                for k in absent:
+                    out[k] = pa.nulls(t.num_rows, key_types[k])
+                for a in alias_cols:
+                    out[a] = t.column(a)
+                return pa.table(
+                    {k: out[k] for k in keys + alias_cols})
+
+            return level_ds.map_batches(fn, **_PA_KW)
+
+        levels = [null_fill(finest, keys)]
+        for n in range(len(keys) - 1, -1, -1):
+            prefix = keys[:n]
+            lvl = build_op({"op": "group_agg", "keys": prefix,
+                            "aggs": re_aggs,
+                            "partial_limit": partial_limit})(finest)
+            levels.append(null_fill(lvl, prefix))
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.union(lvl)
+        return out
+
+    return apply

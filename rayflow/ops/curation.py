@@ -709,3 +709,88 @@ def build_pack_chunks(*, size_col: str, capacity: int, order_col: str,
             per_bucket, batch_format="pandas")
 
     return apply
+
+
+@register_op("c4_line_filter")
+def build_c4_line_filter(*, column: str = "text",
+                         min_words: int = 3,
+                         require_terminal_punct: bool = True,
+                         banned_line_words: tuple = ("javascript",),
+                         banned_doc_substrings: tuple = ("lorem ipsum", "{"),
+                         min_kept_lines: int = 1,
+                         keep_stats: bool = True):
+    """C4-style line/page cleaning (Raffel et al. 2020, §2.2 "Colossal
+    Clean Crawled Corpus" heuristics): keep lines that end in terminal
+    punctuation and have ≥ ``min_words`` words, drop lines mentioning
+    a banned word (default "javascript", case-insensitive); drop WHOLE
+    docs containing a banned substring (default "lorem ipsum", "{") or
+    retaining fewer than ``min_kept_lines`` lines.  Docs are rebuilt
+    from the surviving lines in order.
+
+    Entirely row-local — one ``map_batches``, ZERO exchange: the line
+    split, every per-line predicate, and the doc rebuild all run as
+    Arrow kernels on the flattened line array (list offsets → flat
+    mask → rebuilt list via adjusted offsets → ``pc.binary_join``).
+    No Python touches a row."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t.column(column), pa.string()), "")
+        low = pc.utf8_lower(txt)
+        doc_ok = np.ones(t.num_rows, dtype=bool)
+        for sub in banned_doc_substrings:
+            doc_ok &= np.invert(
+                pc.match_substring(low, sub).to_numpy(zero_copy_only=False))
+
+        lines = pc.split_pattern(txt, "\n")
+        lines = lines.combine_chunks() if isinstance(
+            lines, pa.ChunkedArray) else lines
+        flat = pc.list_flatten(lines)
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+        keep = np.ones(len(flat), dtype=bool)
+        if require_terminal_punct:
+            rt = pc.utf8_rtrim_whitespace(flat)
+            keep &= pc.match_substring_regex(rt, r'[.!?"]$') \
+                .to_numpy(zero_copy_only=False)
+        if min_words > 0:
+            nw = pc.count_substring_regex(flat, r"\S+") \
+                .to_numpy(zero_copy_only=False)
+            keep &= nw >= min_words
+        if banned_line_words:
+            fl = pc.utf8_lower(flat)
+            for w in banned_line_words:
+                keep &= np.invert(
+                    pc.match_substring(fl, w).to_numpy(zero_copy_only=False))
+
+        # rebuild per-doc lists from the kept flat lines: new offsets =
+        # prefix sum of per-doc kept counts (vectorized via reduceat)
+        doc_idx = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kept_per_doc = np.zeros(t.num_rows, dtype=np.int64)
+        if len(doc_idx):
+            np.add.at(kept_per_doc, doc_idx, keep.astype(np.int64))
+        new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_flat = flat.filter(pa.array(keep))
+        rebuilt_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_flat)
+        rebuilt = pc.binary_join(rebuilt_list, "\n")
+
+        doc_ok &= kept_per_doc >= min_kept_lines
+        mask = pa.array(doc_ok)
+        cols = {n: t.column(n) for n in t.column_names if n != column}
+        cols[column] = rebuilt
+        out = pa.table(cols).filter(mask)
+        if keep_stats:
+            out = out.append_column(
+                "n_lines_kept",
+                pa.array(kept_per_doc, pa.int64()).filter(mask)) \
+                .append_column(
+                "n_lines_dropped",
+                pa.array(n_lines - kept_per_doc, pa.int64()).filter(mask))
+        return out
+
+    def apply(ds):
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply

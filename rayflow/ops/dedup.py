@@ -1739,3 +1739,144 @@ def build_paragraph_dedup(*, id_col: str = "doc_id", text_col: str = "text",
             .groupby("_pd_shard").map_groups(rebuild, batch_format="pandas")
 
     return apply
+
+
+def _lev_dp_batch(A: np.ndarray, B: np.ndarray, la: np.ndarray,
+                  lb: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs at once.
+
+    ``A``/``B`` are (P, L) int32 codepoint matrices padded with -1/-2
+    (distinct pads so padding never matches), ``la``/``lb`` the true
+    lengths.  Classic row DP vectorized across pairs; the in-row
+    insertion recurrence (a left-to-right scan) is closed with the
+    min-plus prefix trick: cur[j] = min_{j'<=j} (base[j'] + (j - j'))
+    = accumulate-min(base - j') + j, so every step is a whole-matrix
+    numpy kernel — no per-pair Python."""
+    P, L = A.shape
+    idx = np.arange(L + 1, dtype=np.int32)
+    prev = np.broadcast_to(idx, (P, L + 1)).astype(np.int32)
+    res = np.zeros(P, dtype=np.int64)
+    done = la == 0
+    res[done] = lb[done]
+    base = np.empty((P, L + 1), dtype=np.int32)
+    for i in range(1, int(la.max(initial=0)) + 1):
+        sub = (A[:, i - 1][:, None] != B).astype(np.int32)
+        base[:, 0] = i
+        base[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub)
+        cur = np.minimum.accumulate(base - idx, axis=1) + idx
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+@register_op("levenshtein_pairs")
+def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
+                            distinct: bool = True,
+                            hot_bucket_limit: int = 5_000,
+                            pair_chunk: int = 8_192):
+    """Exact edit-distance near-duplicate pairs over a SHORT string
+    column (names, titles, codes): every unordered pair with
+    ``levenshtein ≤ k``, emitted as (s_a < s_b, dist).  A distance
+    modality the sketch family can't express — catches typo-level
+    variants that shingle/minhash miss on short fields.
+
+    EXACT recall by length banding: ``|len(a) − len(b)| ≤ dist``, so
+    with band width ``k+1`` a qualifying pair's length buckets differ
+    by at most one — each string is emitted to its own band and the
+    next (replica flag), candidate pairs form ONLY inside one band
+    group, and the "not both replicas" rule places every pair in
+    exactly one group (no cross-group dedupe pass needed).  ONE keyed
+    exchange on the band; in-group work is a numpy length-window
+    filter plus the chunked vectorized DP kernel above.  Strings past
+    ``max_len`` fail loud — the O(L²) DP is for short fields; use the
+    shingle ops for documents."""
+    from rayflow.ops import build_op
+
+    band_w = k + 1
+
+    def apply(ds):
+        if distinct:
+            ds = build_op({"op": "group_agg", "keys": [col],
+                           "aggs": [("count", None, "_n")]})(ds)
+
+        def replicate(t: pa.Table) -> pa.Table:
+            s = pc.cast(t.column(col), pa.string())
+            ln = pc.utf8_length(s).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ln) and ln.max() > max_len:
+                raise ValueError(
+                    f"levenshtein_pairs: string longer than max_len="
+                    f"{max_len} — this op is for short fields; use the "
+                    "shingle/minhash ops for documents")
+            band = ln // band_w
+            s2 = pa.concat_arrays([s.combine_chunks() if isinstance(
+                s, pa.ChunkedArray) else s] * 2)
+            return pa.table({
+                "s": s2,
+                "len": pa.array(np.concatenate([ln, ln]), pa.int64()),
+                "band": pa.array(np.concatenate([band, band + 1]),
+                                 pa.int64()),
+                "replica": pa.array(
+                    np.concatenate([np.zeros(len(ln), np.int8),
+                                    np.ones(len(ln), np.int8)])),
+            })
+
+        def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "s_a": pd.Series([], dtype=object),
+                "s_b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype=np.int64)})
+            n = len(g)
+            if n < 2:
+                return empty
+            if n > hot_bucket_limit:
+                raise ValueError(
+                    f"levenshtein_pairs: {n} strings share one length "
+                    f"band (> hot_bucket_limit={hot_bucket_limit}) — "
+                    "the quadratic candidate set would explode; raise "
+                    "the limit or pre-block (e.g. by first character)")
+            order = np.argsort(g["len"].to_numpy(), kind="stable")
+            s = g["s"].to_numpy()[order]
+            ln = g["len"].to_numpy()[order]
+            rep = g["replica"].to_numpy()[order]
+            i, j = np.triu_indices(n, k=1)
+            keep = ((ln[j] - ln[i]) <= k) & ~(rep[i].astype(bool)
+                                              & rep[j].astype(bool)) \
+                & (s[i] != s[j])
+            i, j = i[keep], j[keep]
+            if not len(i):
+                return empty
+            # codepoint matrices once per group; distinct pads so
+            # padding never equality-matches across the two sides
+            L = int(ln.max())
+            codes = np.full((n, L), -1, dtype=np.int32)
+            for r, st in enumerate(s):
+                codes[r, :ln[r]] = np.frombuffer(
+                    st.encode("utf-32-le"), dtype=np.uint32)[:ln[r]]
+            codes_b = np.where(codes == -1, -2, codes)
+            outs = []
+            for lo in range(0, len(i), pair_chunk):
+                ii = i[lo:lo + pair_chunk]
+                jj = j[lo:lo + pair_chunk]
+                d = _lev_dp_batch(codes[ii], codes_b[jj], ln[ii], ln[jj])
+                m = d <= k
+                outs.append((s[ii][m], s[jj][m], d[m]))
+            a = np.concatenate([o[0] for o in outs])
+            b = np.concatenate([o[1] for o in outs])
+            d = np.concatenate([o[2] for o in outs])
+            if not len(a):
+                return empty
+            lo_s = np.minimum(a, b)
+            hi_s = np.maximum(a, b)
+            return pd.DataFrame({"s_a": lo_s, "s_b": hi_s, "dist": d})
+
+        from rayflow.ops import prefer_push_shuffle
+
+        prefer_push_shuffle()
+        reps = ds.map_batches(replicate, **_PA_KW)
+        return reps.groupby("band").map_groups(band_pairs,
+                                               batch_format="pandas")
+
+    return apply

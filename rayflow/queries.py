@@ -3444,6 +3444,459 @@ def waiting_supplier_q21_shape(sf_dir: str):
     return out
 
 
+@query(
+    "min_cost_supplier_q2_shape",
+    """
+    WITH sel AS (
+      SELECT p_partkey, p_name FROM part WHERE p_size <= 10
+    ), assoc AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM sel)
+      GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), costs AS (
+      SELECT a.l_partkey AS p_partkey, a.unit_cost,
+             e.s_name, e.s_acctbal, e.n_name
+      FROM assoc a JOIN eur e ON a.l_suppkey = e.s_suppkey
+    ), mins AS (
+      SELECT p_partkey, min(unit_cost) AS min_cost
+      FROM costs GROUP BY p_partkey
+    )
+    SELECT round(c.s_acctbal, 4) AS s_acctbal, c.s_name, c.n_name,
+           c.p_partkey, s.p_name, round(c.unit_cost, 4) AS unit_cost
+    FROM costs c
+    JOIN mins m ON c.p_partkey = m.p_partkey AND c.unit_cost = m.min_cost
+    JOIN sel s ON s.p_partkey = c.p_partkey
+    """,
+)
+def min_cost_supplier_q2_shape(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier per part, ties kept; the
+    testdata has no ``partsupp``, so lineitem plays the part↔supplier
+    association with unit price ``l_extendedprice / l_quantity`` as the
+    cost — the oracle mirrors exactly).  The correlated
+    ``= (SELECT min ...)`` subquery becomes an aggregate + argmin
+    rejoin: the per-part min is computed over region suppliers only,
+    then equality-joined back so ALL tied minimum rows survive (exact
+    double compare — both engines derive the min from the identical
+    IEEE division results, so the equality is deterministic).
+
+    Scale plan: the part-size filter semi-prunes the fact FIRST (the
+    per-(part, supplier) min is unaffected by restricting parts), so
+    the only exchange — the two-phase (l_partkey, l_suppkey) min — and
+    everything after it runs on the selected slice.  supplier⋈nation⋈
+    region collapses driver-side (dim-sized) and broadcasts; ``mins``
+    is one row per selected part (dimension-sized), broadcast back for
+    the argmin equality instead of a second exchange.  At 100 TB the
+    same plan holds with ``mins`` partitioned by the SAME part key as
+    ``costs`` — the rejoin co-locates, no extra shuffle.
+    ⟨upstream: TPC-H spec Q2⟩"""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_size"])
+    sel = part.filter(pc.less_equal(part["p_size"], 10)) \
+        .select(["p_partkey", "p_name"])
+
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name", "s_nationkey",
+                                  "s_acctbal"])
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(_t(sf_dir, "region"),
+                           columns=["r_regionkey", "r_name"])
+    region = region.filter(pc.equal(region["r_name"], "EUROPE"))
+    eur = supp.join(nation.join(region, keys=["n_regionkey"],
+                                right_keys=["r_regionkey"],
+                                join_type="inner"),
+                    keys=["s_nationkey"], right_keys=["n_nationkey"],
+                    join_type="inner") \
+        .select(["s_suppkey", "s_name", "s_acctbal", "n_name"])
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_quantity"])
+    li = build_op({"op": "broadcast_semi",
+                   "keys_ref": sel["p_partkey"].to_pylist(),
+                   "on": "l_partkey"})(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"unit_cost": E.col("l_extendedprice")
+                 / E.col("l_quantity")},
+        "select": ["l_partkey", "l_suppkey", "unit_cost"],
+    })(li)
+    assoc = build_op({
+        "op": "group_agg", "keys": ["l_partkey", "l_suppkey"],
+        "aggs": [("min", "unit_cost", "unit_cost")],
+    })(li)
+    costs = build_op({"op": "broadcast_join", "small": eur, "how": "inner",
+                      "on": ["l_suppkey"], "right_on": ["s_suppkey"]})(assoc)
+    costs = costs.materialize()
+    mins = build_op({
+        "op": "group_agg", "keys": ["l_partkey"],
+        "aggs": [("min", "unit_cost", "min_cost")],
+    })(costs)
+    mins_tbl = pa.concat_tables(
+        [pa.table(b) for b in mins.iter_batches(batch_format="pyarrow")]) \
+        .rename_columns(["m_partkey", "min_cost"])
+    out = build_op({"op": "broadcast_join", "small": mins_tbl,
+                    "how": "inner", "on": ["l_partkey"],
+                    "right_on": ["m_partkey"]})(costs)
+    out = build_op({
+        "op": "filter",
+        "predicate": E.col("unit_cost") == E.col("min_cost"),
+    })(out)
+    out = build_op({"op": "broadcast_join", "small": sel, "how": "inner",
+                    "on": ["l_partkey"], "right_on": ["p_partkey"]})(out)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"p_partkey": E.col("l_partkey")},
+        "select": ["s_acctbal", "s_name", "n_name", "p_partkey",
+                   "p_name", "unit_cost"],
+    })(out)
+    return _round_cols(out, ["s_acctbal", "unit_cost"])
+
+
+@query(
+    "important_parts_q11_shape",
+    """
+    WITH agg AS (
+      SELECT l_partkey, sum(l_extendedprice) AS value
+      FROM lineitem
+      WHERE l_suppkey IN
+            (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, round(value, 4) AS value
+    FROM agg
+    WHERE value > (SELECT sum(value) * 0.0012 FROM agg)
+    """,
+)
+def important_parts_q11_shape(sf_dir: str):
+    """TPC-H Q11 shape (parts holding a significant fraction of total
+    value; no ``partsupp``, so value = summed extended price of the
+    nation-group's shipments — the oracle mirrors exactly).  The
+    correlated global-fraction HAVING becomes: per-part two-phase sum,
+    then ONE scalar (the global total) reduced from the aggregate and
+    applied as a broadcast threshold filter.
+
+    Scale plan: the nation's supplier keys are dim-sized → broadcast
+    semi-prune before anything moves; one part-keyed two-phase
+    exchange builds ``agg``; the global total is a keyless aggregate
+    over the already-aggregated (part-sized) table — driver pulls ONE
+    number, the filter runs where the data sits.  The aggregate is
+    materialized once and reused for both the total and the filter
+    (no second pass over the fact).  ⟨upstream: TPC-H spec Q11⟩"""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    keys = supp.filter(pc.less(supp["s_nationkey"], 5))["s_suppkey"]
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+    li = build_op({"op": "broadcast_semi", "keys_ref": keys.to_pylist(),
+                   "on": "l_suppkey"})(li)
+    agg = build_op({
+        "op": "group_agg", "keys": ["l_partkey"],
+        "aggs": [("sum", "l_extendedprice", "value")],
+    })(li).materialize()
+    total = build_op({
+        "op": "group_agg", "keys": [],
+        "aggs": [("sum", "value", "total")],
+    })(agg)
+    thresh = next(iter(total.iter_batches(batch_format="pyarrow")))[
+        "total"][0].as_py() * 0.0012
+    out = build_op({
+        "op": "filter", "predicate": E.col("value") > E.lit(thresh),
+    })(agg)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"ps_partkey": E.col("l_partkey")},
+        "select": ["ps_partkey", "value"],
+    })(out)
+    return _round_cols(out, ["value"])
+
+
+@query(
+    "excess_supplier_q20_shape",
+    """
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+                      THEN l_quantity ELSE 0 END) AS qty_y,
+             sum(l_quantity) AS qty_all
+      FROM lineitem
+      WHERE l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_name, n_name AS nation
+    FROM q
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE qty_y > 0.5 * qty_all
+    """,
+)
+def excess_supplier_q20_shape(sf_dir: str):
+    """TPC-H Q20 shape (suppliers with excess volume on selected
+    parts): the nested correlated ``ps_availqty > 0.5 * sum(...)``
+    chain — the testdata has no ``partsupp``/availqty, so the
+    correlated threshold becomes "shipped more than half of the part's
+    lifetime volume in one year", computed from the SAME grouped pass
+    (conditional partial sum beside the total, no second scan; the
+    oracle mirrors exactly).
+
+    Scale plan: the part-name filter semi-prunes the fact first; ONE
+    (part, supplier)-keyed two-phase exchange carries BOTH the
+    conditional-year sum and the lifetime sum as twin partials; the
+    threshold filter is vectorized on the aggregate; supplier/nation
+    names broadcast onto the surviving pairs and the final DISTINCT is
+    a dim-sized two-phase aggregate.  ⟨upstream: TPC-H spec Q20⟩"""
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"])
+    keys = part.filter(
+        pc.match_substring(part["p_name"], "bolt"))["p_partkey"]
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey", "l_quantity",
+                                  "l_shipdate"])
+    li = build_op({"op": "broadcast_semi", "keys_ref": keys.to_pylist(),
+                   "on": "l_partkey"})(li)
+    li = build_op({
+        "op": "mapping",
+        "cols": {"qty_y": E.when(
+            E.F("year", E.col("l_shipdate")) == E.lit(1996),
+            E.col("l_quantity"), E.lit(0.0))},
+        "select": ["l_partkey", "l_suppkey", "qty_y", "l_quantity"],
+    })(li)
+    q = build_op({
+        "op": "group_agg", "keys": ["l_partkey", "l_suppkey"],
+        "aggs": [("sum", "qty_y", "qty_y"),
+                 ("sum", "l_quantity", "qty_all")],
+    })(li)
+    q = build_op({
+        "op": "filter",
+        "predicate": E.col("qty_y") > E.lit(0.5) * E.col("qty_all"),
+    })(q)
+    supp = pq.read_table(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    supp_nat = supp.join(nation, keys=["s_nationkey"],
+                         right_keys=["n_nationkey"]) \
+        .select(["s_suppkey", "s_name", "n_name"]) \
+        .rename_columns(["s_suppkey", "s_name", "nation"])
+    q = build_op({"op": "broadcast_join", "small": supp_nat,
+                  "how": "inner", "on": ["l_suppkey"],
+                  "right_on": ["s_suppkey"]})(q)
+    out = build_op({
+        "op": "group_agg", "keys": ["s_name", "nation"],
+        "aggs": [("count", None, "_c")],
+    })(q)
+    return out.select_columns(["s_name", "nation"])
+
+
+@query(
+    "pivot_returnflag_revenue",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END), 4) AS rev_A,
+           round(sum(CASE WHEN l_returnflag = 'N'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END), 4) AS rev_N,
+           round(sum(CASE WHEN l_returnflag = 'R'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END), 4) AS rev_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag_revenue(sf_dir: str):
+    """Long→wide ``pivot`` over the fact table: revenue by line status,
+    one column per return flag.  The pivot domain is declared (stable
+    output schema — no discovery pass), the conditional columns are
+    built vectorized in the map stage, and all three measures ride ONE
+    two-phase keyed aggregate."""
+    rd = _rd()
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_linestatus", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+    li = build_op({
+        "op": "mapping",
+        "cols": {"rev": E.col("l_extendedprice")
+                 * (E.lit(1.0) - E.col("l_discount"))},
+        "select": ["l_linestatus", "l_returnflag", "rev"],
+    })(li)
+    out = build_op({
+        "op": "pivot", "keys": ["l_linestatus"],
+        "pivot_col": "l_returnflag", "value_col": "rev",
+        "values": ["A", "N", "R"], "agg": "sum", "name_prefix": "rev_",
+    })(li)
+    return _round_cols(out, ["rev_A", "rev_N", "rev_R"])
+
+
+@query(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'p_retailprice' AS variable,
+           round(CAST(p_retailprice AS DOUBLE), 4) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', round(CAST(p_size AS DOUBLE), 4)
+    FROM part
+    """,
+)
+def unpivot_part_measures(sf_dir: str):
+    """Wide→long ``unpivot`` (melt): part measures stacked into
+    (variable, value) rows.  Entirely row-local — zero exchange; the
+    melt factor only grows block sizes, which the streaming executor
+    re-splits."""
+    rd = _rd()
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_retailprice",
+                                    "p_size"])
+    out = build_op({
+        "op": "unpivot", "keys": ["p_partkey"],
+        "value_cols": ["p_retailprice", "p_size"],
+        "var_name": "variable", "value_name": "value",
+    })(part)
+    return _round_cols(out, ["value"])
+
+
+@query(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(sf_dir: str):
+    """SQL ``GROUP BY ROLLUP`` as the ``group_rollup`` op: subtotal
+    rows per key-prefix level plus the grand total, rolled-up keys
+    null.  The fact is aggregated ONCE (finest two-phase exchange);
+    every coarser level re-aggregates the finished aggregate —
+    group-cardinality-sized inputs, never a second fact pass."""
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderstatus", "o_orderpriority",
+                                      "o_totalprice"])
+    out = build_op({
+        "op": "group_rollup",
+        "keys": ["o_orderstatus", "o_orderpriority"],
+        "aggs": [("count", None, "n_orders"),
+                 ("sum", "o_totalprice", "total_price")],
+    })(orders)
+    return _round_cols(out, ["total_price"])
+
+
+@query(
+    "c4_clean_docs",
+    """
+    WITH seg AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(coalesce(text, ''),
+                     ' window ', chr(10) || chr(10)),
+                     ' batch ', chr(10)),
+                     'table', 'table.'),
+                     'row', 'row.') AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS ord
+      FROM seg
+    ), k AS (
+      SELECT doc_id, line, ord,
+             regexp_matches(rtrim(line), '[.!?"]$')
+             AND length(regexp_extract_all(line, '\\S+')) >= 3
+             AND NOT contains(lower(line), 'spark') AS keep
+      FROM k_src
+    ), d AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tot,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept,
+             string_agg(CASE WHEN keep THEN line END, chr(10)
+                        ORDER BY ord) AS text
+      FROM k GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.text, d.n_lines_kept,
+           d.n_tot - d.n_lines_kept AS n_lines_dropped
+    FROM seg s JOIN d USING (doc_id)
+    WHERE NOT contains(lower(s.text), 'slow fast')
+      AND d.n_lines_kept >= 1
+    """.replace("FROM k_src", "FROM l"),
+)
+def c4_clean_docs(sf_dir: str):
+    """C4-style cleaning (Raffel et al. 2020 §2.2) over the
+    segmentized corpus, deterministically punctuated (both sides apply
+    the identical ``table``→``table.`` / ``row``→``row.`` rewrite so
+    the terminal-punctuation rule is actually exercised): keep lines
+    ending in terminal punctuation with ≥3 words and no banned word,
+    drop docs containing a banned substring or retaining no lines,
+    rebuild the survivors in order.  ONE zero-exchange map stage —
+    split, predicates, and rebuild are all flat-line Arrow kernels."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    ds = _segmentize(ds)
+    ds = build_op({
+        "op": "mapping",
+        "cols": {"text": E.F(
+            "replace_all",
+            E.F("replace_all", E.col("text"),
+                E.lit("table"), E.lit("table.")),
+            E.lit("row"), E.lit("row."))},
+        "select": ["doc_id", "text"],
+    })(ds)
+    ds = build_op({
+        "op": "c4_line_filter", "column": "text", "min_words": 3,
+        "require_terminal_punct": True,
+        "banned_line_words": ("spark",),
+        "banned_doc_substrings": ("slow fast",),
+        "min_kept_lines": 1,
+    })(ds)
+    return ds.select_columns(["doc_id", "text", "n_lines_kept",
+                              "n_lines_dropped"])
+
+
+@query(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS s FROM part)
+    SELECT a.s AS s_a, b.s AS s_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.s < b.s
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def fuzzy_name_pairs(sf_dir: str):
+    """Exact edit-distance near-dup pairs over the part-name field
+    (``levenshtein_pairs``): typo-level variants the shingle/sketch
+    dedup family cannot see on short strings.  Length-banded blocking
+    (exact — |len diff| ≤ dist), one keyed exchange, chunked
+    vectorized DP in-group.  The oracle is the literal definition via
+    DuckDB's ``levenshtein``."""
+    part = _rd().read_parquet(_t(sf_dir, "part"), columns=["p_name"])
+    out = build_op({"op": "levenshtein_pairs", "col": "p_name",
+                    "k": 2})(part)
+    return out.select_columns(["s_a", "s_b", "dist"])
+
+
 # the synthetic documents are single-line; derive a deterministic
 # multi-line / multi-paragraph corpus (word 'batch' → newline, word
 # 'window' → blank line) so the line/paragraph ops are actually

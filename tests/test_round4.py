@@ -1055,3 +1055,177 @@ def test_group_concat_zipf_hot_key(ray_session):
     for k in (1, 17, 499):
         if k in want.index:
             assert out.loc[k] == want.loc[k]
+
+
+# ---------------------------------------------------------------- reshape ops
+
+
+def _ds_from_pandas(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_pivot_matches_duckdb_case_when(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "p": rng.choice(["a", "b", "c"], 300),
+        "v": rng.normal(size=300).round(3),
+    })
+    out = build_op({
+        "op": "pivot", "keys": ["k"], "pivot_col": "p", "value_col": "v",
+        "values": ["a", "b", "c"], "agg": "sum",
+    })(_ds_from_pandas(df)).to_pandas().sort_values("k").reset_index(drop=True)
+    ora = duckdb.connect().execute("""
+        SELECT k,
+               sum(CASE WHEN p='a' THEN v ELSE 0 END) AS a,
+               sum(CASE WHEN p='b' THEN v ELSE 0 END) AS b,
+               sum(CASE WHEN p='c' THEN v ELSE 0 END) AS c
+        FROM df GROUP BY k ORDER BY k
+    """).fetchdf()
+    pd.testing.assert_frame_equal(out[["k", "a", "b", "c"]], ora,
+                                  check_dtype=False, atol=1e-9)
+
+
+def test_pivot_min_ignores_nonmatching(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 2], "p": ["a", "b", "a"],
+                       "v": [5.0, 1.0, 7.0]})
+    out = build_op({
+        "op": "pivot", "keys": ["k"], "pivot_col": "p", "value_col": "v",
+        "values": ["a", "b"], "agg": "min",
+    })(_ds_from_pandas(df)).to_pandas().sort_values("k").reset_index(drop=True)
+    # min over the non-matching flag must be null, never 0
+    assert out.loc[out.k == 2, "b"].isna().all()
+    assert out.loc[out.k == 1, "a"].iloc[0] == 5.0
+
+
+def test_pivot_rejects_bad_agg():
+    with pytest.raises(ValueError, match="agg must be"):
+        build_op({"op": "pivot", "keys": ["k"], "pivot_col": "p",
+                  "value_col": "v", "values": ["a"], "agg": "median"})
+
+
+def test_unpivot_roundtrip(ray_session):
+    df = pd.DataFrame({"id": [1, 2, 3], "x": [1.5, 2.5, 3.5],
+                       "y": [10, 20, 30]})
+    out = build_op({
+        "op": "unpivot", "keys": ["id"], "value_cols": ["x", "y"],
+    })(_ds_from_pandas(df)).to_pandas()
+    assert len(out) == 6
+    assert set(out.variable) == {"x", "y"}
+    wide = out.pivot(index="id", columns="variable", values="value")
+    assert (wide["x"].values == df.set_index("id")["x"].values).all()
+    assert (wide["y"].values == df.set_index("id")["y"].astype(float).values).all()
+
+
+def test_group_rollup_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 200),
+        "b": rng.choice(["p", "q", "r"], 200),
+        "v": rng.normal(size=200).round(3),
+    })
+    out = build_op({
+        "op": "group_rollup", "keys": ["a", "b"],
+        "aggs": [("count", None, "n"), ("sum", "v", "s")],
+    })(_ds_from_pandas(df)).to_pandas()
+    ora = duckdb.connect().execute("""
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n, sum(v) AS s
+        FROM df GROUP BY ROLLUP(a, b)
+    """).fetchdf()
+    key = ["a", "b"]
+    out_s = out.sort_values(key, na_position="last").reset_index(drop=True)
+    ora_s = ora.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(out_s) == len(ora_s)
+    assert (out_s["n"].values == ora_s["n"].values).all()
+    np.testing.assert_allclose(out_s["s"].values, ora_s["s"].values,
+                               atol=1e-9)
+
+
+def test_group_rollup_rejects_mean():
+    with pytest.raises(ValueError, match="not re-aggregable"):
+        build_op({"op": "group_rollup", "keys": ["a"],
+                  "aggs": [("mean", "v", "m")]})
+
+
+def test_c4_line_filter_basics(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "Good line with punctuation.\nshort.\nno terminal punct here",
+            "contains javascript somewhere.\nAnother fine line here.",
+            "this doc mentions lorem ipsum badly.\nGood line here though.",
+            "every line fails",
+        ],
+    })
+    out = build_op({"op": "c4_line_filter", "column": "text",
+                    "min_words": 3})(_ds_from_pandas(df)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 1: only line 1 survives (line 2 <3 words, line 3 no punct)
+    # doc 2: javascript line dropped, second line kept
+    # doc 3: whole doc banned (lorem ipsum)
+    # doc 4: no surviving lines -> dropped
+    assert list(out.doc_id) == [1, 2]
+    assert out.loc[0, "text"] == "Good line with punctuation."
+    assert out.loc[1, "text"] == "Another fine line here."
+    assert out.loc[0, "n_lines_kept"] == 1
+    assert out.loc[0, "n_lines_dropped"] == 2
+
+
+def test_c4_line_filter_empty_and_null(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [None, ""]})
+    out = build_op({"op": "c4_line_filter", "column": "text"})(
+        _ds_from_pandas(df)).to_pandas()
+    assert len(out) == 0
+
+
+def test_levenshtein_pairs_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    words = ["ray", "rays", "raze", "data", "date", "gate", "gaze",
+             "flow", "flaw", "float", "table", "fable", "cable",
+             "stream", "streams", "dream", "x", "", "abcdefgh"]
+    df = pd.DataFrame({"s": rng.choice(words, 300)})
+    out = build_op({"op": "levenshtein_pairs", "col": "s", "k": 2})(
+        _ds_from_pandas(df)).to_pandas()
+    ora = duckdb.connect().execute("""
+        WITH names AS (SELECT DISTINCT s FROM df)
+        SELECT a.s AS s_a, b.s AS s_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM names a JOIN names b ON a.s < b.s
+        WHERE levenshtein(a.s, b.s) <= 2
+    """).fetchdf()
+    key = ["s_a", "s_b"]
+    out_s = out.sort_values(key).reset_index(drop=True)
+    ora_s = ora.sort_values(key).reset_index(drop=True)
+    assert len(out_s) == len(ora_s), (len(out_s), len(ora_s))
+    pd.testing.assert_frame_equal(out_s[["s_a", "s_b", "dist"]],
+                                  ora_s[["s_a", "s_b", "dist"]],
+                                  check_dtype=False)
+
+
+def test_levenshtein_pairs_no_duplicate_emission(ray_session):
+    # strings whose length buckets straddle a band boundary (k=1 ->
+    # band width 2): lengths 3 and 4 land in bands 1 and 2 — the
+    # replica rule must emit the pair exactly once
+    df = pd.DataFrame({"s": ["abc", "abcd", "abce", "ab"]})
+    out = build_op({"op": "levenshtein_pairs", "col": "s", "k": 1})(
+        _ds_from_pandas(df)).to_pandas()
+    assert not out.duplicated(["s_a", "s_b"]).any()
+    got = set(map(tuple, out[["s_a", "s_b"]].values))
+    assert ("abc", "abcd") in got and ("abcd", "abce") in got
+    assert ("ab", "abc") in got
+
+
+def test_levenshtein_pairs_max_len_guard(ray_session):
+    df = pd.DataFrame({"s": ["x" * 100]})
+    ds = _ds_from_pandas(df)
+    with pytest.raises(Exception, match="max_len"):
+        build_op({"op": "levenshtein_pairs", "col": "s", "k": 1,
+                  "max_len": 64})(ds).to_pandas()
