@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "rollup_status_priority",        # ROLLUP re-aggregating the aggregate
     "c4_clean_docs",                 # C4 line/page cleaning, zero exchange
     "fuzzy_name_pairs",              # exact edit-distance pairs, banded DP
+    "scd2_turn_history",             # SCD2 intervals: one keyed lead pass
+    "turn_transition_counts_transcripts",  # role->role Markov counts
 ]
 
 

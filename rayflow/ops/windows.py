@@ -672,3 +672,55 @@ def build_group_concat(*, key_col: str, order_col: str, value_col: str,
                                              batch_format="pyarrow")
 
     return apply
+
+
+@register_op("scd2_history")
+def build_scd2_history(*, keys: list[str], lsn_col: str = "lsn",
+                       op_col: str = "op", delete_value: str = "delete",
+                       valid_from: str = "valid_from",
+                       valid_to: str = "valid_to",
+                       current_flag: str = "is_current",
+                       num_shards: int = 64):
+    """Slowly-changing-dimension TYPE-2 materialization of a CDC change
+    stream (the Debezium→lake pattern): every non-delete change becomes
+    a VERSION row with a ``[valid_from, valid_to)`` LSN interval;
+    ``valid_to`` is the NEXT change's LSN on the same key — deletes
+    close the previous version's interval but emit no row — and the
+    open interval marks the current version (``is_current`` 0/1).
+
+    ONE keyed exchange: the per-key ``lead(lsn)`` rides the shared
+    coarse-shard ``group_lag`` kernel over a combined key (lead is
+    computed over ALL changes including deletes, THEN delete rows are
+    filtered — that ordering is what closes intervals correctly).
+    Payload columns pass through untouched."""
+    from rayflow.ops import build_op
+
+    def apply(ds):
+        def addk(t: pa.Table) -> pa.Table:
+            parts = [pc.cast(t.column(k), pa.string()) for k in keys]
+            kk = parts[0] if len(parts) == 1 else \
+                pc.binary_join_element_wise(*parts, "\x1f")
+            return t.append_column("_scd2_key", kk)
+
+        ds = ds.map_batches(addk, **_PA_KW)
+        ds = build_op({"op": "group_lag", "key_col": "_scd2_key",
+                       "order_col": lsn_col, "value_col": lsn_col,
+                       "out": valid_to, "offset": -1,
+                       "num_shards": num_shards})(ds)
+
+        def fin(t: pa.Table) -> pa.Table:
+            mask = pc.not_equal(
+                pc.cast(t.column(op_col), pa.string()), delete_value)
+            t = t.filter(pc.fill_null(mask, True))
+            t = t.append_column(valid_from, t.column(lsn_col))
+            t = t.append_column(
+                current_flag,
+                pc.cast(pc.is_null(t.column(valid_to)), pa.int64()))
+            drop = ["_scd2_key", op_col]
+            if valid_from != lsn_col:
+                drop.append(lsn_col)
+            return t.drop_columns(drop)
+
+        return ds.map_batches(fin, **_PA_KW)
+
+    return apply

@@ -3897,6 +3897,85 @@ def fuzzy_name_pairs(sf_dir: str):
     return out.select_columns(["s_a", "s_b", "dist"])
 
 
+@query(
+    "scd2_turn_history",
+    """
+    WITH changes AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  ELSE 4 END AS INTEGER)     AS turn_idx,
+             event_type                      AS role,
+             props                           AS text,
+             event_id                        AS lsn,
+             CASE WHEN value < 10 THEN 'delete' ELSE 'update' END AS op
+      FROM events
+    ), v AS (
+      SELECT conv_id, turn_idx, role, text, lsn, op,
+             lead(lsn) OVER (PARTITION BY conv_id, turn_idx
+                             ORDER BY lsn) AS valid_to
+      FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text,
+           lsn AS valid_from, valid_to,
+           CAST(valid_to IS NULL AS BIGINT) AS is_current
+    FROM v WHERE op <> 'delete'
+    """,
+)
+def scd2_turn_history(sf_dir: str):
+    """SCD TYPE-2 version history materialized from the CDC change
+    stream (the Debezium→lake pattern; same ``events``-as-changes
+    dressing as ``cdc_upsert_events``): every surviving change becomes
+    a version row with a ``[valid_from, valid_to)`` LSN interval,
+    deletes close intervals without emitting rows, the open interval
+    is the current version.  ONE keyed exchange (``scd2_history`` op —
+    lead over ALL changes first, delete filter second)."""
+    changes = _events_as_changes(sf_dir)
+    changes = changes.select_columns(
+        ["conv_id", "turn_idx", "role", "text", "lsn", "op"])
+    out = build_op({"op": "scd2_history",
+                    "keys": ["conv_id", "turn_idx"]})(changes)
+    return out.select_columns(["conv_id", "turn_idx", "role", "text",
+                               "valid_from", "valid_to", "is_current"])
+
+
+@query(
+    "turn_transition_counts_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, event_id,
+             event_type AS role
+      FROM events
+    ), x AS (
+      SELECT conv_id, role,
+             lead(role) OVER (PARTITION BY conv_id
+                              ORDER BY event_id) AS next_role
+      FROM tr
+    )
+    SELECT role, next_role, CAST(count(*) AS BIGINT) AS n
+    FROM x WHERE next_role IS NOT NULL
+    GROUP BY role, next_role
+    """,
+)
+def turn_transition_counts_transcripts(sf_dir: str):
+    """Agent-transcript transition analytics: the global role→next-role
+    Markov transition counts over per-conversation turn order (which
+    tool/role follows which).  The per-conversation ``lead`` rides the
+    one-exchange coarse-shard ``group_lag`` kernel (rank-free: ordered
+    by event_id directly); the count is a tiny two-phase aggregate."""
+    tr = _transcript_lines(sf_dir).select_columns(
+        ["conv_id", "event_id", "role"])
+    tr = build_op({"op": "group_lag", "key_col": "conv_id",
+                   "order_col": "event_id", "value_col": "role",
+                   "out": "next_role", "offset": -1})(tr)
+    tr = build_op({"op": "filter",
+                   "predicate": E.F("not_null",
+                                    E.col("next_role"))})(tr)
+    out = build_op({"op": "group_agg", "keys": ["role", "next_role"],
+                    "aggs": [("count", None, "n")]})(tr)
+    return out.select_columns(["role", "next_role", "n"])
+
+
 # the synthetic documents are single-line; derive a deterministic
 # multi-line / multi-paragraph corpus (word 'batch' → newline, word
 # 'window' → blank line) so the line/paragraph ops are actually

@@ -1229,3 +1229,37 @@ def test_levenshtein_pairs_max_len_guard(ray_session):
     with pytest.raises(Exception, match="max_len"):
         build_op({"op": "levenshtein_pairs", "col": "s", "k": 1,
                   "max_len": 64})(ds).to_pandas()
+
+
+def test_scd2_history_intervals(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "lsn": [1, 5, 9, 2, 7, 3],
+        "op": ["update", "update", "delete", "update", "update",
+               "delete"],
+        "payload": ["v1", "v2", "-", "w1", "w2", "-"],
+    })
+    out = build_op({"op": "scd2_history", "keys": ["k"]})(
+        _ds_from_pandas(df)).to_pandas() \
+        .sort_values(["k", "valid_from"]).reset_index(drop=True)
+    # key a: v1 [1,5), v2 [5,9) closed by the delete -> NO current row
+    # key b: w1 [2,7), w2 [7,open) current
+    # key c: delete only -> no rows at all
+    assert list(out.k) == ["a", "a", "b", "b"]
+    assert list(out.valid_from) == [1, 5, 2, 7]
+    assert list(out.valid_to.fillna(-1).astype(int)) == [5, 9, 7, -1]
+    assert list(out.is_current) == [0, 0, 0, 1]
+    assert "op" not in out.columns and "_scd2_key" not in out.columns
+
+
+def test_scd2_history_multi_key(ray_session):
+    df = pd.DataFrame({
+        "k1": [1, 1, 1], "k2": ["x", "x", "y"],
+        "lsn": [10, 20, 15], "op": ["update"] * 3,
+        "payload": ["a", "b", "c"],
+    })
+    out = build_op({"op": "scd2_history", "keys": ["k1", "k2"]})(
+        _ds_from_pandas(df)).to_pandas() \
+        .sort_values(["k2", "valid_from"]).reset_index(drop=True)
+    assert list(out.valid_to.fillna(-1).astype(int)) == [20, -1, -1]
+    assert list(out.is_current) == [0, 1, 1]
