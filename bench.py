@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",              # exact edit-distance pairs, banded DP
     "scd2_turn_history",             # SCD2 intervals: one keyed lead pass
     "turn_transition_counts_transcripts",  # role->role Markov counts
+    "approx_percentile_nchars",      # declared-bin sketch, bounded exchange
 ]
 
 

@@ -949,3 +949,85 @@ def build_group_rollup(*, keys: list[str],
         return out
 
     return apply
+
+
+@register_op("group_approx_percentile")
+def build_group_approx_percentile(*, keys: list[str], value_col: str,
+                                  quantiles: list[float],
+                                  lo: float, hi: float,
+                                  n_bins: int = 4096,
+                                  prefix: str | None = None,
+                                  num_shards: int = 64):
+    """Approximate per-group percentiles of a CONTINUOUS column with a
+    DECLARED fixed-bin histogram — the 100-TB companion to the exact
+    ``group_percentile``: that op's (key, value, count) exchange is
+    exact but value-cardinality-sized, so an all-distinct double
+    column ships every row; this one's exchange is bounded by
+    ``keys × n_bins`` REGARDLESS of data, with deterministic error
+    ≤ one bin width ((hi−lo)/n_bins).
+
+    The domain [lo, hi) is declared by the caller (like ``pivot``'s
+    value list: a data-dependent domain would need its own pass and
+    break mergeability); values outside clamp to the edge bins.
+    Estimate = lower edge of the bin whose cumulative count reaches
+    ``ceil(q×n)`` — on integer-valued data with unit bins this equals
+    the exact discrete percentile, which is how the oracle checks it.
+
+    Plan: per-block vectorized bincount partials → two-phase
+    ``group_agg`` sum on (keys, bin) → coarse-shard finish (per-key
+    cumsum + searchsorted, vectorized in-shard)."""
+    qs = sorted(quantiles)
+    names = [f"{prefix or 'p'}{int(q * 100)}" for q in qs]
+    if n_bins <= 0 or hi <= lo:
+        raise ValueError("group_approx_percentile: need n_bins > 0 and "
+                         "hi > lo")
+    width = (float(hi) - float(lo)) / n_bins
+
+    from rayflow.ops import build_op
+
+    def binned(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return t.drop_columns([value_col]).append_column(
+            "_ap_bin", pa.array(b, pa.int64()))
+
+    def shard(t: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import shard_codes
+
+        key_arr = t.column(keys[0]) if len(keys) == 1 else \
+            pc.binary_join_element_wise(
+                *[pc.cast(t.column(k), pa.string()) for k in keys], "\x1f")
+        return t.append_column(
+            "_ap_shard",
+            pa.array(shard_codes(key_arr, num_shards), pa.int64()))
+
+    def finish(g) -> "pa.Table":
+        import pandas as pd
+
+        df = g.sort_values(keys + ["_ap_bin"], ignore_index=True)
+        out_rows = []
+        for kv, gg in df.groupby(keys, sort=True):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            cum = gg["_ap_n"].cumsum().to_numpy()
+            n = cum[-1]
+            bins = gg["_ap_bin"].to_numpy()
+            row = dict(zip(keys, kv))
+            for q, nm in zip(qs, names):
+                rank = max(1, int(np.ceil(q * n)))
+                row[nm] = lo + width * bins[
+                    np.searchsorted(cum, rank, side="left")]
+            out_rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(out_rows),
+                                    preserve_index=False)
+
+    def apply(ds):
+        ds = ds.map_batches(binned, **_PA_KW)
+        hist = build_op({"op": "group_agg", "keys": keys + ["_ap_bin"],
+                         "aggs": [("count", None, "_ap_n")]})(ds)
+        hist = hist.map_batches(shard, **_PA_KW)
+        out = hist.groupby("_ap_shard").map_groups(
+            finish, batch_format="pandas")
+        return out
+
+    return apply

@@ -3976,6 +3976,42 @@ def turn_transition_counts_transcripts(sf_dir: str):
     return out.select_columns(["role", "next_role", "n"])
 
 
+@query(
+    "approx_percentile_nchars",
+    """
+    WITH o AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents)
+    SELECT source,
+      CAST(max(CASE WHEN rn = greatest(1,
+            CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT))
+        THEN n_chars END) AS DOUBLE) AS p50,
+      CAST(max(CASE WHEN rn = greatest(1,
+            CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT))
+        THEN n_chars END) AS DOUBLE) AS p90
+    FROM o GROUP BY source
+    """,
+)
+def approx_percentile_nchars(sf_dir: str):
+    """The declared-bin approximate percentile
+    (``group_approx_percentile``) on unit bins over an integer column —
+    where the sketch is EXACT by construction, so the oracle is the
+    same discrete-percentile SQL as the exact op.  The point at 100 TB:
+    the exchange is bounded by keys × n_bins no matter the value
+    cardinality (an all-distinct double column ships every row through
+    the exact op's histogram; this one never does)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["source", "n_chars"])
+    out = build_op({
+        "op": "group_approx_percentile", "keys": ["source"],
+        "value_col": "n_chars", "quantiles": [0.5, 0.9],
+        "lo": 0.0, "hi": 1024.0, "n_bins": 1024,
+    })(ds)
+    return out.select_columns(["source", "p50", "p90"])
+
+
 # the synthetic documents are single-line; derive a deterministic
 # multi-line / multi-paragraph corpus (word 'batch' → newline, word
 # 'window' → blank line) so the line/paragraph ops are actually

@@ -1263,3 +1263,44 @@ def test_scd2_history_multi_key(ray_session):
         .sort_values(["k2", "valid_from"]).reset_index(drop=True)
     assert list(out.valid_to.fillna(-1).astype(int)) == [20, -1, -1]
     assert list(out.is_current) == [0, 1, 1]
+
+
+def test_group_approx_percentile_error_bound(ray_session):
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 5000),
+                       "v": rng.uniform(0, 100, 5000)})
+    n_bins = 200  # bin width 0.5
+    out = build_op({
+        "op": "group_approx_percentile", "keys": ["k"], "value_col": "v",
+        "quantiles": [0.5, 0.9], "lo": 0.0, "hi": 100.0,
+        "n_bins": n_bins,
+    })(_ds_from_pandas(df)).to_pandas().sort_values("k")
+    width = 100.0 / n_bins
+    for k, g in df.groupby("k"):
+        vs = np.sort(g["v"].to_numpy())
+        for q, col in [(0.5, "p50"), (0.9, "p90")]:
+            exact = vs[max(1, int(np.ceil(q * len(vs)))) - 1]
+            approx = out.loc[out.k == k, col].iloc[0]
+            assert abs(approx - exact) <= width, (k, col, approx, exact)
+
+
+def test_group_approx_percentile_exact_on_unit_bins(ray_session):
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"k": rng.integers(0, 3, 2000),
+                       "v": rng.integers(0, 50, 2000)})
+    out = build_op({
+        "op": "group_approx_percentile", "keys": ["k"], "value_col": "v",
+        "quantiles": [0.25, 0.75], "lo": 0.0, "hi": 50.0, "n_bins": 50,
+    })(_ds_from_pandas(df)).to_pandas().sort_values("k")
+    for k, g in df.groupby("k"):
+        vs = np.sort(g["v"].to_numpy())
+        for q, col in [(0.25, "p25"), (0.75, "p75")]:
+            exact = vs[max(1, int(np.ceil(q * len(vs)))) - 1]
+            assert out.loc[out.k == k, col].iloc[0] == float(exact)
+
+
+def test_group_approx_percentile_validation():
+    with pytest.raises(ValueError, match="hi > lo"):
+        build_op({"op": "group_approx_percentile", "keys": ["k"],
+                  "value_col": "v", "quantiles": [0.5], "lo": 5.0,
+                  "hi": 5.0})
