@@ -3575,7 +3575,7 @@ def min_cost_supplier_q2_shape(sf_dir: str):
     )
     SELECT l_partkey AS ps_partkey, round(value, 4) AS value
     FROM agg
-    WHERE value > (SELECT sum(value) * 0.0012 FROM agg)
+    WHERE value > (SELECT sum(value) * 2.0 / count(*) FROM agg)
     """,
 )
 def important_parts_q11_shape(sf_dir: str):
@@ -3584,7 +3584,10 @@ def important_parts_q11_shape(sf_dir: str):
     nation-group's shipments — the oracle mirrors exactly).  The
     correlated global-fraction HAVING becomes: per-part two-phase sum,
     then ONE scalar (the global total) reduced from the aggregate and
-    applied as a broadcast threshold filter.
+    applied as a broadcast threshold filter.  Like the spec (whose
+    fraction is 0.0001/SF), the threshold scales with the part count —
+    2× the mean per-part value — so the query stays non-trivial at
+    every scale factor.
 
     Scale plan: the nation's supplier keys are dim-sized → broadcast
     semi-prune before anything moves; one part-keyed two-phase
@@ -3611,10 +3614,11 @@ def important_parts_q11_shape(sf_dir: str):
     })(li).materialize()
     total = build_op({
         "op": "group_agg", "keys": [],
-        "aggs": [("sum", "value", "total")],
+        "aggs": [("sum", "value", "total"),
+                 ("count", "value", "n_parts")],
     })(agg)
-    thresh = next(iter(total.iter_batches(batch_format="pyarrow")))[
-        "total"][0].as_py() * 0.0012
+    tb = next(iter(total.iter_batches(batch_format="pyarrow")))
+    thresh = tb["total"][0].as_py() * 2.0 / tb["n_parts"][0].as_py()
     out = build_op({
         "op": "filter", "predicate": E.col("value") > E.lit(thresh),
     })(agg)
