@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     lint_p = sub.add_parser("lint", help="validate a YAML pipeline config "
                                          "without running it")
     lint_p.add_argument("config")
+    exp_p = sub.add_parser("explain", help="static plan annotation: "
+                           "per-stage exchange class (keyed / broadcast "
+                           "/ row-local / global / actor)")
+    exp_p.add_argument("config")
     sub.add_parser("ops", help="list registered operators")
     sub.add_parser("functions", help="list scalar functions")
     st = sub.add_parser("stats", help="lake observability: commit lineage "
@@ -121,6 +125,13 @@ def main(argv: list[str] | None = None) -> int:
         from rayflow.pipeline import lint
 
         report = lint(args.config)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
+
+    if args.cmd == "explain":
+        from rayflow.pipeline import explain
+
+        report = explain(args.config)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
 

@@ -472,3 +472,108 @@ def build_export_partitioned(*, path: str, partition_col: str):
         }))
 
     return sink
+
+
+# static exchange classification per op — what each stage costs at
+# cluster scale.  Classes:
+#   row-local    one map_batches, zero data movement
+#   keyed        ONE keyed exchange (two-phase partials where possible)
+#   broadcast    small side shipped once via ray.put; fact never moves
+#   global       all-to-all barrier (sort / repartition / shuffle)
+#   actor        stateful actor pool (cache / rate limit / media)
+#   source/sink  read or write boundary
+#   driver       composition that owns its own sub-plan (see docstring)
+EXCHANGE_CLASS: dict[str, str] = {
+    **{n: "row-local" for n in (
+        "mapping", "filter", "select", "drop", "rename", "explode",
+        "split_text", "parse_json", "parse_csv", "parse_xml",
+        "parse_log", "grok", "json_schema", "compress", "decompress",
+        "archive", "unarchive", "insert_part", "select_parts",
+        "batch_policy", "noop", "sleep", "log_stage", "metric",
+        "token_count", "lang_id", "quality_score", "fingerprint",
+        "simhash", "pii_redact", "gopher_quality",
+        "repetition_signals", "c4_line_filter", "unpivot",
+        "parse_avro", "parse_msgpack", "parse_protobuf",
+        "parse_parquet", "format_avro", "format_msgpack",
+        "format_protobuf", "format_parquet", "late_filter",
+        "window_tumbling", "window_sliding", "sql_batch", "catch",
+        "switch", "branch", "sample", "limit", "jaccard_block_pairs",
+        "json_schema", "gif_frames",
+    )},
+    **{n: "keyed" for n in (
+        "group_agg", "group_topk", "group_percentile",
+        "group_approx_percentile", "group_rollup", "group_rank",
+        "group_cumsum", "group_lag", "group_concat", "group_hll",
+        "group_cap", "dedupe", "sharded_join", "sharded_semi",
+        "asof_join", "interval_join", "window_session",
+        "minhash_lsh_dedup", "ngram_jaccard_dedup", "simhash_near_dup",
+        "levenshtein_pairs", "scd2_history", "dup_span_pairs",
+        "paragraph_dedup", "pack_chunks", "global_shuffle",
+        "stratified_sample", "ngram_topk", "heavy_hitters",
+        "approx_distinct", "pivot", "weighted_mix", "embedding_near_dup",
+        "profile_columns",
+    )},
+    **{n: "broadcast" for n in (
+        "broadcast_join", "broadcast_semi", "decontaminate",
+        "knn_bruteforce", "kmeans", "ngram_lm_score", "dedup_against",
+        "ann_lsh", "ann_ivf", "connected_components",
+    )},
+    **{n: "global" for n in ("sort", "repartition", "union")},
+    **{n: "actor" for n in (
+        "cache_get", "cache_set", "cached_mapping", "rate_limit",
+        "media_decode", "media_probe", "media_resize",
+        "media_frame_sample", "audio_features", "subprocess_map",
+    )},
+    **{n: "source/sink" for n in (
+        "read_parquet", "read_csv", "read_json", "read_text",
+        "generate", "sql_query", "write_parquet", "write_json",
+        "route_write", "export_partitioned",
+    )},
+    **{n: "driver" for n in ("workflow",)},
+}
+
+
+def explain(text_or_path: str) -> dict:
+    """Static plan annotation WITHOUT running the pipeline: per stage,
+    the op name and its exchange class — where the cluster-scale cost
+    lives (keyed exchanges and global barriers move data; row-local
+    and broadcast stages don't).  Builds on :func:`lint`, so a config
+    that wouldn't construct reports its errors instead.
+
+    Returns ``{"ok": bool, "stages": [{"where", "op", "exchange"}...],
+    "summary": {"keyed": n, ...}, "errors": [...]}``."""
+    import os
+
+    import yaml
+
+    res = lint(text_or_path)
+    if not res["ok"]:
+        return {"ok": False, "stages": [], "summary": {},
+                "errors": res["errors"]}
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as f:
+            conf = yaml.safe_load(f)
+    else:
+        conf = yaml.safe_load(text_or_path)
+
+    stages = []
+
+    def add(where: str, op_conf):
+        name = op_conf["op"]
+        stages.append({"where": where, "op": name,
+                       "exchange": EXCHANGE_CLASS.get(name, "unclassified")})
+
+    if "input" in conf:
+        add("input", conf["input"])
+    for i, s in enumerate(conf.get("steps", [])):
+        add(f"steps[{i}]", s)
+    out = conf.get("output")
+    if isinstance(out, list):
+        for i, o in enumerate(out):
+            add(f"output[{i}]", o)
+    elif out is not None:
+        add("output", out)
+    summary: dict[str, int] = {}
+    for st in stages:
+        summary[st["exchange"]] = summary.get(st["exchange"], 0) + 1
+    return {"ok": True, "stages": stages, "summary": summary, "errors": []}

@@ -1304,3 +1304,33 @@ def test_group_approx_percentile_validation():
         build_op({"op": "group_approx_percentile", "keys": ["k"],
                   "value_col": "v", "quantiles": [0.5], "lo": 5.0,
                   "hi": 5.0})
+
+
+def test_explain_classifies_all_ops():
+    from rayflow.ops import OPS
+    from rayflow.pipeline import EXCHANGE_CLASS
+
+    missing = set(OPS) - set(EXCHANGE_CLASS)
+    assert not missing, f"ops without an exchange class: {sorted(missing)}"
+
+
+def test_explain_plan_annotation():
+    from rayflow.pipeline import explain
+
+    r = explain("""
+steps:
+  - {op: filter, predicate: "(> (col v) 1)"}
+  - {op: group_agg, keys: [k], aggs: [[sum, v, s]]}
+  - {op: sort, keys: [s]}
+""")
+    assert r["ok"]
+    assert [s["exchange"] for s in r["stages"]] == [
+        "row-local", "keyed", "global"]
+    assert r["summary"] == {"row-local": 1, "keyed": 1, "global": 1}
+
+
+def test_explain_reports_bad_config():
+    from rayflow.pipeline import explain
+
+    r = explain("steps:\n  - {op: not_an_op}\n")
+    assert not r["ok"] and r["errors"]
