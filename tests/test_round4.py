@@ -1334,3 +1334,39 @@ def test_explain_reports_bad_config():
 
     r = explain("steps:\n  - {op: not_an_op}\n")
     assert not r["ok"] and r["errors"]
+
+
+# ------------------------------------------------------------- examples dir
+
+
+def test_examples_lint_and_explain():
+    import glob
+
+    from rayflow.pipeline import explain, lint
+
+    paths = sorted(glob.glob("examples/*.yaml"))
+    assert len(paths) >= 3
+    for p in paths:
+        assert lint(p)["ok"], p
+        r = explain(p)
+        assert r["ok"] and r["stages"], p
+        assert all(s["exchange"] != "unclassified" for s in r["stages"]), p
+
+
+def test_example_pipeline_runs(ray_session, tmp_path):
+    import yaml
+
+    from rayflow.pipeline import from_yaml
+
+    conf = yaml.safe_load(open("examples/reshape_orders.yaml"))
+    conf["output"]["path"] = str(tmp_path / "out")
+    import ray.data  # noqa: F401
+
+    from rayflow.pipeline import Pipeline
+
+    Pipeline.from_dict(conf).run()
+    import pyarrow.dataset as pds
+
+    t = pds.dataset(str(tmp_path / "out")).to_table()
+    assert t.num_rows >= 3  # one row per priority
+    assert {"total_F", "total_O", "total_P"} <= set(t.column_names)
