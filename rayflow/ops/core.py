@@ -1031,3 +1031,38 @@ def build_group_approx_percentile(*, keys: list[str], value_col: str,
         return out
 
     return apply
+
+
+@register_op("group_mode")
+def build_group_mode(*, keys: list[str], value_col: str,
+                     out: str = "mode", count_out: str | None = None):
+    """Most-frequent value per key (SQL ``mode()``), ties broken by the
+    SMALLEST value — deterministic and SQL-mirrorable as
+    ``row_number() OVER (ORDER BY cnt DESC, value) = 1``.
+
+    Pure composition, bounded exchange: the (keys, value) count is the
+    two-phase ``group_agg`` (only distinct pairs cross the wire), the
+    winner pick is ``group_topk(k=1)`` with the value as tiebreak —
+    group-cardinality-sized input."""
+    from rayflow.ops import build_op
+
+    def apply(ds):
+        counts = build_op({
+            "op": "group_agg", "keys": keys + [value_col],
+            "aggs": [("count", None, "_gm_n")],
+        })(ds)
+        top = build_op({
+            "op": "group_topk", "keys": keys, "order_col": "_gm_n",
+            "k": 1, "descending": True, "tiebreak": value_col,
+        })(counts)
+
+        def fin(t: pa.Table) -> pa.Table:
+            t = t.append_column(out, t.column(value_col))
+            if count_out:
+                t = t.append_column(
+                    count_out, pc.cast(t.column("_gm_n"), pa.int64()))
+            return t.drop_columns([value_col, "_gm_n"])
+
+        return top.map_batches(fin, **_PA_KW)
+
+    return apply

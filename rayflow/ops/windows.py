@@ -724,3 +724,82 @@ def build_scd2_history(*, keys: list[str], lsn_col: str = "lsn",
         return ds.map_batches(fin, **_PA_KW)
 
     return apply
+
+
+@register_op("funnel")
+def build_funnel(*, key_col: str, step_col: str, order_col: str,
+                 steps: list, ts_outs: list[str] | None = None,
+                 within: float | None = None, num_shards: int = 64,
+                 reached_out: str = "reached"):
+    """Ordered-event funnel analysis (the product-analytics classic,
+    here over agent transcripts: which conversations did tool A, then
+    B, then C): per key, the earliest chain of ``steps`` values in
+    strictly increasing ``order_col`` — greedy-earliest semantics, the
+    standard funnel definition.  Output: one row per key that reached
+    step 1, with ``reached`` (how deep) and each step's order value
+    (null past the drop-off).  ``within`` bounds the whole chain to
+    ``step1_order + within`` (same units as ``order_col``).
+
+    ONE keyed exchange (the shared coarse-shard shape); in-shard the
+    sweep is one pass PER STEP over the whole shard — ``len(steps)``
+    vectorized ``minimum.at`` scatters, never a per-key loop."""
+    n_steps = len(steps)
+    if n_steps < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    outs = ts_outs or [f"step{i+1}_order" for i in range(n_steps)]
+    if len(outs) != n_steps:
+        raise ValueError("funnel: ts_outs must match steps")
+
+    def shard(t: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import shard_codes
+
+        return t.append_column(
+            "_fn_shard",
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
+
+    def sweep(g) -> "pa.Table":
+        import pandas as pd
+
+        kidx, kvals = pd.factorize(g[key_col], use_na_sentinel=False)
+        nk = len(kvals)
+        order_raw = g[order_col]
+        is_dt = pd.api.types.is_datetime64_any_dtype(order_raw)
+        order = (order_raw.view("int64") if is_dt
+                 else order_raw.to_numpy()).astype(np.float64)
+        code = pd.Categorical(g[step_col],
+                              categories=[str(s) for s in steps]).codes \
+            if g[step_col].dtype == object else \
+            pd.Series(g[step_col]).map(
+                {s: i for i, s in enumerate(steps)}).fillna(-1) \
+            .to_numpy().astype(np.int64)
+        code = np.asarray(code, dtype=np.int64)
+        ts = np.full((n_steps, nk), np.inf)
+        w = float(within) * (1e9 if is_dt else 1.0) if within is not None \
+            else None
+        for i in range(n_steps):
+            m = code == i
+            if i > 0:
+                m &= order > ts[i - 1][kidx]
+                if w is not None:
+                    m &= order <= ts[0][kidx] + w
+            if m.any():
+                np.minimum.at(ts[i], kidx[m], order[m])
+        started = np.isfinite(ts[0])
+        reached = np.isfinite(ts).sum(axis=0)  # monotone: inf propagates
+        cols = {key_col: pd.Series(kvals[started]),
+                reached_out: pd.Series(reached[started], dtype=np.int64)}
+        for i, nm in enumerate(outs):
+            v = ts[i][started]
+            if is_dt:
+                s = pd.Series(np.where(np.isfinite(v), v, np.nan))
+                cols[nm] = pd.to_datetime(s, unit="ns")
+            else:
+                cols[nm] = pd.Series(np.where(np.isfinite(v), v, np.nan))
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False)
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_fn_shard").map_groups(sweep, batch_format="pandas")
+
+    return apply

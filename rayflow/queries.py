@@ -3981,6 +3981,80 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "mode_lang_by_source",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, lang) AS rn
+      FROM c
+    )
+    SELECT source, lang AS mode, CAST(n AS BIGINT) AS n_mode
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_lang_by_source(sf_dir: str):
+    """Most-frequent language per source (``group_mode``): bounded
+    exchange — only distinct (source, lang) count pairs move, the
+    winner pick runs on the group-cardinality-sized aggregate with the
+    value as the deterministic tiebreak (mirrored in the oracle's
+    ORDER BY n DESC, lang)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["source", "lang"])
+    out = build_op({"op": "group_mode", "keys": ["source"],
+                    "value_col": "lang", "out": "mode",
+                    "count_out": "n_mode"})(ds)
+    return out.select_columns(["source", "mode", "n_mode"])
+
+
+@query(
+    "funnel_signup_click_purchase",
+    """
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND e.ts > s1.signup_ts
+        AND e.ts <= s1.signup_ts + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE event_type = 'purchase' AND e.ts > s2.click_ts
+        AND e.ts <= s1.signup_ts + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(1 + CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS reached,
+           signup_ts, click_ts, purchase_ts
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_signup_click_purchase(sf_dir: str):
+    """Ordered-event funnel (``funnel`` op): signup → click → purchase
+    within 72 h of signup, greedy-earliest chain per user.  ONE keyed
+    exchange; the in-shard sweep is one vectorized ``minimum.at`` pass
+    PER STEP over the whole shard — never a per-key loop.  The oracle
+    is the classic nested min-ts SQL."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "event_type", "ts"])
+    out = build_op({
+        "op": "funnel", "key_col": "user_id", "step_col": "event_type",
+        "order_col": "ts", "steps": ["signup", "click", "purchase"],
+        "ts_outs": ["signup_ts", "click_ts", "purchase_ts"],
+        "within": 72 * 3600.0,
+    })(ds)
+    return out.select_columns(["user_id", "reached", "signup_ts",
+                               "click_ts", "purchase_ts"])
+
+
+@query(
     "approx_percentile_nchars",
     """
     WITH o AS (

@@ -1370,3 +1370,58 @@ def test_example_pipeline_runs(ray_session, tmp_path):
     t = pds.dataset(str(tmp_path / "out")).to_table()
     assert t.num_rows >= 3  # one row per priority
     assert {"total_F", "total_O", "total_P"} <= set(t.column_names)
+
+
+def test_group_mode_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"k": rng.integers(0, 6, 500),
+                       "v": rng.choice(list("abcd"), 500)})
+    out = build_op({"op": "group_mode", "keys": ["k"], "value_col": "v",
+                    "count_out": "n"})(_ds_from_pandas(df)).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    ora = duckdb.connect().execute("""
+        WITH c AS (SELECT k, v, count(*) AS n FROM df GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY k
+                        ORDER BY n DESC, v) AS rn FROM c)
+        SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1
+        ORDER BY k
+    """).fetchdf()
+    pd.testing.assert_frame_equal(out[["k", "mode", "n"]], ora,
+                                  check_dtype=False)
+
+
+def test_funnel_greedy_earliest_and_within(ray_session):
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1,  2, 2,  3, 3, 3],
+        "s": ["a", "b", "c", "b",  "a", "c",  "a", "b", "c"],
+        "t": [1.0, 3.0, 5.0, 4.0,  1.0, 2.0,  1.0, 10.0, 11.0],
+    })
+    out = build_op({"op": "funnel", "key_col": "u", "step_col": "s",
+                    "order_col": "t", "steps": ["a", "b", "c"]})(
+        _ds_from_pandas(df)).to_pandas().set_index("u").sort_index()
+    # u1: a@1 -> earliest b@3 -> c@5 (greedy takes b@3 not b@4)
+    assert out.loc[1, "reached"] == 3
+    assert out.loc[1, "step2_order"] == 3.0
+    # u2: a@1, no b -> c unreachable even though c@2 exists
+    assert out.loc[2, "reached"] == 1
+    assert np.isnan(out.loc[2, "step2_order"])
+    # u3 completes without a bound
+    assert out.loc[3, "reached"] == 3
+
+    out_w = build_op({"op": "funnel", "key_col": "u", "step_col": "s",
+                      "order_col": "t", "steps": ["a", "b", "c"],
+                      "within": 5.0})(
+        _ds_from_pandas(df)).to_pandas().set_index("u").sort_index()
+    # u3's b@10 is outside a@1 + 5 -> funnel stops at step 1
+    assert out_w.loc[3, "reached"] == 1
+    assert out_w.loc[1, "reached"] == 3
+
+
+def test_funnel_never_started_key_absent(ray_session):
+    df = pd.DataFrame({"u": [9, 9], "s": ["b", "c"], "t": [1.0, 2.0]})
+    out = build_op({"op": "funnel", "key_col": "u", "step_col": "s",
+                    "order_col": "t", "steps": ["a", "b"]})(
+        _ds_from_pandas(df)).to_pandas()
+    assert len(out) == 0
