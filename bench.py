@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "scd2_turn_history",             # SCD2 intervals: one keyed lead pass
     "turn_transition_counts_transcripts",  # role->role Markov counts
     "approx_percentile_nchars",      # declared-bin sketch, bounded exchange
+    "funnel_signup_click_purchase",  # ordered-event funnel, one exchange
+    "mode_lang_by_source",           # per-key mode, bounded exchange
 ]
 
 

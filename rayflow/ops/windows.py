@@ -764,8 +764,17 @@ def build_funnel(*, key_col: str, step_col: str, order_col: str,
         nk = len(kvals)
         order_raw = g[order_col]
         is_dt = pd.api.types.is_datetime64_any_dtype(order_raw)
-        order = (order_raw.view("int64") if is_dt
-                 else order_raw.to_numpy()).astype(np.float64)
+        # datetimes stay int64 ns end to end — a float64 cast loses
+        # sub-microsecond bits (2^53 < ns range) and drifts the output
+        if is_dt:
+            order = np.asarray(
+                order_raw.astype("datetime64[ns]").view("int64"))
+            sent = np.iinfo(np.int64).max
+            w = int(float(within) * 1e9) if within is not None else None
+        else:
+            order = order_raw.to_numpy().astype(np.float64)
+            sent = np.inf
+            w = float(within) if within is not None else None
         code = pd.Categorical(g[step_col],
                               categories=[str(s) for s in steps]).codes \
             if g[step_col].dtype == object else \
@@ -773,28 +782,30 @@ def build_funnel(*, key_col: str, step_col: str, order_col: str,
                 {s: i for i, s in enumerate(steps)}).fillna(-1) \
             .to_numpy().astype(np.int64)
         code = np.asarray(code, dtype=np.int64)
-        ts = np.full((n_steps, nk), np.inf)
-        w = float(within) * (1e9 if is_dt else 1.0) if within is not None \
-            else None
+        ts = np.full((n_steps, nk), sent, dtype=order.dtype)
         for i in range(n_steps):
             m = code == i
             if i > 0:
                 m &= order > ts[i - 1][kidx]
                 if w is not None:
-                    m &= order <= ts[0][kidx] + w
+                    # clip before adding so the int sentinel can't wrap
+                    bound = np.minimum(ts[0], sent - w)[kidx] + w
+                    m &= order <= bound
             if m.any():
                 np.minimum.at(ts[i], kidx[m], order[m])
-        started = np.isfinite(ts[0])
-        reached = np.isfinite(ts).sum(axis=0)  # monotone: inf propagates
+        started = ts[0] != sent
+        reached = (ts != sent).sum(axis=0)  # monotone: sentinel propagates
         cols = {key_col: pd.Series(kvals[started]),
                 reached_out: pd.Series(reached[started], dtype=np.int64)}
         for i, nm in enumerate(outs):
             v = ts[i][started]
+            hit = v != sent
             if is_dt:
-                s = pd.Series(np.where(np.isfinite(v), v, np.nan))
-                cols[nm] = pd.to_datetime(s, unit="ns")
+                s = pd.Series(np.where(hit, v, 0))
+                dt = pd.to_datetime(s, unit="ns")
+                cols[nm] = dt.mask(~hit)
             else:
-                cols[nm] = pd.Series(np.where(np.isfinite(v), v, np.nan))
+                cols[nm] = pd.Series(np.where(hit, v, np.nan))
         return pa.Table.from_pandas(pd.DataFrame(cols),
                                     preserve_index=False)
 
