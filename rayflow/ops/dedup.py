@@ -1880,3 +1880,185 @@ def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
                                                batch_format="pandas")
 
     return apply
+
+
+def _window_hash_positions(col, k: int):
+    """Positional 64-bit k-token window hashes for a batch: returns
+    ``(hash int64, doc_idx int64, pos int64)`` — one row per window,
+    ``pos`` = start token index within its doc.  Same token pipeline
+    and hash as :func:`_span_hashes` (whitespace split, empty tokens
+    dropped, crc32 per UNIQUE token, Horner combine in Z_2^64) so the
+    two agree bit-for-bit; unlike ``shingle_hash_batch`` nothing is
+    uniqued — the consumer needs every occurrence."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    empty = (np.zeros(0, np.int64),) * 3
+    if n == 0:
+        return empty
+    toks = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+    raw_counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    denc = flat.dictionary_encode()
+    denc = denc.combine_chunks() if isinstance(
+        denc, pa.ChunkedArray) else denc
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = denc.dictionary
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+    if len(values):
+        nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        keep = nonempty[codes]
+        codes, doc_idx = codes[keep], doc_idx[keep]
+    tok_hash = np.array(
+        [zlib.crc32(v.encode("utf-8", "surrogatepass"))
+         for v in values.to_pylist()], dtype=np.uint64)
+    h_tok = tok_hash[codes] if len(codes) else np.empty(0, np.uint64)
+    tcnt = np.bincount(doc_idx, minlength=n)
+    m = len(h_tok) - k + 1
+    if m <= 0:
+        return empty
+    pow_k = np.array([pow(_FNV, j, 1 << 64) for j in range(k)],
+                     dtype=np.uint64)
+    wh = np.zeros(m, np.uint64)
+    for j in range(k):
+        wh += h_tok[j: j + m] * pow_k[k - 1 - j]
+    same = doc_idx[:m] == doc_idx[k - 1:]
+    starts = np.concatenate(([0], np.cumsum(tcnt)))[:-1]
+    gpos = np.nonzero(same)[0]
+    d = doc_idx[:m][same]
+    return (wh[same].astype(np.int64), d, gpos - starts[d])
+
+
+@register_op("dup_span_remove")
+def build_dup_span_remove(*, k_tokens: int = 50, text_col: str = "text",
+                          id_col: str = "doc_id", n_buckets: int = 256,
+                          hot_span_limit: int = 20_000,
+                          num_partitions: int = 16):
+    """Exact duplicated-span REMOVAL (the actionable half of Lee et
+    al.'s ExactSubstr dedup; ``dup_span_pairs`` is the detection
+    half): every k-token window that occurs more than once corpus-wide
+    keeps ONLY its globally-first occurrence (min (doc_id, pos)); all
+    tokens covered by any other occurrence are cut and the doc is
+    rebuilt from the survivors (single-space joined — token-level
+    semantics, like the tokenizer the windows are defined over).
+
+    Plan: positional window hashes (nothing uniqued) → ONE
+    hash-bucketed exchange that picks each window's canonical
+    occurrence and emits the rest as (doc, pos) cut marks → cut marks
+    aggregate per doc (tiny: only docs with dups) → sharded join back
+    to the corpus → vectorized token-mask rebuild.  The window-row
+    exchange is corpus-sized — inherent to exact substring dedup (the
+    suffix-array formulation touches every token too).  Same loud
+    ``hot_span_limit`` as the pairs op.  Output adds
+    ``n_tokens_removed``.  NOTE (as in the paper): removal can splice
+    previously-distant tokens together, so one pass does not guarantee
+    a fixpoint — rerun to convergence if required."""
+
+    def apply(ds):
+        from rayflow.ops import build_op, prefer_push_shuffle
+
+        prefer_push_shuffle()
+        ds = ds.materialize()
+
+        def win_rows(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy()
+            sh, didx, pos = _window_hash_positions(t.column(text_col),
+                                                   k_tokens)
+            return pa.table({
+                "sh": pa.array(sh, pa.int64()),
+                id_col: pa.array(ids[didx]) if len(didx)
+                else pa.array(np.zeros(0, ids.dtype)),
+                "pos": pa.array(pos, pa.int64()),
+                "bucket": pa.array((sh % n_buckets).astype(np.int32)),
+            })
+
+        rows = ds.map_batches(win_rows, **_PA_KW)
+
+        def cut_marks(g: pd.DataFrame) -> pd.DataFrame:
+            sh = g["sh"].to_numpy()
+            ids = g[id_col].to_numpy()
+            pos = g["pos"].to_numpy()
+            order = np.lexsort((pos, ids, sh))
+            sh, ids, pos = sh[order], ids[order], pos[order]
+            _, starts, counts = np.unique(sh, return_index=True,
+                                          return_counts=True)
+            big = counts > hot_span_limit
+            if big.any():
+                raise ValueError(
+                    f"dup_span_remove: one {k_tokens}-token span occurs "
+                    f"{counts[big].max()} times (> hot_span_limit="
+                    f"{hot_span_limit}) — mass boilerplate; exact-dedup "
+                    "or strip it first, or raise the limit")
+            # within each sh run the first row (min doc, then min pos)
+            # is canonical; every other row is a cut mark
+            keep_first = np.zeros(len(sh), bool)
+            keep_first[starts] = True
+            cut = ~keep_first
+            return pd.DataFrame({id_col: ids[cut], "pos": pos[cut]})
+
+        marks = rows.groupby("bucket").map_groups(cut_marks,
+                                                  batch_format="pandas")
+
+        def pack_marks(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(id_col)["pos"].agg(
+                lambda s: ",".join(map(str, sorted(set(s)))))
+            return out.reset_index().rename(columns={"pos": "_cut_pos"})
+
+        def mark_shard(t: pa.Table) -> pa.Table:
+            from rayflow.ops.kernels import shard_codes
+
+            return t.append_column(
+                "_dsr_shard",
+                pa.array(shard_codes(t.column(id_col), 64), pa.int64()))
+
+        packed = marks.map_batches(mark_shard, **_PA_KW) \
+            .groupby("_dsr_shard").map_groups(
+                lambda g: pack_marks(g.drop(columns=["_dsr_shard"])),
+                batch_format="pandas")
+
+        joined = build_op({
+            "op": "sharded_join", "right": packed, "how": "left",
+            "on": [id_col], "right_on": [id_col],
+            "num_partitions": num_partitions, "strategy": "auto",
+        })(ds)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            has_cut = pc.is_valid(t.column("_cut_pos"))
+            other = [n for n in t.column_names if n != "_cut_pos"]
+            # untouched docs pass through VERBATIM (original whitespace
+            # kept), zero-copy — the Python path below only ever sees
+            # the docs that actually have cut marks
+            t_ok = t.filter(pc.invert(has_cut)).select(other)
+            t_ok = t_ok.append_column(
+                "n_tokens_removed", pa.array(
+                    np.zeros(t_ok.num_rows, np.int64), pa.int64()))
+            t_cut = t.filter(has_cut)
+            if t_cut.num_rows == 0:
+                return t_ok
+            txts = pc.fill_null(
+                pc.cast(t_cut.column(text_col), pa.string()), "")
+            cuts = t_cut.column("_cut_pos").to_pylist()
+            toks_l = pc.utf8_split_whitespace(txts)
+            toks_l = toks_l.combine_chunks() if isinstance(
+                toks_l, pa.ChunkedArray) else toks_l
+            out_txt, removed = [], np.zeros(t_cut.num_rows, np.int64)
+            for i in range(t_cut.num_rows):
+                toks = [x for x in (toks_l[i].as_py() or []) if x != ""]
+                mask = np.ones(len(toks), bool)
+                for p in cuts[i].split(","):
+                    p = int(p)
+                    mask[p:p + k_tokens] = False
+                removed[i] = int((~mask).sum())
+                out_txt.append(" ".join(
+                    tk for tk, keep in zip(toks, mask) if keep))
+            cols = {n: t_cut.column(n) for n in other if n != text_col}
+            cols[text_col] = pa.array(out_txt, pa.string())
+            cols["n_tokens_removed"] = pa.array(removed, pa.int64())
+            t_cut_out = pa.table(cols).select(
+                [c for c in t_ok.column_names])
+            return pa.concat_tables([t_ok, t_cut_out])
+
+        return joined.map_batches(rebuild, **_PA_KW)
+
+    return apply

@@ -511,7 +511,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "paragraph_dedup", "pack_chunks", "global_shuffle",
         "stratified_sample", "ngram_topk", "heavy_hitters",
         "approx_distinct", "pivot", "weighted_mix", "embedding_near_dup",
-        "profile_columns", "funnel", "group_mode",
+        "profile_columns", "funnel", "group_mode", "dup_span_remove",
     )},
     **{n: "broadcast" for n in (
         "broadcast_join", "broadcast_semi", "decontaminate",

@@ -1425,3 +1425,56 @@ def test_funnel_never_started_key_absent(ray_session):
                     "order_col": "t", "steps": ["a", "b"]})(
         _ds_from_pandas(df)).to_pandas()
     assert len(out) == 0
+
+
+def test_dup_span_remove_keeps_first_occurrence(ray_session):
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha one " + shared + " endone lastone",
+            "beta two " + shared + " endtwo lasttwo",
+            "clean doc with no duplication at all here",
+        ],
+    })
+    out = build_op({"op": "dup_span_remove", "k_tokens": 12})(
+        _ds_from_pandas(df)).to_pandas().set_index("doc_id").sort_index()
+    # doc 1 (first occurrence) untouched, verbatim
+    assert out.loc[1, "text"] == df.set_index("doc_id").loc[1, "text"]
+    assert out.loc[1, "n_tokens_removed"] == 0
+    # doc 2 loses the shared span, keeps its own tokens
+    assert shared not in out.loc[2, "text"]
+    assert "beta" in out.loc[2, "text"] and "lasttwo" in out.loc[2, "text"]
+    assert out.loc[2, "n_tokens_removed"] >= 12
+    # untouched doc passes through verbatim
+    assert out.loc[3, "text"] == df.set_index("doc_id").loc[3, "text"]
+
+
+def test_dup_span_remove_same_doc_repeat(ray_session):
+    span = " ".join(f"r{i}" for i in range(10))
+    df = pd.DataFrame({
+        "doc_id": [7],
+        "text": [span + " middle filler words " + span],
+    })
+    out = build_op({"op": "dup_span_remove", "k_tokens": 10})(
+        _ds_from_pandas(df)).to_pandas()
+    txt = out.loc[0, "text"]
+    # first occurrence survives, second removed
+    assert txt.count("r0") == 1 and txt.count("r9") == 1
+    assert "middle filler words" in txt
+    assert out.loc[0, "n_tokens_removed"] == 10
+
+
+def test_dup_span_remove_then_detect_is_empty(ray_session):
+    shared = " ".join(f"q{i}" for i in range(15))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"u{j} v{j} " + shared + f" w{j} x{j}" for j in (1, 2, 3)
+        ],
+    })
+    cleaned = build_op({"op": "dup_span_remove", "k_tokens": 15})(
+        _ds_from_pandas(df)).to_pandas()
+    pairs = build_op({"op": "dup_span_pairs", "k_tokens": 15})(
+        _ds_from_pandas(cleaned[["doc_id", "text"]])).to_pandas()
+    assert len(pairs) == 0
