@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "approx_percentile_nchars",      # declared-bin sketch, bounded exchange
     "funnel_signup_click_purchase",  # ordered-event funnel, one exchange
     "mode_lang_by_source",           # per-key mode, bounded exchange
+    "zscore_order_value",            # standardize: stats broadcast back
 ]
 
 

@@ -1066,3 +1066,71 @@ def build_group_mode(*, keys: list[str], value_col: str,
         return top.map_batches(fin, **_PA_KW)
 
     return apply
+
+
+@register_op("group_zscore")
+def build_group_zscore(*, keys: list[str], value_col: str,
+                       out: str = "zscore", mode: str = "annotate",
+                       threshold: float = 3.0,
+                       broadcast_limit: int = 5_000_000):
+    """Per-key standardization: z = (value − key_mean) / key_std
+    (sample std), the winsorize/outlier-trim primitive of a curation
+    pipeline.  ``mode``: ``annotate`` adds the z column, ``flag`` adds
+    a 0/1 ``<out>_outlier`` column (|z| > threshold), ``trim`` drops
+    outlier rows.  Keys whose std is null/0 (n ≤ 1 or constant) get
+    null z and are never trimmed — SQL semantics.
+
+    ONE two-phase aggregate builds the per-key (mean, std) table —
+    group-cardinality-sized — which broadcasts back onto the stream
+    (q17's thresh pattern); the z computation is a vectorized kernel.
+    Fails loud past ``broadcast_limit`` keys (then shard-join the
+    stats instead of broadcasting)."""
+    if mode not in ("annotate", "flag", "trim"):
+        raise ValueError("group_zscore: mode must be "
+                         "annotate/flag/trim")
+
+    from rayflow.ops import build_op
+
+    def apply(ds):
+        stats = build_op({
+            "op": "group_agg", "keys": keys,
+            "aggs": [("mean", value_col, "_gz_mean"),
+                     ("std", value_col, "_gz_std")],
+        })(ds)
+        stats_tbl = pa.concat_tables(
+            [pa.table(b) for b in
+             stats.iter_batches(batch_format="pyarrow")])
+        if stats_tbl.num_rows > broadcast_limit:
+            raise ValueError(
+                f"group_zscore: {stats_tbl.num_rows} keys exceed "
+                f"broadcast_limit={broadcast_limit} — shard-join the "
+                "stats table instead of broadcasting")
+        rename = {k: f"_gz_{k}" for k in keys}
+        stats_tbl = stats_tbl.rename_columns(
+            [rename.get(c, c) for c in stats_tbl.column_names])
+        joined = build_op({
+            "op": "broadcast_join", "small": stats_tbl, "how": "left",
+            "on": keys, "right_on": [f"_gz_{k}" for k in keys],
+        })(ds)
+
+        def fin(t: pa.Table) -> pa.Table:
+            v = pc.cast(t.column(value_col), pa.float64())
+            mu = t.column("_gz_mean")
+            sd = t.column("_gz_std")
+            ok = pc.and_(pc.is_valid(sd), pc.not_equal(sd, 0.0))
+            z = pc.if_else(ok, pc.divide(pc.subtract(v, mu),
+                                         pc.if_else(ok, sd, 1.0)),
+                           pa.scalar(None, pa.float64()))
+            t = t.drop_columns(["_gz_mean", "_gz_std"])
+            if mode == "annotate":
+                return t.append_column(out, z)
+            is_out = pc.fill_null(
+                pc.greater(pc.abs(z), threshold), False)
+            if mode == "flag":
+                return t.append_column(out, z).append_column(
+                    f"{out}_outlier", pc.cast(is_out, pa.int64()))
+            return t.filter(pc.invert(is_out))
+
+        return joined.map_batches(fin, **_PA_KW)
+
+    return apply

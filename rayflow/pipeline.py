@@ -512,6 +512,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "stratified_sample", "ngram_topk", "heavy_hitters",
         "approx_distinct", "pivot", "weighted_mix", "embedding_near_dup",
         "profile_columns", "funnel", "group_mode", "dup_span_remove",
+        "group_zscore",
     )},
     **{n: "broadcast" for n in (
         "broadcast_join", "broadcast_semi", "decontaminate",

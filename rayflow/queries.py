@@ -3981,6 +3981,37 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "zscore_order_value",
+    """
+    SELECT o_orderkey,
+           CASE WHEN stddev_samp(o_totalprice)
+                     OVER (PARTITION BY o_orderpriority) > 0
+                THEN (o_totalprice
+                      - avg(o_totalprice)
+                        OVER (PARTITION BY o_orderpriority))
+                     / stddev_samp(o_totalprice)
+                       OVER (PARTITION BY o_orderpriority)
+           END AS zscore
+    FROM orders
+    """,
+)
+def zscore_order_value(sf_dir: str):
+    """Per-priority standardized order value (``group_zscore``,
+    annotate mode): ONE two-phase (mean, std) aggregate broadcast back
+    onto the stream — the fact never shuffles; z is a vectorized
+    kernel.  The outlier-trim/flag modes of the same op are the
+    curation winsorize step (unit-tested; the oracle checks the
+    continuous z column, immune to threshold-boundary float flips)."""
+    ds = _rd().read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_orderpriority",
+                                     "o_totalprice"])
+    out = build_op({"op": "group_zscore", "keys": ["o_orderpriority"],
+                    "value_col": "o_totalprice", "out": "zscore",
+                    "mode": "annotate"})(ds)
+    return out.select_columns(["o_orderkey", "zscore"])
+
+
+@query(
     "mode_lang_by_source",
     """
     WITH c AS (

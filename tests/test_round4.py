@@ -1478,3 +1478,23 @@ def test_dup_span_remove_then_detect_is_empty(ray_session):
     pairs = build_op({"op": "dup_span_pairs", "k_tokens": 15})(
         _ds_from_pandas(cleaned[["doc_id", "text"]])).to_pandas()
     assert len(pairs) == 0
+
+
+def test_group_zscore_modes(ray_session):
+    rng = np.random.default_rng(41)
+    v = np.concatenate([rng.normal(10, 2, 200), [1000.0]])  # one outlier
+    df = pd.DataFrame({"k": ["a"] * 201, "v": v})
+    trim = build_op({"op": "group_zscore", "keys": ["k"],
+                     "value_col": "v", "mode": "trim",
+                     "threshold": 5.0})(_ds_from_pandas(df)).to_pandas()
+    assert len(trim) == 200 and trim.v.max() < 1000
+    flag = build_op({"op": "group_zscore", "keys": ["k"],
+                     "value_col": "v", "mode": "flag",
+                     "threshold": 5.0})(_ds_from_pandas(df)).to_pandas()
+    assert flag.zscore_outlier.sum() == 1
+    # constant / singleton keys: null z, never trimmed
+    df2 = pd.DataFrame({"k": ["c", "c", "s"], "v": [5.0, 5.0, 7.0]})
+    out2 = build_op({"op": "group_zscore", "keys": ["k"],
+                     "value_col": "v", "mode": "trim"})(
+        _ds_from_pandas(df2)).to_pandas()
+    assert len(out2) == 3
