@@ -1498,3 +1498,22 @@ def test_group_zscore_modes(ray_session):
                      "value_col": "v", "mode": "trim"})(
         _ds_from_pandas(df2)).to_pandas()
     assert len(out2) == 3
+
+
+def test_pivot_mean_null_semantics_vs_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 200),
+                       "p": rng.choice(["a", "b"], 200),
+                       "v": rng.normal(size=200)})
+    out = build_op({"op": "pivot", "keys": ["k"], "pivot_col": "p",
+                    "value_col": "v", "values": ["a", "b"],
+                    "agg": "mean"})(_ds_from_pandas(df)).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    ora = duckdb.connect().execute("""
+        SELECT k, avg(CASE WHEN p='a' THEN v END) a,
+               avg(CASE WHEN p='b' THEN v END) b
+        FROM df GROUP BY k ORDER BY k""").fetchdf()
+    np.testing.assert_allclose(out[["a", "b"]].values,
+                               ora[["a", "b"]].values, rtol=1e-9)
