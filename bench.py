@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "funnel_signup_click_purchase",  # ordered-event funnel, one exchange
     "mode_lang_by_source",           # per-key mode, bounded exchange
     "zscore_order_value",            # standardize: stats broadcast back
+    "alternation_violations_transcripts",  # broken-alternation admission
 ]
 
 

@@ -3981,6 +3981,55 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "alternation_violations_transcripts",
+    """
+    WITH tr AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, event_id,
+             event_type AS role
+      FROM events
+    ), x AS (
+      SELECT conv_id, role,
+             lag(role) OVER (PARTITION BY conv_id
+                             ORDER BY event_id) AS prev_role
+      FROM tr
+    )
+    SELECT conv_id,
+           CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM x GROUP BY conv_id
+    HAVING sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) > 0
+    """,
+)
+def alternation_violations_transcripts(sf_dir: str):
+    """SFT-prep admission signal: conversations with consecutive
+    same-role turns (broken user/assistant alternation) and how many.
+    The per-conversation ``lag`` rides the one-exchange coarse-shard
+    kernel (rank-free, ordered by event_id); the violation count is a
+    two-phase aggregate with a HAVING filter."""
+    tr = _transcript_lines(sf_dir).select_columns(
+        ["conv_id", "event_id", "role"])
+    tr = build_op({"op": "group_lag", "key_col": "conv_id",
+                   "order_col": "event_id", "value_col": "role",
+                   "out": "prev_role", "offset": 1})(tr)
+    tr = build_op({
+        "op": "mapping",
+        "cols": {"viol": E.when(
+            E.F("fill_null",
+                E.col("role") == E.col("prev_role"), E.lit(False)),
+            E.lit(1), E.lit(0))},
+        "select": ["conv_id", "viol"],
+    })(tr)
+    out = build_op({"op": "group_agg", "keys": ["conv_id"],
+                    "aggs": [("sum", "viol", "n_violations"),
+                             ("count", None, "n_turns")]})(tr)
+    return build_op({
+        "op": "filter",
+        "predicate": E.col("n_violations") > E.lit(0),
+    })(out).select_columns(["conv_id", "n_violations", "n_turns"])
+
+
+@query(
     "zscore_order_value",
     """
     SELECT o_orderkey,
