@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "mode_lang_by_source",           # per-key mode, bounded exchange
     "zscore_order_value",            # standardize: stats broadcast back
     "alternation_violations_transcripts",  # broken-alternation admission
+    "pagerank_cust_supplier",        # iterative: node vector moves, not edges
 ]
 
 

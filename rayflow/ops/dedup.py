@@ -2062,3 +2062,105 @@ def build_dup_span_remove(*, k_tokens: int = 50, text_col: str = "text",
         return joined.map_batches(rebuild, **_PA_KW)
 
     return apply
+
+
+@register_op("pagerank")
+def build_pagerank(*, src_col: str = "src", dst_col: str = "dst",
+                   n_iter: int = 3, damping: float = 0.85,
+                   undirected: bool = True, node_out: str = "node",
+                   out: str = "rank",
+                   broadcast_limit: int = 5_000_000):
+    """PageRank over an edge-list Dataset — the second iterative
+    algorithm in the family (k-means is the other), same scale shape:
+    per iteration the EDGES never leave the workers; only a
+    node-sized vector moves (broadcast out, partial sums back).
+
+    ``undirected`` mirrors every edge (so every participating node
+    has out-degree ≥ 1 — no dangling-mass term needed; nodes with no
+    edges don't participate, document upstream).  Multi-edges count
+    with multiplicity — DISTINCT the edge list first if unwanted.
+
+    Per iteration: broadcast sorted node ids + rank/deg (``ray.put``);
+    each edge batch contributes ``rank(src)/deg(src)`` to its dst via
+    a vectorized searchsorted + bincount partial; one two-phase keyed
+    combine sums partials; the driver folds the node-sized result into
+    ``(1−d)/N + d·contrib``.  The node vector must fit the driver
+    (loud ``broadcast_limit``) — at larger node counts keep ranks as a
+    Dataset and co-partition with the edges instead."""
+    import ray
+
+    def apply(ds):
+        from rayflow.ops import build_op
+
+        def mirror(t: pa.Table) -> pa.Table:
+            s = pc.cast(t.column(src_col), pa.string())
+            d = pc.cast(t.column(dst_col), pa.string())
+            s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+            if undirected:
+                return pa.table({"_pr_src": pa.concat_arrays([s, d]),
+                                 "_pr_dst": pa.concat_arrays([d, s])})
+            return pa.table({"_pr_src": s, "_pr_dst": d})
+
+        edges = ds.map_batches(mirror, **_PA_KW).materialize()
+
+        deg_ds = build_op({
+            "op": "group_agg", "keys": ["_pr_src"],
+            "aggs": [("count", None, "_pr_deg")],
+        })(edges)
+        deg_tbl = pa.concat_tables(
+            [pa.table(b) for b in
+             deg_ds.iter_batches(batch_format="pyarrow")])
+        if deg_tbl.num_rows > broadcast_limit:
+            raise ValueError(
+                f"pagerank: {deg_tbl.num_rows} nodes exceed "
+                f"broadcast_limit={broadcast_limit} — co-partition a "
+                "rank Dataset with the edges instead of broadcasting")
+        order = pc.sort_indices(deg_tbl.column("_pr_src"))
+        nodes = deg_tbl.column("_pr_src").take(order)
+        deg = deg_tbl.column("_pr_deg").take(order) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        nodes_np = np.asarray(nodes.to_pylist(), dtype=object)
+        n = len(nodes_np)
+        rank = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+
+        nodes_arr = pa.array(list(nodes_np), pa.string())
+
+        for _ in range(max(0, int(n_iter))):
+            share_ref = ray.put((nodes_arr, rank / deg))
+
+            def contrib(t: pa.Table, _ref=share_ref) -> pa.Table:
+                nn, shares = ray.get(_ref)
+                si = pc.index_in(t.column("_pr_src"), value_set=nn) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                di = pc.index_in(t.column("_pr_dst"), value_set=nn) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                part = np.bincount(di, weights=shares[si], minlength=0)
+                nz = np.nonzero(part)[0]
+                return pa.table({
+                    "_pr_i": pa.array(nz, pa.int64()),
+                    "_pr_c": pa.array(part[nz], pa.float64()),
+                })
+
+            agg = build_op({
+                "op": "group_agg", "keys": ["_pr_i"],
+                "aggs": [("sum", "_pr_c", "_pr_c")],
+            })(edges.map_batches(contrib, **_PA_KW))
+            at = pa.concat_tables(
+                [pa.table(b) for b in
+                 agg.iter_batches(batch_format="pyarrow")])
+            new_rank = np.full(n, base)
+            idx = at.column("_pr_i").to_numpy(zero_copy_only=False)
+            val = at.column("_pr_c").to_numpy(zero_copy_only=False)
+            new_rank[idx] += damping * val
+            rank = new_rank
+
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            node_out: pa.array(list(nodes_np), pa.string()),
+            out: pa.array(rank, pa.float64()),
+        }))
+
+    return apply

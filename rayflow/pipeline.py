@@ -517,7 +517,7 @@ EXCHANGE_CLASS: dict[str, str] = {
     **{n: "broadcast" for n in (
         "broadcast_join", "broadcast_semi", "decontaminate",
         "knn_bruteforce", "kmeans", "ngram_lm_score", "dedup_against",
-        "ann_lsh", "ann_ivf", "connected_components",
+        "ann_lsh", "ann_ivf", "connected_components", "pagerank",
     )},
     **{n: "global" for n in ("sort", "repartition", "union")},
     **{n: "actor" for n in (

@@ -3981,6 +3981,75 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "pagerank_cust_supplier",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT src, dst FROM e0
+      UNION ALL SELECT dst, src FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+      FROM e GROUP BY 1
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, 1.0 / n AS r FROM deg CROSS JOIN nn),
+    r1 AS (
+      SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(r0.r / deg.d)
+             AS r
+      FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node
+      CROSS JOIN nn GROUP BY e.dst
+    ), r2 AS (
+      SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(r1.r / deg.d)
+             AS r
+      FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node
+      CROSS JOIN nn GROUP BY e.dst
+    ), r3 AS (
+      SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(r2.r / deg.d)
+             AS r
+      FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.node
+      CROSS JOIN nn GROUP BY e.dst
+    )
+    SELECT node, r AS rank FROM r3
+    """,
+)
+def pagerank_cust_supplier(sf_dir: str):
+    """PageRank (3 iterations, d=0.85) over the customer↔supplier
+    bipartite graph induced by orders⋈lineitem — the iterative-
+    algorithm pattern beside k-means: edges never leave the workers;
+    each iteration broadcasts a node-sized rank vector and reduces
+    node-sized partials through ONE two-phase keyed combine.  The
+    oracle is the literal power iteration unrolled in SQL."""
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey"])
+    joined = build_op({
+        "op": "sharded_join", "right": orders,
+        "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+        "how": "inner", "num_partitions": 4,
+    })(li)
+    edges = build_op({
+        "op": "mapping",
+        "cols": {"src": E.F("concat", E.lit("c"),
+                            E.F("string", E.col("o_custkey"))),
+                 "dst": E.F("concat", E.lit("s"),
+                            E.F("string", E.col("l_suppkey")))},
+        "select": ["src", "dst"],
+    })(joined)
+    edges = build_op({
+        "op": "group_agg", "keys": ["src", "dst"],
+        "aggs": [("count", None, "_c")],
+    })(edges)
+    out = build_op({"op": "pagerank", "src_col": "src",
+                    "dst_col": "dst", "n_iter": 3,
+                    "damping": 0.85})(edges)
+    return out.select_columns(["node", "rank"])
+
+
+@query(
     "alternation_violations_transcripts",
     """
     WITH tr AS (

@@ -1517,3 +1517,29 @@ def test_pivot_mean_null_semantics_vs_duckdb(ray_session):
         FROM df GROUP BY k ORDER BY k""").fetchdf()
     np.testing.assert_allclose(out[["a", "b"]].values,
                                ora[["a", "b"]].values, rtol=1e-9)
+
+
+def test_pagerank_star_graph(ray_session):
+    # star: hub connected to 5 leaves (undirected) -> hub rank highest,
+    # leaves equal; ranks sum to 1
+    df = pd.DataFrame({"src": ["h"] * 5,
+                       "dst": [f"l{i}" for i in range(5)]})
+    out = build_op({"op": "pagerank", "n_iter": 10})(
+        _ds_from_pandas(df)).to_pandas().set_index("node")
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
+    hub = out.loc["h", "rank"]
+    leaves = out.drop(index="h")["rank"]
+    assert (hub > leaves).all()
+    assert np.allclose(leaves, leaves.iloc[0], rtol=1e-12)
+
+
+def test_pagerank_multi_edge_weighting(ray_session):
+    # duplicate edge doubles the walk weight toward that neighbor
+    df1 = pd.DataFrame({"src": ["a", "a"], "dst": ["b", "c"]})
+    df2 = pd.DataFrame({"src": ["a", "a", "a"], "dst": ["b", "b", "c"]})
+    r1 = build_op({"op": "pagerank", "n_iter": 5})(
+        _ds_from_pandas(df1)).to_pandas().set_index("node")["rank"]
+    r2 = build_op({"op": "pagerank", "n_iter": 5})(
+        _ds_from_pandas(df2)).to_pandas().set_index("node")["rank"]
+    assert abs(r1["b"] - r1["c"]) < 1e-12        # symmetric
+    assert r2["b"] > r2["c"]                     # multiplicity counts
