@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "zscore_order_value",            # standardize: stats broadcast back
     "alternation_violations_transcripts",  # broken-alternation admission
     "pagerank_cust_supplier",        # iterative: node vector moves, not edges
+    "coalesce_event_intervals",      # gaps-and-islands, segmented cummax
 ]
 
 

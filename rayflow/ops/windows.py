@@ -814,3 +814,68 @@ def build_funnel(*, key_col: str, step_col: str, order_col: str,
             .groupby("_fn_shard").map_groups(sweep, batch_format="pandas")
 
     return apply
+
+
+@register_op("interval_coalesce")
+def build_interval_coalesce(*, key_col: str, start_col: str,
+                            end_col: str, num_shards: int = 64,
+                            agg_count: str = "n_merged"):
+    """Gaps-and-islands: merge overlapping-or-touching ``[start, end]``
+    intervals per key into maximal islands (the classic SQL pattern —
+    coalescing validity ranges, on-call shifts, session spans).
+    Output: one row per island with the key, island start/end, and how
+    many input intervals merged into it.
+
+    ONE keyed exchange (shared coarse-shard shape); in-shard the sweep
+    is fully vectorized: sort by (key, start), running ``maximum
+    .accumulate`` of end within key runs, island breaks where a start
+    exceeds the running max of everything before it — no per-key
+    loop."""
+
+    def shard(t: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import shard_codes
+
+        return t.append_column(
+            "_ic_shard",
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
+
+    def sweep(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values([key_col, start_col], kind="mergesort",
+                          ignore_index=True)
+        kidx, _ = pd.factorize(g[key_col], use_na_sentinel=False)
+        start = g[start_col].to_numpy()
+        end = g[end_col].to_numpy()
+        n = len(g)
+        # new island where a row's start exceeds the running max end of
+        # everything before it IN ITS KEY RUN.  Segmented cummax has no
+        # offset trick (unlike cumsum), so scan per key run — the loop
+        # is over RUNS (≤ keys/shard), each slice a vectorized
+        # maximum.accumulate, never a per-row loop
+        run_start = np.concatenate(([True], kidx[1:] != kidx[:-1]))
+        reset_idx = np.nonzero(run_start)[0]
+        new_island = np.zeros(n, dtype=bool)
+        new_island[run_start] = True
+        for s_i, e_i in zip(reset_idx, np.append(reset_idx[1:], n)):
+            if e_i - s_i <= 1:
+                continue
+            seg_cm = np.maximum.accumulate(end[s_i:e_i])
+            new_island[s_i + 1:e_i] = start[s_i + 1:e_i] > seg_cm[:-1]
+        island = np.cumsum(new_island) - 1
+        df = pd.DataFrame({
+            key_col: g[key_col], "_ic_isl": island,
+            start_col: start, end_col: end})
+        out = df.groupby([key_col, "_ic_isl"], sort=False, as_index=False) \
+            .agg(**{start_col: (start_col, "min"),
+                    end_col: (end_col, "max"),
+                    agg_count: (end_col, "size")})
+        out[agg_count] = out[agg_count].astype(np.int64)
+        return pa.Table.from_pandas(
+            out.drop(columns=["_ic_isl"]), preserve_index=False)
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_ic_shard").map_groups(sweep, batch_format="pandas")
+
+    return apply

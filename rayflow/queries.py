@@ -3981,6 +3981,66 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "coalesce_event_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + to_microseconds(CAST(floor(value * 60000000) AS BIGINT))
+               AS e
+      FROM events
+    ), o AS (
+      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ), f AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS isl
+      FROM f
+    )
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM g GROUP BY user_id, isl
+    """,
+)
+def coalesce_event_intervals(sf_dir: str):
+    """Gaps-and-islands (``interval_coalesce``): each event spans
+    [ts, ts + value minutes]; overlapping-or-touching spans per user
+    merge into maximal islands.  ONE keyed exchange; the in-shard
+    sweep is a segmented running-max scan (loop over key RUNS, each
+    slice one vectorized ``maximum.accumulate``).  The oracle is the
+    classic prev-running-max window SQL."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "ts", "value"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        dur = pc.cast(pc.floor(pc.multiply(t["value"], 60000000.0)),
+                      pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": pc.cast(us, pa.timestamp("us")),
+            "e": pc.cast(pc.add(us, dur), pa.timestamp("us")),
+        })
+
+    ds = ds.map_batches(spans, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = build_op({"op": "interval_coalesce", "key_col": "user_id",
+                    "start_col": "s", "end_col": "e",
+                    "agg_count": "n_merged"})(ds)
+    out = build_op({
+        "op": "mapping",
+        "cols": {"span_start": E.col("s"), "span_end": E.col("e")},
+        "select": ["user_id", "span_start", "span_end", "n_merged"],
+    })(out)
+    return out
+
+
+@query(
     "pagerank_cust_supplier",
     """
     WITH e0 AS (

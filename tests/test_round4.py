@@ -1543,3 +1543,34 @@ def test_pagerank_multi_edge_weighting(ray_session):
         _ds_from_pandas(df2)).to_pandas().set_index("node")["rank"]
     assert abs(r1["b"] - r1["c"]) < 1e-12        # symmetric
     assert r2["b"] > r2["c"]                     # multiplicity counts
+
+
+def test_interval_coalesce_islands(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b"],
+        "s": [1.0, 2.0, 10.0, 11.5, 0.0],
+        "e": [3.0, 5.0, 11.0, 12.0, 100.0],
+    })
+    out = build_op({"op": "interval_coalesce", "key_col": "k",
+                    "start_col": "s", "end_col": "e"})(
+        _ds_from_pandas(df)).to_pandas() \
+        .sort_values(["k", "s"]).reset_index(drop=True)
+    # a: [1,5] (two merged), [10,12] (two merged: 11.5 <= 11 running max? no —
+    # 11.5 > 11 would break; touching rule: start <= running max merges)
+    a = out[out.k == "a"]
+    assert len(a) == 3  # [1,5], [10,11], [11.5,12]
+    assert list(a.n_merged) == [2, 1, 1]
+    b = out[out.k == "b"]
+    assert len(b) == 1 and b.iloc[0].n_merged == 1
+
+
+def test_interval_coalesce_contained_intervals(ray_session):
+    # an interval fully containing later ones keeps the island open
+    df = pd.DataFrame({"k": [1, 1, 1], "s": [0.0, 2.0, 8.0],
+                       "e": [10.0, 3.0, 12.0]})
+    out = build_op({"op": "interval_coalesce", "key_col": "k",
+                    "start_col": "s", "end_col": "e"})(
+        _ds_from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].s == 0.0 and out.iloc[0].e == 12.0
+    assert out.iloc[0].n_merged == 3
