@@ -458,3 +458,112 @@ def test_pair_jaccard_lexsort_fallback_agrees():
     b = np.sort(np.array([big, 7, 99], np.int64)).tobytes()
     (j,) = pair_jaccard([a], [b])
     assert j == 2 / 4
+
+
+# ---------------------------------------------------------- round-4 kernels
+
+
+def _lev_ref(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (a[i - 1] != b[j - 1]))
+    return dp[lb]
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abcde", max_size=10),
+                          st.text(alphabet="abcde", max_size=10)),
+                min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_lev_dp_batch_matches_scalar_reference(pairs):
+    from rayflow.ops.dedup import _lev_dp_batch
+
+    L = max(max(len(a), len(b)) for a, b in pairs)
+    L = max(L, 1)
+    A = np.full((len(pairs), L), -1, np.int32)
+    B = np.full((len(pairs), L), -2, np.int32)
+    la = np.array([len(a) for a, _ in pairs], np.int64)
+    lb = np.array([len(b) for _, b in pairs], np.int64)
+    for r, (a, b) in enumerate(pairs):
+        A[r, :len(a)] = [ord(c) for c in a]
+        B[r, :len(b)] = [ord(c) for c in b]
+    got = _lev_dp_batch(A, B, la, lb)
+    exp = np.array([_lev_ref(a, b) for a, b in pairs])
+    assert (got == exp).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 2),           # key
+                          st.integers(0, 50),          # start
+                          st.integers(0, 20)),         # duration
+                min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_interval_coalesce_matches_bruteforce(rows):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    df = pd.DataFrame({"k": [r[0] for r in rows],
+                       "s": [float(r[1]) for r in rows],
+                       "e": [float(r[1] + r[2]) for r in rows]})
+    out = build_op({"op": "interval_coalesce", "key_col": "k",
+                    "start_col": "s", "end_col": "e"})(
+        rd.from_pandas(df)).to_pandas()
+    # brute force islands per key
+    exp_islands = []
+    for k, g in df.groupby("k"):
+        ivs = sorted(zip(g.s, g.e))
+        cur_s, cur_e, n = None, None, 0
+        for s, e in ivs:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    exp_islands.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        exp_islands.append((k, cur_s, cur_e, n))
+    got = sorted(map(tuple, out[["k", "s", "e", "n_merged"]].values))
+    assert got == sorted(exp_islands)
+
+
+@given(st.lists(st.tuples(st.integers(0, 2),            # key
+                          st.sampled_from(["a", "b", "c", "x"]),
+                          st.integers(0, 30)),          # time
+                min_size=1, max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_funnel_matches_bruteforce(rows):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    df = pd.DataFrame({"u": [r[0] for r in rows],
+                       "s": [r[1] for r in rows],
+                       "t": [float(r[2]) for r in rows]})
+    steps = ["a", "b", "c"]
+    out = build_op({"op": "funnel", "key_col": "u", "step_col": "s",
+                    "order_col": "t", "steps": steps})(
+        rd.from_pandas(df)).to_pandas()
+    if "u" not in out.columns:          # nobody started the funnel
+        out = pd.DataFrame(columns=["u", "reached"]
+                           + [f"step{i+1}_order" for i in range(3)])
+    out = out.set_index("u")
+    for u, g in df.groupby("u"):
+        prev = None
+        ts = []
+        for stp in steps:
+            cand = g[(g.s == stp)]
+            if prev is not None:
+                cand = cand[cand.t > prev]
+            if len(cand) == 0:
+                break
+            prev = cand.t.min()
+            ts.append(prev)
+        if not ts:
+            assert u not in out.index
+            continue
+        assert out.loc[u, "reached"] == len(ts)
+        for i, v in enumerate(ts):
+            assert out.loc[u, f"step{i+1}_order"] == v
