@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "alternation_violations_transcripts",  # broken-alternation admission
     "pagerank_cust_supplier",        # iterative: node vector moves, not edges
     "coalesce_event_intervals",      # gaps-and-islands, segmented cummax
+    "dup_span_remove_docs",          # ExactSubstr cut, rows-only check
 ]
 
 

@@ -3980,6 +3980,21 @@ def turn_transition_counts_transcripts(sf_dir: str):
     return out.select_columns(["role", "next_role", "n"])
 
 
+@query("dup_span_remove_docs")
+def dup_span_remove_docs(sf_dir: str):
+    """ExactSubstr removal over the corpus (``dup_span_remove``,
+    k=8 tokens on the synthetic docs): duplicated windows keep their
+    globally-first occurrence, later occurrences are excised and docs
+    rebuilt.  No SQL oracle — the global-first rebuild is not
+    SQL-expressible (driver records the rows-only check); exactness is
+    pinned by the first-occurrence-verbatim / same-doc-repeat /
+    remove-then-detect-empty property tests in tests/test_round4.py."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    out = build_op({"op": "dup_span_remove", "k_tokens": 8})(ds)
+    return out.select_columns(["doc_id", "text", "n_tokens_removed"])
+
+
 @query(
     "coalesce_event_intervals",
     """
