@@ -100,3 +100,18 @@ def test_entry_contract():
     assert "conv_id" in [f for f in ds.schema().names]
     q, o = e.queries(), e.oracle_sql()
     assert q and set(o) <= set(q)
+
+
+def test_no_oracle_queries_run_and_return_rows(sf01_dir):
+    """Queries without a SQL oracle (non-SQL-expressible rebuilds /
+    generic ANN top-k) still run through the driver surface: each must
+    execute at sf0.01 and return a non-empty frame with stable,
+    non-empty column names."""
+    from rayflow.queries import ORACLE_SQL, QUERIES
+
+    missing = sorted(set(QUERIES) - set(ORACLE_SQL))
+    assert missing, "every query has an oracle — drop this test guard"
+    for name in missing:
+        df = _to_pandas(QUERIES[name](sf01_dir))
+        assert len(df.columns) > 0, name
+        assert len(df) > 0, f"{name}: empty result"
