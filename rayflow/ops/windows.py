@@ -767,8 +767,8 @@ def build_funnel(*, key_col: str, step_col: str, order_col: str,
         # datetimes stay int64 ns end to end — a float64 cast loses
         # sub-microsecond bits (2^53 < ns range) and drifts the output
         if is_dt:
-            order = np.asarray(
-                order_raw.astype("datetime64[ns]").view("int64"))
+            order = order_raw.astype("datetime64[ns]") \
+                .astype("int64").to_numpy()
             sent = np.iinfo(np.int64).max
             w = int(float(within) * 1e9) if within is not None else None
         else:
