@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "pagerank_cust_supplier",        # iterative: node vector moves, not edges
     "coalesce_event_intervals",      # gaps-and-islands, segmented cummax
     "dup_span_remove_docs",          # ExactSubstr cut, rows-only check
+    "intersect_customers_95_97",     # whole-row INTERSECT, sharded semi
 ]
 
 

@@ -1134,3 +1134,69 @@ def build_group_zscore(*, keys: list[str], value_col: str,
         return joined.map_batches(fin, **_PA_KW)
 
     return apply
+
+
+@register_op("set_op")
+def build_set_op(*, other, how: str = "intersect",
+                 partial_limit: int = 2_000_000):
+    """Whole-row SQL set operations: ``intersect`` / ``except`` /
+    ``union_distinct`` — SET semantics (distinct rows), matching the
+    SQL operators of the same names.
+
+    Plan: both sides reduce to DISTINCT rows via the adaptive two-phase
+    ``group_agg`` over ALL columns (duplicates collapse before any
+    exchange), then membership is decided with the existing
+    ``sharded_semi`` machinery (no size assumption on either side) —
+    ``intersect`` keeps distinct left rows present in right,
+    ``except`` keeps those absent, ``union_distinct`` is one distinct
+    over the concatenation.  Column sets must match."""
+    if how not in ("intersect", "except", "union_distinct"):
+        raise ValueError("set_op: how must be intersect/except/"
+                         "union_distinct")
+
+    from rayflow.ops import build_op
+
+    def distinct(ds, cols):
+        return build_op({"op": "group_agg", "keys": cols,
+                         "aggs": [("count", None, "_so_n")],
+                         "partial_limit": partial_limit})(ds) \
+            .drop_columns(["_so_n"])
+
+    def row_key(cols):
+        # unambiguous whole-row encoding: per field "len:value", nulls
+        # as the no-colon token "N" (can't collide — non-null pieces
+        # always contain ':'), concatenated.  Vectorized Arrow kernels.
+        def fn(t: pa.Table) -> pa.Table:
+            pieces = []
+            for c in cols:
+                s = pc.cast(t.column(c), pa.string())
+                enc = pc.binary_join_element_wise(
+                    pc.cast(pc.utf8_length(s), pa.string()), s, ":")
+                pieces.append(pc.coalesce(enc, pa.scalar("N")))
+            key = pieces[0] if len(pieces) == 1 else \
+                pc.binary_join_element_wise(*pieces, "")
+            return t.append_column("_so_key", key)
+
+        return fn
+
+    def apply(ds):
+        cols = [c for c in ds.schema().names]
+        ocols = [c for c in other.schema().names]
+        if sorted(cols) != sorted(ocols):
+            raise ValueError(
+                f"set_op: column sets differ: {sorted(cols)} vs "
+                f"{sorted(ocols)}")
+        right = other.select_columns(cols)
+        if how == "union_distinct":
+            return distinct(ds.union(right), cols)
+        left_d = distinct(ds, cols).map_batches(row_key(cols), **_PA_KW)
+        right_d = distinct(right, cols) \
+            .map_batches(row_key(cols), **_PA_KW) \
+            .select_columns(["_so_key"])
+        out = build_op({
+            "op": "sharded_semi", "right": right_d,
+            "on": "_so_key", "anti": (how == "except"),
+        })(left_d)
+        return out.drop_columns(["_so_key"])
+
+    return apply

@@ -3980,6 +3980,38 @@ def turn_transition_counts_transcripts(sf_dir: str):
     return out.select_columns(["role", "next_role", "n"])
 
 
+@query(
+    "intersect_customers_95_97",
+    """
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+)
+def intersect_customers_95_97(sf_dir: str):
+    """SQL set operation (``set_op``): customers active in BOTH 1995
+    and 1997 — whole-row INTERSECT semantics.  Both sides collapse to
+    distinct rows via the adaptive two-phase aggregate BEFORE any
+    exchange; membership is one sharded semi over an unambiguous
+    length-prefixed row key (no size assumption on either side).
+    EXCEPT / UNION DISTINCT share the machinery (unit-tested)."""
+    rd = _rd()
+
+    def year_side(y):
+        ds = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+        ds = build_op({
+            "op": "filter",
+            "predicate": E.F("year", E.col("o_orderdate")) == E.lit(y),
+        })(ds)
+        return ds.select_columns(["o_custkey"])
+
+    return build_op({"op": "set_op", "other": year_side(1997),
+                     "how": "intersect"})(year_side(1995))
+
+
 @query("dup_span_remove_docs")
 def dup_span_remove_docs(sf_dir: str):
     """ExactSubstr removal over the corpus (``dup_span_remove``,

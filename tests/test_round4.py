@@ -1574,3 +1574,32 @@ def test_interval_coalesce_contained_intervals(ray_session):
     assert len(out) == 1
     assert out.iloc[0].s == 0.0 and out.iloc[0].e == 12.0
     assert out.iloc[0].n_merged == 3
+
+
+def test_set_op_vs_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(47)
+    a = pd.DataFrame({"x": rng.integers(0, 20, 100),
+                      "y": rng.choice(["p", "q", None], 100)})
+    b = pd.DataFrame({"x": rng.integers(10, 30, 100),
+                      "y": rng.choice(["p", "q", None], 100)})
+    con = duckdb.connect()
+    for how, sql in [("intersect", "SELECT * FROM a INTERSECT SELECT * FROM b"),
+                     ("except", "SELECT * FROM a EXCEPT SELECT * FROM b"),
+                     ("union_distinct", "SELECT * FROM a UNION SELECT * FROM b")]:
+        out = build_op({"op": "set_op", "other": _ds_from_pandas(b),
+                        "how": how})(_ds_from_pandas(a)).to_pandas()
+        ora = con.execute(sql).fetchdf()
+        key = ["x", "y"]
+        o1 = out.sort_values(key, na_position="last").reset_index(drop=True)
+        o2 = ora.sort_values(key, na_position="last").reset_index(drop=True)
+        assert len(o1) == len(o2), (how, len(o1), len(o2))
+        assert (o1.fillna("~") == o2.fillna("~")).all().all(), how
+
+
+def test_set_op_rejects_mismatched_columns(ray_session):
+    a = _ds_from_pandas(pd.DataFrame({"x": [1]}))
+    b = _ds_from_pandas(pd.DataFrame({"z": [1]}))
+    with pytest.raises(ValueError, match="column sets differ"):
+        build_op({"op": "set_op", "other": b})(a)
