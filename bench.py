@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "coalesce_event_intervals",      # gaps-and-islands, segmented cummax
     "dup_span_remove_docs",          # ExactSubstr cut, rows-only check
     "intersect_customers_95_97",     # whole-row INTERSECT, sharded semi
+    "cube_status_priority",          # CUBE from one finest aggregate
 ]
 
 

@@ -1200,3 +1200,82 @@ def build_set_op(*, other, how: str = "intersect",
         return out.drop_columns(["_so_key"])
 
     return apply
+
+
+@register_op("group_grouping_sets")
+def build_group_grouping_sets(*, keys: list[str],
+                              sets: list | str = "cube",
+                              aggs: list[tuple[str, str | None, str]]
+                              = (),
+                              partial_limit: int = 2_000_000):
+    """Arbitrary ``GROUP BY GROUPING SETS`` / ``CUBE`` (the general
+    form of ``group_rollup``): each requested set must be a subset of
+    ``keys``; absent key columns are typed nulls, SQL style.
+    ``sets="cube"`` expands to every subset of ``keys`` (2^k sets —
+    keep k small).
+
+    Same scale plan as rollup: the FACT aggregates exactly once at the
+    finest level (all ``keys``); every set re-aggregates that finished
+    aggregate — group-cardinality-sized inputs, sum/count→sum,
+    min/max→min/max.  ``mean``/``std`` rejected (not re-aggregable)."""
+    for f, _, _ in aggs:
+        if f not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"group_grouping_sets: agg {f!r} is not re-aggregable "
+                "from the finest level — use sum/count/min/max")
+    if sets == "cube":
+        from itertools import combinations
+
+        expanded = [list(c) for r in range(len(keys), -1, -1)
+                    for c in combinations(keys, r)]
+    else:
+        expanded = [list(s) for s in sets]
+        for s in expanded:
+            if not set(s) <= set(keys):
+                raise ValueError(
+                    f"group_grouping_sets: set {s} is not a subset of "
+                    f"keys {keys}")
+
+    from rayflow.ops import build_op
+
+    re_aggs = [("sum" if f in ("count", "sum") else f, alias, alias)
+               for f, _, alias in aggs]
+    alias_cols = [alias for _, _, alias in aggs]
+
+    def apply(ds):
+        finest = build_op({"op": "group_agg", "keys": keys,
+                           "aggs": list(aggs),
+                           "partial_limit": partial_limit})(ds) \
+            .materialize()
+        sch = finest.schema()
+        key_types = {n: ty for n, ty in zip(sch.names, sch.types)
+                     if n in keys}
+
+        def null_fill(level_ds, present: list[str]):
+            absent = [k for k in keys if k not in present]
+
+            def fn(t: pa.Table) -> pa.Table:
+                out = {k: t.column(k) for k in present}
+                for k in absent:
+                    out[k] = pa.nulls(t.num_rows, key_types[k])
+                for a in alias_cols:
+                    out[a] = t.column(a)
+                return pa.table({k: out[k] for k in keys + alias_cols})
+
+            return level_ds.map_batches(fn, **_PA_KW)
+
+        levels = []
+        for s in expanded:
+            if sorted(s) == sorted(keys):
+                levels.append(null_fill(finest, keys))
+                continue
+            lvl = build_op({"op": "group_agg", "keys": s,
+                            "aggs": re_aggs,
+                            "partial_limit": partial_limit})(finest)
+            levels.append(null_fill(lvl, s))
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.union(lvl)
+        return out
+
+    return apply

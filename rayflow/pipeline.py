@@ -503,6 +503,7 @@ EXCHANGE_CLASS: dict[str, str] = {
     **{n: "keyed" for n in (
         "group_agg", "group_topk", "group_percentile",
         "group_approx_percentile", "group_rollup", "group_rank",
+        "group_grouping_sets",
         "group_cumsum", "group_lag", "group_concat", "group_hll",
         "group_cap", "dedupe", "sharded_join", "sharded_semi",
         "asof_join", "interval_join", "window_session",

@@ -3981,6 +3981,34 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(sf_dir: str):
+    """``GROUP BY CUBE`` via ``group_grouping_sets(sets="cube")``: all
+    2^k grouping sets from ONE finest-level fact aggregate — every
+    coarser set re-aggregates the finished aggregate, never the fact;
+    rolled-up keys typed-null, SQL style."""
+    rd = _rd()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderstatus", "o_orderpriority",
+                                      "o_totalprice"])
+    out = build_op({
+        "op": "group_grouping_sets",
+        "keys": ["o_orderstatus", "o_orderpriority"], "sets": "cube",
+        "aggs": [("count", None, "n_orders"),
+                 ("sum", "o_totalprice", "total_price")],
+    })(orders)
+    return _round_cols(out, ["total_price"])
+
+
+@query(
     "intersect_customers_95_97",
     """
     SELECT o_custkey FROM orders

@@ -1603,3 +1603,32 @@ def test_set_op_rejects_mismatched_columns(ray_session):
     b = _ds_from_pandas(pd.DataFrame({"z": [1]}))
     with pytest.raises(ValueError, match="column sets differ"):
         build_op({"op": "set_op", "other": b})(a)
+
+
+def test_grouping_sets_explicit_vs_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 150),
+                       "b": rng.choice(["p", "q"], 150),
+                       "v": rng.normal(size=150).round(2)})
+    out = build_op({
+        "op": "group_grouping_sets", "keys": ["a", "b"],
+        "sets": [["a"], ["b"]],
+        "aggs": [("sum", "v", "s"), ("count", None, "n")],
+    })(_ds_from_pandas(df)).to_pandas()
+    ora = duckdb.connect().execute("""
+        SELECT a, b, sum(v) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM df GROUP BY GROUPING SETS ((a), (b))""").fetchdf()
+    key = ["a", "b"]
+    o1 = out.sort_values(key, na_position="last").reset_index(drop=True)
+    o2 = ora.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(o1) == len(o2)
+    assert (o1.n.values == o2.n.values).all()
+    np.testing.assert_allclose(o1.s.values, o2.s.values, atol=1e-9)
+
+
+def test_grouping_sets_rejects_bad_set():
+    with pytest.raises(ValueError, match="not a subset"):
+        build_op({"op": "group_grouping_sets", "keys": ["a"],
+                  "sets": [["z"]], "aggs": [("sum", "v", "s")]})
