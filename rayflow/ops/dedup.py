@@ -1775,7 +1775,8 @@ def _lev_dp_batch(A: np.ndarray, B: np.ndarray, la: np.ndarray,
 def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
                             distinct: bool = True,
                             hot_bucket_limit: int = 5_000,
-                            pair_chunk: int = 8_192):
+                            pair_chunk: int = 8_192,
+                            right=None, right_col: str | None = None):
     """Exact edit-distance near-duplicate pairs over a SHORT string
     column (names, titles, codes): every unordered pair with
     ``levenshtein ≤ k``, emitted as (s_a < s_b, dist).  A distance
@@ -1791,15 +1792,43 @@ def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
     exchange on the band; in-group work is a numpy length-window
     filter plus the chunked vectorized DP kernel above.  Strings past
     ``max_len`` fail loud — the O(L²) DP is for short fields; use the
-    shingle ops for documents."""
+    shingle ops for documents.
+
+    ``right``: CROSS-TABLE mode (fuzzy-match new records against an
+    existing lake, the incremental-ingest companion to
+    ``dedup_against``): pairs are emitted ONLY across the two sides as
+    (s_left, s_right, dist), including dist 0 exact hits; same
+    banding, same single exchange — the side tag just rides along."""
     from rayflow.ops import build_op
 
     band_w = k + 1
+
+    cross = right is not None
 
     def apply(ds):
         if distinct:
             ds = build_op({"op": "group_agg", "keys": [col],
                            "aggs": [("count", None, "_n")]})(ds)
+
+        def _norm_side(d, c, side):
+            if c != col:
+                d = build_op({"op": "mapping",
+                              "cols": {col: E.col(c)},
+                              "select": [col]})(d)
+            return build_op({"op": "mapping",
+                             "cols": {"_lv_side": E.lit(side)},
+                             "select": [col, "_lv_side"]})(d)
+
+        if cross:
+            from rayflow import expr as E  # noqa: F401 (closure above)
+
+            r = right
+            if distinct:
+                rc = right_col or col
+                r = build_op({"op": "group_agg", "keys": [rc],
+                              "aggs": [("count", None, "_n")]})(r)
+            ds = _norm_side(ds, col, 0).union(
+                _norm_side(r, right_col or col, 1))
 
         def replicate(t: pa.Table) -> pa.Table:
             s = pc.cast(t.column(col), pa.string())
@@ -1813,6 +1842,9 @@ def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
             band = ln // band_w
             s2 = pa.concat_arrays([s.combine_chunks() if isinstance(
                 s, pa.ChunkedArray) else s] * 2)
+            side = (t.column("_lv_side").to_numpy(zero_copy_only=False)
+                    .astype(np.int8) if cross
+                    else np.zeros(len(ln), np.int8))
             return pa.table({
                 "s": s2,
                 "len": pa.array(np.concatenate([ln, ln]), pa.int64()),
@@ -1821,6 +1853,7 @@ def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
                 "replica": pa.array(
                     np.concatenate([np.zeros(len(ln), np.int8),
                                     np.ones(len(ln), np.int8)])),
+                "side": pa.array(np.concatenate([side, side])),
             })
 
         def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -1841,10 +1874,14 @@ def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
             s = g["s"].to_numpy()[order]
             ln = g["len"].to_numpy()[order]
             rep = g["replica"].to_numpy()[order]
+            sd = g["side"].to_numpy()[order]
             i, j = np.triu_indices(n, k=1)
             keep = ((ln[j] - ln[i]) <= k) & ~(rep[i].astype(bool)
-                                              & rep[j].astype(bool)) \
-                & (s[i] != s[j])
+                                              & rep[j].astype(bool))
+            if cross:
+                keep &= sd[i] != sd[j]      # across the two sides only
+            else:
+                keep &= s[i] != s[j]
             i, j = i[keep], j[keep]
             if not len(i):
                 return empty
@@ -1862,14 +1899,21 @@ def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
                 jj = j[lo:lo + pair_chunk]
                 d = _lev_dp_batch(codes[ii], codes_b[jj], ln[ii], ln[jj])
                 m = d <= k
-                outs.append((s[ii][m], s[jj][m], d[m]))
+                outs.append((s[ii][m], s[jj][m], d[m], sd[ii][m]))
             a = np.concatenate([o[0] for o in outs])
             b = np.concatenate([o[1] for o in outs])
             d = np.concatenate([o[2] for o in outs])
             if not len(a):
                 return empty
-            lo_s = np.minimum(a, b)
-            hi_s = np.maximum(a, b)
+            if cross:
+                # orient: column a = left side, column b = right side
+                ia = np.concatenate([o[3] for o in outs])
+                sw = ia != 0                      # i-side is right → swap
+                lo_s = np.where(sw, b, a)
+                hi_s = np.where(sw, a, b)
+            else:
+                lo_s = np.minimum(a, b)
+                hi_s = np.maximum(a, b)
             return pd.DataFrame({"s_a": lo_s, "s_b": hi_s, "dist": d})
 
         from rayflow.ops import prefer_push_shuffle

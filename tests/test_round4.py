@@ -1632,3 +1632,30 @@ def test_grouping_sets_rejects_bad_set():
     with pytest.raises(ValueError, match="not a subset"):
         build_op({"op": "group_grouping_sets", "keys": ["a"],
                   "sets": [["z"]], "aggs": [("sum", "v", "s")]})
+
+
+def test_levenshtein_pairs_cross_table(ray_session):
+    import duckdb
+
+    lt = pd.DataFrame({"name": ["ray", "data", "flow", "gate", "x"]})
+    rt = pd.DataFrame({"s": ["rays", "date", "float", "gaze",
+                             "gate", "zzz"]})
+    out = build_op({"op": "levenshtein_pairs", "col": "name", "k": 2,
+                    "right": _ds_from_pandas(rt),
+                    "right_col": "s"})(
+        _ds_from_pandas(lt)).to_pandas()
+    ora = duckdb.connect().execute("""
+        SELECT l.name AS s_a, r.s AS s_b,
+               CAST(levenshtein(l.name, r.s) AS BIGINT) AS dist
+        FROM lt l JOIN rt r ON levenshtein(l.name, r.s) <= 2
+    """).fetchdf()
+    key = ["s_a", "s_b"]
+    o1 = out.sort_values(key).reset_index(drop=True)
+    o2 = ora.sort_values(key).reset_index(drop=True)
+    assert len(o1) == len(o2), (sorted(map(tuple, o1[key].values)),
+                                sorted(map(tuple, o2[key].values)))
+    pd.testing.assert_frame_equal(o1[["s_a", "s_b", "dist"]],
+                                  o2[["s_a", "s_b", "dist"]],
+                                  check_dtype=False)
+    # exact cross hits (dist 0) are included
+    assert ((o1.s_a == "gate") & (o1.s_b == "gate")).any()
