@@ -888,67 +888,21 @@ def build_group_rollup(*, keys: list[str],
     """Hierarchical grouping-sets aggregate (SQL ``GROUP BY ROLLUP``):
     one row set per prefix of ``keys`` — (a,b), (a), and the grand
     total for ``keys=[a,b]`` — with rolled-up key columns null, SQL
-    style.
-
-    Scale plan: the FACT is aggregated exactly once (the finest-level
-    two-phase ``group_agg``); every coarser level re-aggregates the
-    finest AGGREGATE (group-cardinality-sized, orders of magnitude
-    smaller than the fact).  sum/count re-aggregate as sums, min/max
-    as min/max — so no second pass over raw rows, and the exchanges
-    above level 0 move aggregate rows only.  ``mean``/``std`` are
-    rejected (not re-aggregable from finished values; carry sum+count
-    yourself and divide)."""
+    style.  Thin delegation to :func:`build_group_grouping_sets` with
+    the prefix sets: the fact aggregates ONCE at the finest level,
+    coarser prefixes re-aggregate that aggregate (and when it fits a
+    block, ALL levels compute in one driver-side Arrow pass — zero
+    extra exchanges).  ``mean``/``std`` rejected (not re-aggregable
+    from finished values; carry sum+count yourself and divide)."""
     for f, _, _ in aggs:
         if f not in ("sum", "count", "min", "max"):
             raise ValueError(
                 f"group_rollup: agg {f!r} is not re-aggregable from the "
                 "finest level — use sum/count/min/max (for mean, carry "
                 "sum and count and divide downstream)")
-
-    from rayflow.ops import build_op
-
-    # coarser levels re-aggregate the finest: count→sum, sum→sum,
-    # min→min, max→max, all keyed on the finished alias
-    re_aggs = [("sum" if f in ("count", "sum") else f, alias, alias)
-               for f, _, alias in aggs]
-    alias_cols = [alias for _, _, alias in aggs]
-
-    def apply(ds):
-        finest = build_op({"op": "group_agg", "keys": keys, "aggs": aggs,
-                           "partial_limit": partial_limit})(ds).materialize()
-        sch = finest.schema()
-        key_types = {n: ty for n, ty in zip(sch.names, sch.types)
-                     if n in keys}
-
-        def null_fill(level_ds, present: list[str]):
-            # add the rolled-up key columns as typed nulls (original
-            # key types) so every level unions under one schema
-            absent = [k for k in keys if k not in present]
-
-            def fn(t: pa.Table) -> pa.Table:
-                out = {k: t.column(k) for k in present}
-                for k in absent:
-                    out[k] = pa.nulls(t.num_rows, key_types[k])
-                for a in alias_cols:
-                    out[a] = t.column(a)
-                return pa.table(
-                    {k: out[k] for k in keys + alias_cols})
-
-            return level_ds.map_batches(fn, **_PA_KW)
-
-        levels = [null_fill(finest, keys)]
-        for n in range(len(keys) - 1, -1, -1):
-            prefix = keys[:n]
-            lvl = build_op({"op": "group_agg", "keys": prefix,
-                            "aggs": re_aggs,
-                            "partial_limit": partial_limit})(finest)
-            levels.append(null_fill(lvl, prefix))
-        out = levels[0]
-        for lvl in levels[1:]:
-            out = out.union(lvl)
-        return out
-
-    return apply
+    sets = [keys[:n] for n in range(len(keys), -1, -1)]
+    return build_group_grouping_sets(keys=keys, sets=sets, aggs=aggs,
+                                     partial_limit=partial_limit)
 
 
 @register_op("group_approx_percentile")
@@ -1264,6 +1218,42 @@ def build_group_grouping_sets(*, keys: list[str],
 
             return level_ds.map_batches(fn, **_PA_KW)
 
+        # small-finest fast path: the coarser sets re-aggregate a
+        # group-cardinality-sized table — when it fits one block, ALL
+        # levels compute in a single driver-side Arrow pass instead of
+        # one exchange per set (2^k exchanges for a cube otherwise)
+        if finest.count() <= 200_000:
+            tbl = pa.concat_tables(
+                [pa.table(b) for b in
+                 finest.iter_batches(batch_format="pyarrow")])
+            pieces = []
+            for s in expanded:
+                if sorted(s) == sorted(keys):
+                    lvl = tbl
+                elif s:
+                    agged = tbl.group_by(s, use_threads=False).aggregate(
+                        [(alias, f) for f, alias, _ in re_aggs])
+                    # Arrow names aggregates "<col>_<fn>"; rebuild by
+                    # lookup (output column ORDER is version-dependent)
+                    lvl = pa.table(
+                        {**{k: agged.column(k) for k in s},
+                         **{alias: agged.column(f"{alias}_{f}")
+                            for f, alias, _ in re_aggs}})
+                else:
+                    lvl = pa.table({
+                        alias: [_arrow_scalar_agg(tbl, f, alias)]
+                        for f, alias, _ in re_aggs})
+                cols = {}
+                for k in keys:
+                    cols[k] = lvl.column(k) if k in s else \
+                        pa.nulls(lvl.num_rows, key_types[k])
+                for a in alias_cols:
+                    cols[a] = lvl.column(a)
+                pieces.append(pa.table(cols))
+            import ray.data as rd
+
+            return rd.from_arrow(pa.concat_tables(pieces))
+
         levels = []
         for s in expanded:
             if sorted(s) == sorted(keys):
@@ -1279,3 +1269,14 @@ def build_group_grouping_sets(*, keys: list[str],
         return out
 
     return apply
+
+
+def _arrow_scalar_agg(tbl: pa.Table, f: str, col: str):
+    arr = tbl.column(col)
+    if f == "sum":
+        return pc.sum(arr).as_py()
+    if f == "min":
+        return pc.min(arr).as_py()
+    if f == "max":
+        return pc.max(arr).as_py()
+    raise ValueError(f)
