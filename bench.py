@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "dup_span_remove_docs",          # ExactSubstr cut, rows-only check
     "intersect_customers_95_97",     # whole-row INTERSECT, sharded semi
     "cube_status_priority",          # CUBE from one finest aggregate
+    "moving_avg_user_value",         # trailing ROWS frame, prefix sums
 ]
 
 

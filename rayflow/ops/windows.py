@@ -879,3 +879,75 @@ def build_interval_coalesce(*, key_col: str, start_col: str,
             .groupby("_ic_shard").map_groups(sweep, batch_format="pandas")
 
     return apply
+
+
+@register_op("group_moving_agg")
+def build_group_moving_agg(*, key_col: str, order_col: str,
+                           value_col: str, window: int,
+                           fns: list[str] = ("sum",),
+                           out_prefix: str | None = None,
+                           num_shards: int = 64):
+    """Per-key moving-window aggregates over the trailing ``window``
+    rows (SQL ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``):
+    moving sum / mean / count — the rolling-average primitive.  Pass a
+    unique ``order_col`` for determinism (same rule as ``group_lag``).
+
+    Same one-exchange coarse-shard shape as the other window
+    functions; in-shard each key run computes via ONE segmented prefix
+    sum (``out[i] = ps[i] − ps[i−w]`` with run-boundary clamping) — no
+    per-row loop, no per-key task.  min/max need a monotone-deque scan
+    and are deliberately excluded; use ``group_topk`` shapes for
+    those."""
+    if window < 1:
+        raise ValueError("group_moving_agg: window must be >= 1")
+    for f in fns:
+        if f not in ("sum", "mean", "count"):
+            raise ValueError(
+                "group_moving_agg: fns must be sum/mean/count (min/max "
+                "need a deque scan — excluded by design)")
+    pre = out_prefix or f"{value_col}_mov"
+
+    def shard(t: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import shard_codes
+
+        return t.append_column(
+            "_ma_shard",
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
+
+    def sweep(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values([key_col, order_col], kind="mergesort",
+                          ignore_index=True)
+        kidx, _ = pd.factorize(g[key_col], use_na_sentinel=False)
+        v = g[value_col].to_numpy().astype(np.float64)
+        n = len(g)
+        run_start = np.concatenate(([True], kidx[1:] != kidx[:-1]))
+        # position within the key run, vectorized
+        idx = np.arange(n, dtype=np.int64)
+        run_origin = np.maximum.accumulate(np.where(run_start, idx, 0))
+        ps = np.concatenate(([0.0], np.cumsum(np.nan_to_num(v))))
+        valid = np.concatenate(([0], np.cumsum((~np.isnan(v))
+                                               .astype(np.int64))))
+        # trailing-window lower bound, clamped to the run start
+        lo = np.maximum(idx - window + 1, run_origin)
+        msum = ps[idx + 1] - ps[lo]
+        mcnt = valid[idx + 1] - valid[lo]
+        g = g.drop(columns=["_ma_shard"])
+        for f in fns:
+            if f == "sum":
+                # SQL SUM over an all-null window is NULL, not 0
+                g[f"{pre}_sum"] = np.where(mcnt > 0, msum, np.nan)
+            elif f == "count":
+                g[f"{pre}_count"] = mcnt.astype(np.int64)
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    g[f"{pre}_mean"] = np.where(mcnt > 0, msum / mcnt,
+                                                np.nan)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_ma_shard").map_groups(sweep, batch_format="pandas")
+
+    return apply

@@ -3981,6 +3981,35 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "moving_avg_user_value",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 4) AS value_mov_sum,
+           round(avg(value) OVER w, 4) AS value_mov_mean,
+           CAST(count(value) OVER w AS BIGINT) AS value_mov_count
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_user_value(sf_dir: str):
+    """Per-user trailing-5-row moving sum/mean/count over the event
+    stream (``group_moving_agg``): one coarse-shard exchange, each key
+    run one segmented prefix-sum — the rolling-average primitive with
+    no per-row loop and no per-key task."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "event_id", "value"])
+    out = build_op({
+        "op": "group_moving_agg", "key_col": "user_id",
+        "order_col": "event_id", "value_col": "value", "window": 5,
+        "fns": ["sum", "mean", "count"],
+    })(ds)
+    return _round_cols(out, ["value_mov_sum", "value_mov_mean"]) \
+        .select_columns(["user_id", "event_id", "value_mov_sum",
+                         "value_mov_mean", "value_mov_count"])
+
+
+@query(
     "cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,

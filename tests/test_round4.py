@@ -1659,3 +1659,37 @@ def test_levenshtein_pairs_cross_table(ray_session):
                                   check_dtype=False)
     # exact cross hits (dist 0) are included
     assert ((o1.s_a == "gate") & (o1.s_b == "gate")).any()
+
+
+def test_group_moving_agg_vs_pandas_rolling(ray_session):
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 400),
+                       "o": np.arange(400),
+                       "v": rng.normal(size=400)})
+    df.loc[df.sample(40, random_state=1).index, "v"] = np.nan
+    out = build_op({
+        "op": "group_moving_agg", "key_col": "k", "order_col": "o",
+        "value_col": "v", "window": 3, "fns": ["sum", "mean", "count"],
+    })(_ds_from_pandas(df)).to_pandas().sort_values("o") \
+        .reset_index(drop=True)
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    roll = exp.groupby("k")["v"].rolling(3, min_periods=1)
+    exp["sum"] = roll.sum().reset_index(level=0, drop=True)
+    exp["mean"] = roll.mean().reset_index(level=0, drop=True)
+    exp["count"] = roll.count().reset_index(level=0, drop=True)
+    exp = exp.sort_values("o").reset_index(drop=True)
+    np.testing.assert_allclose(out["v_mov_sum"], exp["sum"],
+                               atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(out["v_mov_mean"], exp["mean"],
+                               atol=1e-9, equal_nan=True)
+    assert (out["v_mov_count"].values == exp["count"].values).all()
+
+
+def test_group_moving_agg_validation():
+    with pytest.raises(ValueError, match="window must be"):
+        build_op({"op": "group_moving_agg", "key_col": "k",
+                  "order_col": "o", "value_col": "v", "window": 0})
+    with pytest.raises(ValueError, match="sum/mean/count"):
+        build_op({"op": "group_moving_agg", "key_col": "k",
+                  "order_col": "o", "value_col": "v", "window": 2,
+                  "fns": ["max"]})
