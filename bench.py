@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "intersect_customers_95_97",     # whole-row INTERSECT, sharded semi
     "cube_status_priority",          # CUBE from one finest aggregate
     "moving_avg_user_value",         # trailing ROWS frame, prefix sums
+    "resample_hourly_user_value",    # grid + ffill, ASOF-join oracle
 ]
 
 

@@ -951,3 +951,81 @@ def build_group_moving_agg(*, key_col: str, order_col: str,
             .groupby("_ma_shard").map_groups(sweep, batch_format="pandas")
 
     return apply
+
+
+@register_op("resample_ffill")
+def build_resample_ffill(*, key_col: str, ts_col: str, value_col: str,
+                         interval_s: float, num_shards: int = 64,
+                         max_ticks_per_key: int = 1_000_000,
+                         tick_out: str = "tick",
+                         value_out: str | None = None):
+    """Per-key time-series resampling with forward fill (gap filling):
+    emit one row per epoch-aligned ``interval_s`` tick inside each
+    key's [min ts, max ts] span, carrying the key's latest value at or
+    before the tick — the classic sensor/metric regularization step.
+
+    One coarse-shard keyed exchange; in-shard each key run is a
+    vectorized ``searchsorted`` of the tick grid into the run's sorted
+    timestamps (loop over key RUNS only).  Keys whose span would emit
+    more than ``max_ticks_per_key`` ticks fail LOUD (an outlier span ×
+    a fine interval silently exploding into billions of rows is the
+    classic resample footgun)."""
+    if interval_s <= 0:
+        raise ValueError("resample_ffill: interval_s must be > 0")
+    iv = int(interval_s * 1e6)
+    vout = value_out or value_col
+
+    def shard(t: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import shard_codes
+
+        return t.append_column(
+            "_rf_shard",
+            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
+
+    def sweep(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values([key_col, ts_col], kind="mergesort",
+                          ignore_index=True)
+        kidx, kvals = pd.factorize(g[key_col], use_na_sentinel=False)
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = g[value_col].to_numpy()
+        run_start = np.concatenate(([True], kidx[1:] != kidx[:-1]))
+        starts = np.nonzero(run_start)[0]
+        ends = np.append(starts[1:], len(g))
+        out_k, out_t, out_v = [], [], []
+        for s_i, e_i in zip(starts, ends):
+            t_run = ts[s_i:e_i]
+            lo = -(-t_run[0] // iv)            # ceil division
+            hi = t_run[-1] // iv
+            if hi < lo:
+                continue
+            if hi - lo + 1 > max_ticks_per_key:
+                raise ValueError(
+                    f"resample_ffill: key would emit {hi - lo + 1} "
+                    f"ticks (> max_ticks_per_key={max_ticks_per_key}) — "
+                    "outlier span × fine interval; coarsen interval_s "
+                    "or pre-filter")
+            grid = np.arange(lo, hi + 1, dtype=np.int64) * iv
+            src = np.searchsorted(t_run, grid, side="right") - 1
+            out_k.append(np.full(len(grid), kidx[s_i], np.int64))
+            out_t.append(grid)
+            out_v.append(vals[s_i:e_i][src])
+        if not out_k:
+            return pa.table({
+                key_col: pa.array([], pa.string()),
+                tick_out: pa.array([], pa.timestamp("us")),
+                vout: pa.array([], pa.float64())})
+        kcat = np.concatenate(out_k)
+        return pa.table({
+            key_col: pa.array(pd.Series(kvals[kcat])),
+            tick_out: pa.array(np.concatenate(out_t)).cast(
+                pa.timestamp("us")),
+            vout: pa.array(np.concatenate(out_v)),
+        })
+
+    def apply(ds):
+        return ds.map_batches(shard, **_PA_KW) \
+            .groupby("_rf_shard").map_groups(sweep, batch_format="pandas")
+
+    return apply

@@ -3981,6 +3981,55 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "resample_hourly_user_value",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), b AS (
+      SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM e GROUP BY 1
+    ), g AS (
+      SELECT user_id, unnest(generate_series(
+               CAST(ceil(epoch_us(mn) / 3600000000.0) AS BIGINT),
+               CAST(floor(epoch_us(mx) / 3600000000.0) AS BIGINT),
+               1)) AS k
+      FROM b
+    ), t AS (
+      SELECT user_id, make_timestamp(k * 3600000000) AS tick FROM g
+    )
+    SELECT t.user_id, t.tick, round(e.value, 4) AS value
+    FROM t ASOF JOIN e ON t.user_id = e.user_id AND t.tick >= e.ts
+    """,
+)
+def resample_hourly_user_value(sf_dir: str):
+    """Time-series regularization (``resample_ffill``): one row per
+    epoch-aligned hour inside each user's activity span, forward-
+    filling the latest value — after deduping equal timestamps per
+    user (latest event wins) so the carry is well-defined on BOTH
+    sides.  ONE coarse-shard exchange, per-run vectorized grid +
+    searchsorted; loud tick-explosion guard.  The oracle is
+    generate_series + DuckDB ASOF JOIN."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "event_id", "ts",
+                                     "value"])
+    ds = build_op({"op": "dedupe", "keys": ["user_id", "ts"],
+                   "order_col": "event_id", "keep": "max"})(ds)
+    out = build_op({
+        "op": "resample_ffill", "key_col": "user_id", "ts_col": "ts",
+        "value_col": "value", "interval_s": 3600.0,
+    })(ds)
+    out = build_op({
+        "op": "mapping", "cols": {"user_id": E.F("int64",
+                                                 E.col("user_id"))},
+        "select": ["user_id", "tick", "value"],
+    })(out)
+    return _round_cols(out, ["value"])
+
+
+@query(
     "moving_avg_user_value",
     """
     SELECT user_id, event_id,

@@ -1693,3 +1693,36 @@ def test_group_moving_agg_validation():
         build_op({"op": "group_moving_agg", "key_col": "k",
                   "order_col": "o", "value_col": "v", "window": 2,
                   "fns": ["max"]})
+
+
+def test_resample_ffill_gap_filling(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 00:30", "2024-01-01 03:10",
+                              "2024-01-01 05:00", "2024-01-01 01:00"]),
+        "v": [1.0, 2.0, 3.0, 9.0],
+    })
+    out = build_op({"op": "resample_ffill", "key_col": "k",
+                    "ts_col": "ts", "value_col": "v",
+                    "interval_s": 3600.0})(
+        _ds_from_pandas(df)).to_pandas().sort_values(["k", "tick"]) \
+        .reset_index(drop=True)
+    a = out[out.k == "a"]
+    # grid: 01:00..05:00 inclusive -> 5 ticks; ffill across the gap
+    assert len(a) == 5
+    assert list(a.v) == [1.0, 1.0, 1.0, 2.0, 3.0]
+    b = out[out.k == "b"]
+    assert len(b) == 1 and b.iloc[0].v == 9.0  # span == one tick
+
+
+def test_resample_ffill_tick_guard(ray_session):
+    df = pd.DataFrame({
+        "k": ["x", "x"],
+        "ts": pd.to_datetime(["2024-01-01", "2034-01-01"]),
+        "v": [1.0, 2.0],
+    })
+    ds = _ds_from_pandas(df)
+    with pytest.raises(Exception, match="max_ticks_per_key"):
+        build_op({"op": "resample_ffill", "key_col": "k",
+                  "ts_col": "ts", "value_col": "v", "interval_s": 1.0,
+                  "max_ticks_per_key": 1000})(ds).to_pandas()
