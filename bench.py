@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "cube_status_priority",          # CUBE from one finest aggregate
     "moving_avg_user_value",         # trailing ROWS frame, prefix sums
     "resample_hourly_user_value",    # grid + ffill, ASOF-join oracle
+    "tfidf_top_terms_docs",          # two bounded exchanges + topk
 ]
 
 

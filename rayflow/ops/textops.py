@@ -664,3 +664,95 @@ def build_repetition_signals(*, column: str = "text"):
         return ds.map_batches(fn, **_PA_KW)
 
     return apply
+
+
+@register_op("tfidf")
+def build_tfidf(*, column: str = "text", id_col: str = "doc_id",
+                top_k: int | None = None,
+                df_broadcast_limit: int = 10_000_000):
+    """TF-IDF featurization: per-(doc, term) ``tf · ln(N / df)`` with
+    corpus document frequencies — the classic text feature, as two
+    BOUNDED exchanges: (doc, term) term counts collapse per block
+    before the first keyed combine; the term→df table (vocabulary-
+    sized, built from per-block DISTINCT (doc, term) partials) is the
+    second, then broadcasts back (loud ``df_broadcast_limit``).
+    ``top_k`` keeps each doc's strongest terms via the shared
+    ``group_topk`` (ties broken by term asc — deterministic and
+    SQL-mirrorable)."""
+    from rayflow.ops import build_op
+    from rayflow.ops.curation import _tokenize_codes
+
+    def apply(ds):
+        import ray
+
+        ds = ds.materialize()
+
+        def tf_partial(t: pa.Table) -> pa.Table:
+            codes, doc_idx, values, _ = _tokenize_codes(t, column)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            if not len(codes):
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64())})
+            # per-(doc, term) counts within the block: one packed sort
+            key = (doc_idx.astype(np.uint64) << np.uint64(32)) \
+                | codes.astype(np.uint64)
+            uniq, cnt = np.unique(key, return_counts=True)
+            d = (uniq >> np.uint64(32)).astype(np.int64)
+            c = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            return pa.table({
+                id_col: pa.array(ids[d]),
+                "term": values.take(pa.array(c)),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        tf = build_op({
+            "op": "group_agg", "keys": [id_col, "term"],
+            "aggs": [("sum", "tf", "tf")],
+        })(ds.map_batches(tf_partial, **_PA_KW)).materialize()
+
+        # document frequency: the tf table already has ONE row per
+        # (doc, term), so df = row count per term; N = distinct docs
+        df_ds = build_op({
+            "op": "group_agg", "keys": ["term"],
+            "aggs": [("count", None, "df")],
+        })(tf)
+        df_tbl = pa.concat_tables(
+            [pa.table(b) for b in
+             df_ds.iter_batches(batch_format="pyarrow")])
+        if df_tbl.num_rows > df_broadcast_limit:
+            raise ValueError(
+                f"tfidf: vocabulary {df_tbl.num_rows} exceeds "
+                f"df_broadcast_limit — shard-join the df table instead")
+        n_docs = ds.count()
+        idf = np.log(float(n_docs)
+                     / df_tbl.column("df").to_numpy(zero_copy_only=False)
+                     .astype(np.float64))
+        lookup_ref = ray.put((df_tbl.column("term").combine_chunks()
+                              if isinstance(df_tbl.column("term"),
+                                            pa.ChunkedArray)
+                              else df_tbl.column("term"),
+                              idf,
+                              df_tbl.column("df").to_numpy(
+                                  zero_copy_only=False)))
+
+        def score(t: pa.Table, _ref=lookup_ref) -> pa.Table:
+            terms, idf_v, df_v = ray.get(_ref)
+            pos = pc.index_in(t.column("term"), value_set=terms) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            tfv = t.column("tf").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return t.append_column(
+                "df", pa.array(df_v[pos], pa.int64())).append_column(
+                "tfidf", pa.array(tfv * idf_v[pos], pa.float64()))
+
+        scored = tf.map_batches(score, **_PA_KW)
+        if top_k is None:
+            return scored
+        return build_op({
+            "op": "group_topk", "keys": [id_col], "order_col": "tfidf",
+            "k": top_k, "descending": True, "tiebreak": "term",
+        })(scored)
+
+    return apply

@@ -512,7 +512,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "levenshtein_pairs", "scd2_history", "dup_span_pairs",
         "interval_coalesce", "set_op", "resample_ffill",
         "paragraph_dedup", "pack_chunks", "global_shuffle",
-        "stratified_sample", "ngram_topk", "heavy_hitters",
+        "stratified_sample", "ngram_topk", "heavy_hitters", "tfidf",
         "approx_distinct", "pivot", "weighted_mix", "embedding_near_dup",
         "profile_columns", "funnel", "group_mode", "dup_span_remove",
         "group_zscore",

@@ -3981,6 +3981,46 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "tfidf_top_terms_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                         FROM documents) / df.df) AS tfidf
+      FROM tf JOIN df USING (term)
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf
+    FROM r WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_docs(sf_dir: str):
+    """Each document's 3 strongest TF-IDF terms (``tfidf`` op): two
+    bounded exchanges — per-block (doc, term) counts collapse before
+    the keyed combine, the vocabulary-sized df table broadcasts back —
+    then the shared ``group_topk`` with the term as deterministic
+    tiebreak."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    out = build_op({"op": "tfidf", "column": "text",
+                    "id_col": "doc_id", "top_k": 3})(ds)
+    return _round_cols(out, ["tfidf"]) \
+        .select_columns(["doc_id", "term", "tf", "df", "tfidf"])
+
+
+@query(
     "resample_hourly_user_value",
     """
     WITH e AS (

@@ -1726,3 +1726,27 @@ def test_resample_ffill_tick_guard(ray_session):
         build_op({"op": "resample_ffill", "key_col": "k",
                   "ts_col": "ts", "value_col": "v", "interval_s": 1.0,
                   "max_ticks_per_key": 1000})(ds).to_pandas()
+
+
+def test_tfidf_values_vs_sklearn_style_reference(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["cat dog cat", "dog fish", "cat fish fish fish"],
+    })
+    out = build_op({"op": "tfidf"})(_ds_from_pandas(docs)).to_pandas()
+    # cat: df=2, dog: df=2, fish: df=2 -> idf = ln(3/2) for all
+    idf = np.log(3 / 2)
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+           for r in out.itertuples()}
+    assert got[(1, "cat")] == (2, 2, 2 * idf)
+    assert got[(2, "fish")] == (1, 2, 1 * idf)
+    assert got[(3, "fish")] == (3, 2, 3 * idf)
+    assert len(out) == 6  # distinct (doc, term) pairs
+
+
+def test_tfidf_top_k_deterministic_ties(ray_session):
+    docs = pd.DataFrame({"doc_id": [1], "text": ["b a c"]})
+    out = build_op({"op": "tfidf", "top_k": 2})(
+        _ds_from_pandas(docs)).to_pandas()
+    # all tf-idf equal (each term once, df=1) -> tie broken term asc
+    assert list(out.sort_values("term").term) == ["a", "b"]
