@@ -567,3 +567,54 @@ def test_funnel_matches_bruteforce(rows):
         assert out.loc[u, "reached"] == len(ts)
         for i, v in enumerate(ts):
             assert out.loc[u, f"step{i+1}_order"] == v
+
+
+@given(st.lists(st.tuples(st.integers(0, 2),           # key
+                          st.integers(0, 100)),        # value (int)
+                min_size=1, max_size=60),
+       st.integers(1, 6))
+@settings(max_examples=12, deadline=None)
+def test_group_moving_agg_matches_pandas(rows, window):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    df = pd.DataFrame({"k": [r[0] for r in rows],
+                       "o": np.arange(len(rows)),
+                       "v": [float(r[1]) for r in rows]})
+    out = build_op({
+        "op": "group_moving_agg", "key_col": "k", "order_col": "o",
+        "value_col": "v", "window": window, "fns": ["sum", "count"],
+    })(rd.from_pandas(df)).to_pandas().sort_values("o") \
+        .reset_index(drop=True)
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    roll = exp.groupby("k")["v"].rolling(window, min_periods=1)
+    exp["s"] = roll.sum().reset_index(level=0, drop=True)
+    exp["c"] = roll.count().reset_index(level=0, drop=True)
+    exp = exp.sort_values("o").reset_index(drop=True)
+    np.testing.assert_allclose(out["v_mov_sum"], exp["s"], atol=1e-9)
+    assert (out["v_mov_count"].values == exp["c"].values).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)),
+                min_size=0, max_size=40),
+       st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)),
+                min_size=0, max_size=40))
+@settings(max_examples=10, deadline=None)
+def test_set_op_matches_python_sets(a_rows, b_rows):
+    import ray.data as rd
+
+    from rayflow.ops import build_op
+
+    if not a_rows:
+        return  # empty left Dataset has no schema to select
+    a = pd.DataFrame(a_rows, columns=["x", "y"])
+    b = pd.DataFrame(b_rows if b_rows else [(99, 99)],
+                     columns=["x", "y"])
+    sa, sb = set(map(tuple, a.values)), set(map(tuple, b.values))
+    for how, exp in [("intersect", sa & sb), ("except", sa - sb),
+                     ("union_distinct", sa | sb)]:
+        out = build_op({"op": "set_op", "other": rd.from_pandas(b),
+                        "how": how})(rd.from_pandas(a)).to_pandas()
+        got = set(map(tuple, out.values)) if len(out) else set()
+        assert got == exp, (how, got, exp)
