@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "moving_avg_user_value",         # trailing ROWS frame, prefix sums
     "resample_hourly_user_value",    # grid + ffill, ASOF-join oracle
     "tfidf_top_terms_docs",          # two bounded exchanges + topk
+    "corr_qty_price_by_flag",        # moment partials, closed-form finish
 ]
 
 

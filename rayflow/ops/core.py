@@ -1280,3 +1280,67 @@ def _arrow_scalar_agg(tbl: pa.Table, f: str, col: str):
     if f == "max":
         return pc.max(arr).as_py()
     raise ValueError(f)
+
+
+@register_op("group_corr")
+def build_group_corr(*, keys: list[str], x_col: str, y_col: str,
+                     out: str = "corr", min_n: int = 2):
+    """Per-key Pearson correlation (SQL ``corr(x, y)``), decomposed
+    into moment partials like ``group_agg``'s mean/std: each block
+    contributes (n, Σx, Σy, Σxy, Σx², Σy²) per key — six numbers, so
+    ONLY moment rows cross the exchange — and the combine finishes
+    r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)).
+    Pairs with either side null are excluded (SQL semantics); keys
+    with fewer than ``min_n`` pairs or zero variance yield null."""
+
+    from rayflow.ops import build_op
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(x_col), pa.float64())
+        y = pc.cast(t.column(y_col), pa.float64())
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        t2 = t.filter(ok)
+        x = pc.cast(t2.column(x_col), pa.float64())
+        y = pc.cast(t2.column(y_col), pa.float64())
+        t2 = pa.table({
+            **{k: t2.column(k) for k in keys},
+            "_gc_x": x, "_gc_y": y,
+            "_gc_xy": pc.multiply(x, y),
+            "_gc_xx": pc.multiply(x, x),
+            "_gc_yy": pc.multiply(y, y),
+        })
+        return t2.group_by(keys, use_threads=False).aggregate(
+            [("_gc_x", "sum"), ("_gc_y", "sum"), ("_gc_xy", "sum"),
+             ("_gc_xx", "sum"), ("_gc_yy", "sum"), ([], "count_all")])
+
+    def apply(ds):
+        parts = ds.map_batches(partial, **_PA_KW)
+        comb = build_op({
+            "op": "group_agg", "keys": keys,
+            "aggs": [("sum", "_gc_x_sum", "sx"),
+                     ("sum", "_gc_y_sum", "sy"),
+                     ("sum", "_gc_xy_sum", "sxy"),
+                     ("sum", "_gc_xx_sum", "sxx"),
+                     ("sum", "_gc_yy_sum", "syy"),
+                     ("sum", "count_all", "n")],
+        })(parts)
+
+        def finish(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            sx = t.column("sx").to_numpy(zero_copy_only=False)
+            sy = t.column("sy").to_numpy(zero_copy_only=False)
+            sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+            sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+            syy = t.column("syy").to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                r = np.where((n >= min_n) & (den > 0),
+                             (n * sxy - sx * sy) / den, np.nan)
+            cols = {k: t.column(k) for k in keys}
+            cols[out] = pa.array(r, pa.float64())
+            return pa.table(cols)
+
+        return comb.map_batches(finish, **_PA_KW)
+
+    return apply

@@ -3981,6 +3981,30 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "corr_qty_price_by_flag",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_qty_price_by_flag(sf_dir: str):
+    """Per-flag Pearson correlation of quantity vs price
+    (``group_corr``): six moment numbers per (block, key) cross the
+    exchange — never a raw row — and the combine finishes the closed
+    form.  Oracle is SQL ``corr`` rounded to 4 (the decomposed moments
+    agree with DuckDB's streaming kernel well past that)."""
+    ds = _rd().read_parquet(_t(sf_dir, "lineitem"),
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_extendedprice"])
+    out = build_op({"op": "group_corr", "keys": ["l_returnflag"],
+                    "x_col": "l_quantity",
+                    "y_col": "l_extendedprice", "out": "corr"})(ds)
+    return _round_cols(out, ["corr"]) \
+        .select_columns(["l_returnflag", "corr"])
+
+
+@query(
     "tfidf_top_terms_docs",
     """
     WITH tok AS (

@@ -1750,3 +1750,31 @@ def test_tfidf_top_k_deterministic_ties(ray_session):
         _ds_from_pandas(docs)).to_pandas()
     # all tf-idf equal (each term once, df=1) -> tie broken term asc
     assert list(out.sort_values("term").term) == ["a", "b"]
+
+
+def test_group_corr_vs_duckdb_with_nulls(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 500),
+                       "x": rng.normal(size=500),
+                       "y": rng.normal(size=500)})
+    df["y"] += 0.5 * df["x"]  # real correlation
+    df.loc[df.sample(50, random_state=2).index, "x"] = np.nan
+    out = build_op({"op": "group_corr", "keys": ["k"], "x_col": "x",
+                    "y_col": "y"})(_ds_from_pandas(df)).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    ora = duckdb.connect().execute(
+        "SELECT k, corr(x, y) AS corr FROM df GROUP BY k ORDER BY k"
+    ).fetchdf()
+    np.testing.assert_allclose(out["corr"], ora["corr"], atol=1e-9)
+
+
+def test_group_corr_degenerate_keys(ray_session):
+    df = pd.DataFrame({"k": ["const", "const", "single"],
+                       "x": [1.0, 1.0, 3.0], "y": [2.0, 5.0, 4.0]})
+    out = build_op({"op": "group_corr", "keys": ["k"], "x_col": "x",
+                    "y_col": "y"})(_ds_from_pandas(df)).to_pandas() \
+        .set_index("k")
+    assert np.isnan(out.loc["const", "corr"])   # zero x-variance
+    assert np.isnan(out.loc["single", "corr"])  # n < 2
