@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "resample_hourly_user_value",    # grid + ffill, ASOF-join oracle
     "tfidf_top_terms_docs",          # two bounded exchanges + topk
     "corr_qty_price_by_flag",        # moment partials, closed-form finish
+    "moments_nchars_by_source",      # skew/kurtosis, formula-matched oracle
 ]
 
 

@@ -1344,3 +1344,74 @@ def build_group_corr(*, keys: list[str], x_col: str, y_col: str,
         return comb.map_batches(finish, **_PA_KW)
 
     return apply
+
+
+@register_op("group_moments")
+def build_group_moments(*, keys: list[str], value_col: str,
+                        prefix: str | None = None, min_n: int = 2):
+    """Per-key distribution moments — mean, sample variance,
+    POPULATION skewness (m3/m2^1.5) and excess kurtosis (m4/m2² − 3) —
+    the distribution-profiling aggregate for length/score columns.
+
+    Decomposed like ``group_corr``: each block ships (n, Σx, Σx²,
+    Σx³, Σx⁴) per key — five numbers — and the combine finishes the
+    closed forms.  Population (not sample-adjusted) skew/kurt by
+    design: engines disagree on the small-n corrections, so the SQL
+    oracle mirrors the IDENTICAL power-sum formula instead of calling
+    an engine builtin.  Nulls excluded; keys with n < ``min_n`` or
+    zero variance yield null skew/kurt."""
+    from rayflow.ops import build_op
+
+    pre = f"{value_col}_" if prefix is None else prefix
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.is_valid(t.column(value_col)))
+        x = pc.cast(t2.column(value_col), pa.float64())
+        x2 = pc.multiply(x, x)
+        t2 = pa.table({
+            **{k: t2.column(k) for k in keys},
+            "_gm_x": x, "_gm_x2": x2,
+            "_gm_x3": pc.multiply(x2, x),
+            "_gm_x4": pc.multiply(x2, x2),
+        })
+        return t2.group_by(keys, use_threads=False).aggregate(
+            [("_gm_x", "sum"), ("_gm_x2", "sum"), ("_gm_x3", "sum"),
+             ("_gm_x4", "sum"), ([], "count_all")])
+
+    def apply(ds):
+        comb = build_op({
+            "op": "group_agg", "keys": keys,
+            "aggs": [("sum", "_gm_x_sum", "s1"),
+                     ("sum", "_gm_x2_sum", "s2"),
+                     ("sum", "_gm_x3_sum", "s3"),
+                     ("sum", "_gm_x4_sum", "s4"),
+                     ("sum", "count_all", "n")],
+        })(ds.map_batches(partial, **_PA_KW))
+
+        def finish(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            s1 = t.column("s1").to_numpy(zero_copy_only=False)
+            s2 = t.column("s2").to_numpy(zero_copy_only=False)
+            s3 = t.column("s3").to_numpy(zero_copy_only=False)
+            s4 = t.column("s4").to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mu = s1 / n
+                m2 = s2 / n - mu * mu
+                m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+                m4 = (s4 / n - 4 * mu * s3 / n
+                      + 6 * mu * mu * s2 / n - 3 * mu ** 4)
+                var = np.where(n > 1, n / (n - 1) * m2, np.nan)
+                ok = (n >= min_n) & (m2 > 0)
+                skew = np.where(ok, m3 / np.power(m2, 1.5), np.nan)
+                kurt = np.where(ok, m4 / (m2 * m2) - 3.0, np.nan)
+            cols = {k: t.column(k) for k in keys}
+            cols[f"{pre}mean"] = pa.array(mu, pa.float64())
+            cols[f"{pre}var"] = pa.array(var, pa.float64())
+            cols[f"{pre}skew"] = pa.array(skew, pa.float64())
+            cols[f"{pre}kurt"] = pa.array(kurt, pa.float64())
+            return pa.table(cols)
+
+        return comb.map_batches(finish, **_PA_KW)
+
+    return apply

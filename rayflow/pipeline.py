@@ -505,7 +505,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "group_approx_percentile", "group_rollup", "group_rank",
         "group_grouping_sets",
         "group_cumsum", "group_lag", "group_concat", "group_hll",
-        "group_moving_agg", "group_corr",
+        "group_moving_agg", "group_corr", "group_moments",
         "group_cap", "dedupe", "sharded_join", "sharded_semi",
         "asof_join", "interval_join", "window_session",
         "minhash_lsh_dedup", "ngram_jaccard_dedup", "simhash_near_dup",

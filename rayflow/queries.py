@@ -3981,6 +3981,49 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "moments_nchars_by_source",
+    """
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(n_chars AS DOUBLE)) AS s1,
+             sum(CAST(n_chars AS DOUBLE) ** 2) AS s2,
+             sum(CAST(n_chars AS DOUBLE) ** 3) AS s3,
+             sum(CAST(n_chars AS DOUBLE) ** 4) AS s4
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           round(s1 / n, 4) AS n_chars_mean,
+           round(n / (n - 1) * (s2 / n - (s1 / n) ** 2), 4)
+             AS n_chars_var,
+           round((s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) ** 3)
+                 / ((s2 / n - (s1 / n) ** 2) ** 1.5), 4)
+             AS n_chars_skew,
+           round((s4 / n - 4 * (s1 / n) * s3 / n
+                  + 6 * (s1 / n) ** 2 * s2 / n - 3 * (s1 / n) ** 4)
+                 / ((s2 / n - (s1 / n) ** 2) ** 2) - 3.0, 4)
+             AS n_chars_kurt
+    FROM m
+    """,
+)
+def moments_nchars_by_source(sf_dir: str):
+    """Distribution profile of document length per source
+    (``group_moments``): five power-sum numbers per (block, key)
+    cross the exchange; population skew/kurt by design — the oracle
+    mirrors the IDENTICAL closed form from the same power sums
+    instead of calling an engine builtin (engines disagree on small-n
+    corrections)."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["source", "n_chars"])
+    out = build_op({"op": "group_moments", "keys": ["source"],
+                    "value_col": "n_chars", "prefix": "n_chars_"})(ds)
+    return _round_cols(out, ["n_chars_mean", "n_chars_var",
+                             "n_chars_skew", "n_chars_kurt"]) \
+        .select_columns(["source", "n_chars_mean", "n_chars_var",
+                         "n_chars_skew", "n_chars_kurt"])
+
+
+@query(
     "corr_qty_price_by_flag",
     """
     SELECT l_returnflag,

@@ -1778,3 +1778,31 @@ def test_group_corr_degenerate_keys(ray_session):
         .set_index("k")
     assert np.isnan(out.loc["const", "corr"])   # zero x-variance
     assert np.isnan(out.loc["single", "corr"])  # n < 2
+
+
+def test_group_moments_vs_scipy_style_reference(ray_session):
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({"k": rng.integers(0, 3, 600),
+                       "v": rng.gamma(2.0, 3.0, 600)})  # skewed
+    out = build_op({"op": "group_moments", "keys": ["k"],
+                    "value_col": "v", "prefix": ""})(
+        _ds_from_pandas(df)).to_pandas().set_index("k").sort_index()
+    for k, g in df.groupby("k"):
+        v = g["v"].to_numpy()
+        mu = v.mean()
+        m2 = ((v - mu) ** 2).mean()
+        m3 = ((v - mu) ** 3).mean()
+        m4 = ((v - mu) ** 4).mean()
+        assert abs(out.loc[k, "mean"] - mu) < 1e-9
+        assert abs(out.loc[k, "var"] - v.var(ddof=1)) < 1e-8
+        assert abs(out.loc[k, "skew"] - m3 / m2 ** 1.5) < 1e-8
+        assert abs(out.loc[k, "kurt"] - (m4 / m2 ** 2 - 3)) < 1e-8
+
+
+def test_group_moments_degenerate(ray_session):
+    df = pd.DataFrame({"k": ["c", "c", "s"], "v": [5.0, 5.0, 1.0]})
+    out = build_op({"op": "group_moments", "keys": ["k"],
+                    "value_col": "v", "prefix": ""})(
+        _ds_from_pandas(df)).to_pandas().set_index("k")
+    assert np.isnan(out.loc["c", "skew"])   # zero variance
+    assert np.isnan(out.loc["s", "var"])    # n == 1
