@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms_docs",          # two bounded exchanges + topk
     "corr_qty_price_by_flag",        # moment partials, closed-form finish
     "moments_nchars_by_source",      # skew/kurtosis, formula-matched oracle
+    "distinct_flag_status",          # SELECT DISTINCT, two-phase collapse
 ]
 
 

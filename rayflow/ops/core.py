@@ -1415,3 +1415,23 @@ def build_group_moments(*, keys: list[str], value_col: str,
         return comb.map_batches(finish, **_PA_KW)
 
     return apply
+
+
+@register_op("distinct")
+def build_distinct(*, columns: list[str] | None = None,
+                   partial_limit: int = 2_000_000):
+    """SQL ``SELECT DISTINCT`` as a first-class op: unique rows over
+    ``columns`` (default: all columns).  Thin wrapper over the
+    adaptive two-phase ``group_agg`` — duplicates collapse per block
+    BEFORE any exchange, and the combine is repartition(1) when small
+    or a keyed exchange over already-collapsed rows otherwise."""
+    from rayflow.ops import build_op
+
+    def apply(ds):
+        cols = columns or list(ds.schema().names)
+        out = build_op({"op": "group_agg", "keys": cols,
+                        "aggs": [("count", None, "_d_n")],
+                        "partial_limit": partial_limit})(ds)
+        return out.drop_columns(["_d_n"])
+
+    return apply

@@ -510,7 +510,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "asof_join", "interval_join", "window_session",
         "minhash_lsh_dedup", "ngram_jaccard_dedup", "simhash_near_dup",
         "levenshtein_pairs", "scd2_history", "dup_span_pairs",
-        "interval_coalesce", "set_op", "resample_ffill",
+        "interval_coalesce", "set_op", "resample_ffill", "distinct",
         "paragraph_dedup", "pack_chunks", "global_shuffle",
         "stratified_sample", "ngram_topk", "heavy_hitters", "tfidf",
         "approx_distinct", "pivot", "weighted_mix", "embedding_near_dup",

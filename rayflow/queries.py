@@ -3981,6 +3981,21 @@ def turn_transition_counts_transcripts(sf_dir: str):
 
 
 @query(
+    "distinct_flag_status",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_flag_status(sf_dir: str):
+    """``SELECT DISTINCT`` as the first-class ``distinct`` op:
+    duplicates collapse per block before any exchange (the adaptive
+    two-phase aggregate underneath)."""
+    ds = _rd().read_parquet(_t(sf_dir, "lineitem"),
+                            columns=["l_returnflag", "l_linestatus"])
+    return build_op({"op": "distinct"})(ds)
+
+
+@query(
     "moments_nchars_by_source",
     """
     WITH m AS (
