@@ -478,4 +478,20 @@ if __name__ == "__main__":
     else:
         if os.environ.get("RAYFLOW_BENCH_REPLAY_ONLY"):
             BENCH_QUERIES = []
-        print(json.dumps(run_bench()))
+        full = run_bench()
+        print(json.dumps(full))
+        # The driver snapshots only the LAST ~2000 chars of stdout; the
+        # full battery line above can exceed that, truncating mid-JSON
+        # (this is exactly what lost round 4's headline — BENCH_r04's
+        # "parsed": null).  Emit a second, short, headline-only line so
+        # the tail is always parseable.  run_scaling's subprocesses also
+        # read splitlines()[-1]: this line carries every key they use.
+        print(json.dumps({
+            k: full[k] for k in (
+                "metric", "value", "unit", "events", "events_per_s",
+                "replay_samples", "sf", "num_cpus",
+                "ambient_alloc_ms_per_64mb", "shm_touch_ms_per_64mb",
+            ) if k in full
+        } | {"line": "headline_summary",
+             "battery_queries_timed": len(full.get("queries", {})),
+             "battery_sec": round(sum(full.get("queries", {}).values()), 1)}))

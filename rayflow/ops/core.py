@@ -1051,9 +1051,13 @@ def build_group_zscore(*, keys: list[str], value_col: str,
             "aggs": [("mean", value_col, "_gz_mean"),
                      ("std", value_col, "_gz_std")],
         })(ds)
-        stats_tbl = pa.concat_tables(
-            [pa.table(b) for b in
-             stats.iter_batches(batch_format="pyarrow")])
+        from rayflow.ops.kernels import collect_table
+
+        stats_tbl = collect_table(stats)
+        if stats_tbl.num_rows == 0:
+            # empty input: nothing to standardize — the input (also
+            # empty) passes through instead of crashing concat_tables
+            return ds
         if stats_tbl.num_rows > broadcast_limit:
             raise ValueError(
                 f"group_zscore: {stats_tbl.num_rows} keys exceed "
@@ -1134,12 +1138,28 @@ def build_set_op(*, other, how: str = "intersect",
         return fn
 
     def apply(ds):
-        cols = [c for c in ds.schema().names]
-        ocols = [c for c in other.schema().names]
+        lsch, osch = ds.schema(), other.schema()
+        cols = [c for c in lsch.names]
+        ocols = [c for c in osch.names]
         if sorted(cols) != sorted(ocols):
             raise ValueError(
                 f"set_op: column sets differ: {sorted(cols)} vs "
                 f"{sorted(ocols)}")
+        # membership is decided on a string-cast row key, under which
+        # int64 5 and float64 5.0 (or 0.0 vs -0.0) encode differently —
+        # silently diverging from SQL set-op equality.  Fail loud on
+        # type mismatch instead of accepting mixed-type inputs.
+        ltypes = dict(zip(lsch.names, lsch.types))
+        otypes = dict(zip(osch.names, osch.types))
+        bad = {c: (ltypes[c], otypes[c]) for c in cols
+               if ltypes[c] != otypes[c]}
+        if bad:
+            raise ValueError(
+                "set_op: column types differ between sides (row equality "
+                "is decided on a canonical encoding, so e.g. int64 5 and "
+                "float64 5.0 would NOT match; cast one side first): "
+                + ", ".join(f"{c}: {l} vs {r}"
+                            for c, (l, r) in sorted(bad.items())))
         right = other.select_columns(cols)
         if how == "union_distinct":
             return distinct(ds.union(right), cols)
@@ -1223,9 +1243,9 @@ def build_group_grouping_sets(*, keys: list[str],
         # levels compute in a single driver-side Arrow pass instead of
         # one exchange per set (2^k exchanges for a cube otherwise)
         if finest.count() <= 200_000:
-            tbl = pa.concat_tables(
-                [pa.table(b) for b in
-                 finest.iter_batches(batch_format="pyarrow")])
+            from rayflow.ops.kernels import collect_table
+
+            tbl = collect_table(finest)  # empty-safe
             pieces = []
             for s in expanded:
                 if sorted(s) == sorted(keys):

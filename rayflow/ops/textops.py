@@ -718,9 +718,11 @@ def build_tfidf(*, column: str = "text", id_col: str = "doc_id",
             "op": "group_agg", "keys": ["term"],
             "aggs": [("count", None, "df")],
         })(tf)
-        df_tbl = pa.concat_tables(
-            [pa.table(b) for b in
-             df_ds.iter_batches(batch_format="pyarrow")])
+        from rayflow.ops.kernels import collect_table
+
+        df_tbl = collect_table(df_ds)
+        if df_tbl.num_rows == 0:
+            return tf  # empty corpus: empty (id, term, tf), don't crash
         if df_tbl.num_rows > df_broadcast_limit:
             raise ValueError(
                 f"tfidf: vocabulary {df_tbl.num_rows} exceeds "

@@ -3182,8 +3182,9 @@ def small_qty_revenue_q17(sf_dir: str):
                  "qty_thresh": E.lit(0.2) * E.col("avg_qty")},
         "select": ["t_partkey", "qty_thresh"],
     })(thresh)
-    thresh_tbl = pa.concat_tables(
-        [pa.table(b) for b in thresh.iter_batches(batch_format="pyarrow")])
+    from rayflow.ops.kernels import collect_table
+
+    thresh_tbl = collect_table(thresh)  # empty-safe
     li = build_op({"op": "broadcast_join", "small": thresh_tbl, "how": "inner",
                    "on": ["l_partkey"], "right_on": ["t_partkey"]})(li)
     li = build_op({
@@ -3542,9 +3543,9 @@ def min_cost_supplier_q2_shape(sf_dir: str):
         "op": "group_agg", "keys": ["l_partkey"],
         "aggs": [("min", "unit_cost", "min_cost")],
     })(costs)
-    mins_tbl = pa.concat_tables(
-        [pa.table(b) for b in mins.iter_batches(batch_format="pyarrow")]) \
-        .rename_columns(["m_partkey", "min_cost"])
+    from rayflow.ops.kernels import collect_table
+
+    mins_tbl = collect_table(mins).rename_columns(["m_partkey", "min_cost"])
     out = build_op({"op": "broadcast_join", "small": mins_tbl,
                     "how": "inner", "on": ["l_partkey"],
                     "right_on": ["m_partkey"]})(costs)
