@@ -584,6 +584,9 @@ def verify_candidate_pairs(ds, raw_pairs, *, threshold: float,
         return pairs.map_batches(verify_bcast, **_PA_KW)
 
     # sharded-join verify (the no-size-assumption 100 TB path)
+    from rayflow.ops.kernels import clamp_join_partitions
+
+    join_partitions = clamp_join_partitions(join_partitions)
     j1 = pairs.join(cand_docs, join_type="inner",
                     num_partitions=join_partitions,
                     on=("doc_a",), right_on=(id_col,))
@@ -2113,28 +2116,50 @@ def build_pagerank(*, src_col: str = "src", dst_col: str = "dst",
                    n_iter: int = 3, damping: float = 0.85,
                    undirected: bool = True, node_out: str = "node",
                    out: str = "rank",
-                   broadcast_limit: int = 5_000_000):
+                   broadcast_limit: int = 5_000_000,
+                   mode: str = "auto", num_partitions: int = 32):
     """PageRank over an edge-list Dataset — the second iterative
     algorithm in the family (k-means is the other), same scale shape:
     per iteration the EDGES never leave the workers; only a
     node-sized vector moves (broadcast out, partial sums back).
 
-    ``undirected`` mirrors every edge (so every participating node
-    has out-degree ≥ 1 — no dangling-mass term needed; nodes with no
-    edges don't participate, document upstream).  Multi-edges count
-    with multiplicity — DISTINCT the edge list first if unwanted.
+    The node universe is ``src ∪ dst``, so directed graphs with sink
+    nodes (dst-only) are handled: a sink's rank mass is redistributed
+    uniformly each iteration (the standard dangling-node term), and
+    sinks receive rank like any other node.  ``undirected`` mirrors
+    every edge (then every node has out-degree ≥ 1 and the dangling
+    term is identically zero).  Multi-edges count with multiplicity —
+    DISTINCT the edge list first if unwanted.
 
-    Per iteration: broadcast sorted node ids + rank/deg (``ray.put``);
-    each edge batch contributes ``rank(src)/deg(src)`` to its dst via
-    a vectorized searchsorted + bincount partial; one two-phase keyed
-    combine sums partials; the driver folds the node-sized result into
-    ``(1−d)/N + d·contrib``.  The node vector must fit the driver
-    (loud ``broadcast_limit``) — at larger node counts keep ranks as a
-    Dataset and co-partition with the edges instead."""
+    Two plans, picked by ``mode``:
+
+    - ``"broadcast"`` (and ``"auto"`` up to ``broadcast_limit``
+      nodes): per iteration broadcast sorted node ids + share vector
+      (``ray.put``); each edge batch contributes
+      ``rank(src)/deg(src)`` to its dst via a vectorized index_in +
+      bincount partial; ONE two-phase keyed combine sums partials;
+      the driver folds the node-sized result into
+      ``(1−d)/N + d·(contrib + dangling/N)``.
+    - ``"partition"`` (and ``"auto"`` above the limit): ranks stay a
+      DATASET co-located with the edges by key — per iteration one
+      sharded join edges⋈shares on src, one keyed sum by dst, one
+      left join back onto the node table (same plan family as
+      ``connected_components mode="propagate"``).  Nothing
+      node-sized ever lands on the driver; the per-iteration driver
+      scalar is just the dangling mass (one bounded aggregate).
+      Costs 3 exchanges/iteration — Ray Data's join cannot reuse a
+      prior partitioning, which is exactly why broadcast stays the
+      default below the limit."""
     import ray
 
+    if mode not in ("auto", "broadcast", "partition"):
+        raise ValueError("pagerank: mode must be auto/broadcast/partition")
+
     def apply(ds):
+        import ray.data as rd
+
         from rayflow.ops import build_op
+        from rayflow.ops.kernels import collect_table
 
         def mirror(t: pa.Table) -> pa.Table:
             s = pc.cast(t.column(src_col), pa.string())
@@ -2148,31 +2173,57 @@ def build_pagerank(*, src_col: str = "src", dst_col: str = "dst",
 
         edges = ds.map_batches(mirror, **_PA_KW).materialize()
 
+        # node universe = src ∪ dst with OUT-degree (0 = sink).  One
+        # two-phase combine over per-block (node, deg-partial) rows.
+        def node_partial(t: pa.Table) -> pa.Table:
+            s = t.column("_pr_src").combine_chunks()
+            d = t.column("_pr_dst").combine_chunks()
+            return pa.table({
+                "_pr_node": pa.concat_arrays([s, d]),
+                "_pr_deg": pa.array(
+                    np.concatenate([np.ones(len(s), np.int64),
+                                    np.zeros(len(d), np.int64)]),
+                    pa.int64()),
+            })
+
         deg_ds = build_op({
-            "op": "group_agg", "keys": ["_pr_src"],
-            "aggs": [("count", None, "_pr_deg")],
-        })(edges)
-        deg_tbl = pa.concat_tables(
-            [pa.table(b) for b in
-             deg_ds.iter_batches(batch_format="pyarrow")])
-        if deg_tbl.num_rows > broadcast_limit:
+            "op": "group_agg", "keys": ["_pr_node"],
+            "aggs": [("sum", "_pr_deg", "_pr_deg")],
+        })(edges.map_batches(node_partial, **_PA_KW)).materialize()
+        n = deg_ds.count()
+        if n == 0:
+            return rd.from_arrow(pa.table({
+                node_out: pa.array([], pa.string()),
+                out: pa.array([], pa.float64())}))
+        base = (1.0 - damping) / n
+        iters = max(0, int(n_iter))
+
+        if mode == "partition" or (mode == "auto" and n > broadcast_limit):
+            return _pagerank_partitioned(
+                edges, deg_ds, n, base, damping, iters, num_partitions,
+                node_out, out)
+        if n > broadcast_limit:
             raise ValueError(
-                f"pagerank: {deg_tbl.num_rows} nodes exceed "
-                f"broadcast_limit={broadcast_limit} — co-partition a "
-                "rank Dataset with the edges instead of broadcasting")
-        order = pc.sort_indices(deg_tbl.column("_pr_src"))
-        nodes = deg_tbl.column("_pr_src").take(order)
+                f"pagerank: {n} nodes exceed "
+                f"broadcast_limit={broadcast_limit} — use "
+                "mode='partition' (or 'auto') for the co-partitioned "
+                "rank-Dataset plan")
+
+        deg_tbl = collect_table(deg_ds)
+        order = pc.sort_indices(deg_tbl.column("_pr_node"))
+        nodes_arr = deg_tbl.column("_pr_node").take(order).combine_chunks()
         deg = deg_tbl.column("_pr_deg").take(order) \
             .to_numpy(zero_copy_only=False).astype(np.float64)
-        nodes_np = np.asarray(nodes.to_pylist(), dtype=object)
-        n = len(nodes_np)
+        dangling = deg == 0.0
         rank = np.full(n, 1.0 / n)
-        base = (1.0 - damping) / n
 
-        nodes_arr = pa.array(list(nodes_np), pa.string())
-
-        for _ in range(max(0, int(n_iter))):
-            share_ref = ray.put((nodes_arr, rank / deg))
+        for _ in range(iters):
+            # sinks contribute no per-edge share; their mass spreads
+            # uniformly via the scalar dangling term below
+            share = np.where(dangling, 0.0,
+                             rank / np.where(dangling, 1.0, deg))
+            dmass = float(rank[dangling].sum())
+            share_ref = ray.put((nodes_arr, share))
 
             def contrib(t: pa.Table, _ref=share_ref) -> pa.Table:
                 nn, shares = ray.get(_ref)
@@ -2191,20 +2242,164 @@ def build_pagerank(*, src_col: str = "src", dst_col: str = "dst",
                 "op": "group_agg", "keys": ["_pr_i"],
                 "aggs": [("sum", "_pr_c", "_pr_c")],
             })(edges.map_batches(contrib, **_PA_KW))
-            at = pa.concat_tables(
-                [pa.table(b) for b in
-                 agg.iter_batches(batch_format="pyarrow")])
-            new_rank = np.full(n, base)
+            at = collect_table(agg)
+            new_rank = np.full(n, base + damping * dmass / n)
             idx = at.column("_pr_i").to_numpy(zero_copy_only=False)
             val = at.column("_pr_c").to_numpy(zero_copy_only=False)
             new_rank[idx] += damping * val
             rank = new_rank
 
-        import ray.data as rd
-
         return rd.from_arrow(pa.table({
-            node_out: pa.array(list(nodes_np), pa.string()),
+            node_out: nodes_arr,
             out: pa.array(rank, pa.float64()),
         }))
 
     return apply
+
+
+def _pagerank_partitioned(edges, deg_ds, n, base, damping, iters,
+                          num_partitions, node_out, out):
+    """Co-partitioned PageRank: the rank vector is a Dataset
+    ``(_pr_node, _pr_deg, _pr_rank)``; per iteration one keyed
+    exchange co-locates edges with their src's share (tag-union →
+    hash(key)-shard → in-shard Arrow ``index_in``), one two-phase
+    keyed sum collapses contributions by dst, and one more keyed
+    exchange folds them back onto the node table.  Node state never
+    lands on the driver (only the scalar dangling mass does).
+
+    Built on the engine's own coarse-shard groupby exchange rather
+    than ``Dataset.join``: the hash-shuffle join emits empty-SCHEMA
+    blocks for empty partitions (poisoning any downstream join's key
+    resolution) and its up-front aggregator actor pool can hang on
+    small clusters — both measured on Ray 2.49.  ``state``
+    materializes per iteration so the lineage doesn't re-execute
+    ``iters`` times."""
+    from rayflow.ops import build_op
+    from rayflow.ops.kernels import collect_table, shard_codes
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pr_rank", pa.array(np.full(t.num_rows, 1.0 / n), pa.float64()))
+
+    state = deg_ds.map_batches(init_rank, **_PA_KW).materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        k = t.column("_pr_src").combine_chunks()
+        return pa.table({
+            "_k": k,
+            "_dst": t.column("_pr_dst"),
+            "_val": pa.nulls(t.num_rows, pa.float64()),
+            "_deg": pa.nulls(t.num_rows, pa.int64()),
+            "_side": pa.array(["e"] * t.num_rows, pa.string()),
+            "_shard": pa.array(shard_codes(k, num_partitions), pa.int64()),
+        })
+
+    edges_tagged = edges.map_batches(tag_edges, **_PA_KW).materialize()
+
+    for _ in range(iters):
+        # scalar dangling mass: per-block partial sums, tiny driver fold
+        def dang_partial(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("_pr_deg"), 0)
+            s = pc.sum(pc.if_else(m, t.column("_pr_rank"), 0.0)).as_py()
+            return pa.table({"_s": pa.array([s or 0.0], pa.float64())})
+
+        dmass = float(sum(
+            collect_table(state.map_batches(dang_partial, **_PA_KW))
+            .column("_s").to_pylist()) or 0.0)
+
+        def tag_shares(t: pa.Table) -> pa.Table:
+            # sinks (deg 0) carry share 0.0 — they have no outgoing
+            # edges, so no edge row ever looks their share up
+            k = t.column("_pr_node").combine_chunks()
+            deg = pc.cast(t.column("_pr_deg"), pa.float64())
+            sink = pc.equal(deg, 0.0)
+            share = pc.if_else(
+                sink, 0.0,
+                pc.divide(t.column("_pr_rank"),
+                          pc.if_else(sink, 1.0, deg)))
+            return pa.table({
+                "_k": k,
+                "_dst": pa.nulls(t.num_rows, pa.string()),
+                "_val": share,
+                "_deg": pa.nulls(t.num_rows, pa.int64()),
+                "_side": pa.array(["s"] * t.num_rows, pa.string()),
+                "_shard": pa.array(shard_codes(k, num_partitions),
+                                   pa.int64()),
+            })
+
+        def lookup_shard(g: pa.Table) -> pa.Table:
+            # co-located by hash(key): resolve each edge's src share
+            # with one index_in, pre-sum per dst within the shard
+            is_s = pc.equal(g.column("_side"), "s")
+            sh = g.filter(is_s)
+            eg = g.filter(pc.invert(is_s))
+            if eg.num_rows == 0 or sh.num_rows == 0:
+                return pa.table({"_pr_dst": pa.array([], pa.string()),
+                                 "_pr_c": pa.array([], pa.float64())})
+            si = pc.index_in(eg.column("_k"),
+                             value_set=sh.column("_k").combine_chunks())
+            vals = sh.column("_val").combine_chunks().take(si)
+            agged = pa.table({"_pr_dst": eg.column("_dst"), "_pr_c": vals}) \
+                .group_by(["_pr_dst"], use_threads=False) \
+                .aggregate([("_pr_c", "sum")])
+            # rebuild by NAME (aggregate output column order is
+            # pyarrow-version-dependent)
+            return pa.table({"_pr_dst": agged.column("_pr_dst"),
+                             "_pr_c": agged.column("_pr_c_sum")})
+
+        both = edges_tagged.union(state.map_batches(tag_shares, **_PA_KW))
+        contrib = build_op({
+            "op": "group_agg", "keys": ["_pr_dst"],
+            "aggs": [("sum", "_pr_c", "_pr_c")],
+        })(both.groupby("_shard").map_groups(lookup_shard,
+                                             batch_format="pyarrow"))
+
+        def tag_state(t: pa.Table) -> pa.Table:
+            k = t.column("_pr_node").combine_chunks()
+            return pa.table({
+                "_k": k,
+                "_val": t.column("_pr_rank"),
+                "_deg": t.column("_pr_deg"),
+                "_side": pa.array(["n"] * t.num_rows, pa.string()),
+                "_shard": pa.array(shard_codes(k, num_partitions),
+                                   pa.int64()),
+            })
+
+        def tag_contrib(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column("_pr_dst"), pa.string()).combine_chunks()
+            return pa.table({
+                "_k": k,
+                "_val": t.column("_pr_c"),
+                "_deg": pa.nulls(t.num_rows, pa.int64()),
+                "_side": pa.array(["c"] * t.num_rows, pa.string()),
+                "_shard": pa.array(shard_codes(k, num_partitions),
+                                   pa.int64()),
+            })
+
+        def fold_shard(g: pa.Table, _dm=dmass) -> pa.Table:
+            is_n = pc.equal(g.column("_side"), "n")
+            nd = g.filter(is_n)
+            cb = g.filter(pc.invert(is_n))
+            ci = pc.index_in(nd.column("_k"),
+                             value_set=cb.column("_k").combine_chunks())
+            c = pc.fill_null(
+                cb.column("_val").combine_chunks().take(ci)
+                if cb.num_rows else pa.nulls(nd.num_rows, pa.float64()),
+                0.0)
+            rank = pc.add(pc.multiply(pc.add(c, _dm / n), damping), base)
+            return pa.table({
+                "_pr_node": nd.column("_k"),
+                "_pr_deg": nd.column("_deg"),
+                "_pr_rank": rank,
+            })
+
+        folded = state.map_batches(tag_state, **_PA_KW) \
+            .union(contrib.map_batches(tag_contrib, **_PA_KW))
+        state = folded.groupby("_shard") \
+            .map_groups(fold_shard, batch_format="pyarrow").materialize()
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({node_out: t.column("_pr_node"),
+                         out: t.column("_pr_rank")})
+
+    return state.map_batches(fin, **_PA_KW)

@@ -238,9 +238,11 @@ def build_sharded_semi(*, right, on: str, right_on: str | None = None,
             return out.drop_columns(
                 [c for c in ("__semi_n", rk) if c in out.column_names])
 
+        from rayflow.ops.kernels import clamp_join_partitions
+
         joined = ds.join(
             keys, join_type="left_outer",
-            num_partitions=num_partitions,
+            num_partitions=clamp_join_partitions(num_partitions),
             on=(on,), right_on=(rk,),
         )
         out = joined.map_batches(finish, batch_format="pyarrow",
@@ -301,11 +303,13 @@ def build_sharded_join(*, right, on: list[str], right_on: list[str] | None = Non
                     return build_broadcast_join(
                         small=small, on=on, right_on=right_on, how=how)(ds)
         # Dataset.join takes *_outer names
+        from rayflow.ops.kernels import clamp_join_partitions
+
         jt = {"left": "left_outer", "right": "right_outer"}.get(how, how)
         return ds.join(
             r,
             join_type=jt,
-            num_partitions=num_partitions,
+            num_partitions=clamp_join_partitions(num_partitions),
             on=tuple(on),
             right_on=tuple(right_on) if right_on else None,
         )

@@ -341,6 +341,24 @@ def build_bloom_from(ds, key_col: str, *, bits_per_key: int = 10,
     return bf
 
 
+def clamp_join_partitions(requested: int) -> int:
+    """Bound a ``Dataset.join`` partition count by the cluster's CPU
+    count.  Ray's hash-shuffle join spins up its aggregator actor pool
+    up front; requesting many more partitions than the cluster has
+    CPUs can starve the pool into a hang on small clusters (measured
+    on Ray 2.49: ``num_partitions=32`` on a 4-CPU local cluster never
+    completes; 24 does).  Partitions beyond the CPU count add actor
+    overhead, not parallelism, so the clamp also never hurts — at
+    cluster scale (CPUs ≫ requested) it is the identity."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or int(requested)
+    except Exception:
+        return max(2, int(requested))
+    return max(2, min(int(requested), cpus))
+
+
 def group_codes(keys) -> "np.ndarray":
     """Local int64 group codes for a key column (only equality matters):
     dictionary-encode + EXPLICIT null handling — null keys form one

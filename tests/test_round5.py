@@ -1,0 +1,153 @@
+"""Round-5 regression tests: judge/advisor findings.
+
+Covers: pagerank over directed graphs with sink nodes (node universe =
+src ∪ dst + dangling-mass redistribution), the co-partitioned pagerank
+plan, the join-partition CPU clamp, set_op type validation, and the
+empty-input guards on the driver-pull ops (group_zscore / tfidf /
+pagerank).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayflow.ops import build_op
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _pagerank_reference(edges, n_iter, damping=0.85, undirected=True):
+    """Dense power iteration with the standard dangling-node term."""
+    if undirected:
+        edges = edges + [(d, s) for s, d in edges]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {x: 0 for x in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(nodes)
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(n_iter):
+        dm = sum(rank[x] for x in nodes if deg[x] == 0)
+        contrib = {x: 0.0 for x in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / deg[s]
+        rank = {x: (1 - damping) / n + damping * (contrib[x] + dm / n)
+                for x in nodes}
+    return rank
+
+
+def test_pagerank_directed_sink_node(ray_session):
+    # c is dst-only (a sink): previously crashed with invalid bincount
+    # indices; now it receives rank and its mass redistributes
+    df = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    out = build_op({"op": "pagerank", "n_iter": 20,
+                    "undirected": False})(_ds(df)) \
+        .to_pandas().set_index("node")["rank"]
+    ref = _pagerank_reference([("a", "b"), ("b", "c")], 20,
+                              undirected=False)
+    assert set(out.index) == set(ref)
+    for x, v in ref.items():
+        assert abs(out[x] - v) < 1e-9
+    assert abs(out.sum() - 1.0) < 1e-9  # dangling mass conserved
+
+
+def test_pagerank_partitioned_matches_broadcast(ray_session):
+    df = pd.DataFrame({"src": ["h"] * 5,
+                       "dst": [f"l{i}" for i in range(5)]})
+    rb = build_op({"op": "pagerank", "n_iter": 5})(_ds(df)) \
+        .to_pandas().set_index("node")["rank"]
+    rp = build_op({"op": "pagerank", "n_iter": 5, "mode": "partition",
+                   "num_partitions": 4})(_ds(df)) \
+        .to_pandas().set_index("node")["rank"]
+    assert float((rb - rp.reindex(rb.index)).abs().max()) < 1e-12
+
+
+def test_pagerank_auto_switches_to_partition_under_tiny_limit(ray_session):
+    # broadcast_limit below the node count: auto must route to the
+    # co-partitioned plan instead of failing loud, identical ranks
+    df = pd.DataFrame({"src": ["h"] * 5,
+                       "dst": [f"l{i}" for i in range(5)]})
+    rb = build_op({"op": "pagerank", "n_iter": 3})(_ds(df)) \
+        .to_pandas().set_index("node")["rank"]
+    ra = build_op({"op": "pagerank", "n_iter": 3, "broadcast_limit": 2,
+                   "num_partitions": 4})(_ds(df)) \
+        .to_pandas().set_index("node")["rank"]
+    assert float((rb - ra.reindex(rb.index)).abs().max()) < 1e-12
+
+
+def test_pagerank_partitioned_directed_sink(ray_session):
+    df = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    out = build_op({"op": "pagerank", "n_iter": 8, "undirected": False,
+                    "mode": "partition", "num_partitions": 4})(_ds(df)) \
+        .to_pandas().set_index("node")["rank"]
+    ref = _pagerank_reference([("a", "b"), ("b", "c")], 8,
+                              undirected=False)
+    for x, v in ref.items():
+        assert abs(out[x] - v) < 1e-9
+
+
+def test_pagerank_empty_input(ray_session):
+    df = pd.DataFrame({"src": pd.Series([], dtype=str),
+                       "dst": pd.Series([], dtype=str)})
+    out = build_op({"op": "pagerank"})(_ds(df))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "rank"}
+
+
+# ------------------------------------------------------- join clamp
+
+def test_clamp_join_partitions(ray_session):
+    import ray
+
+    from rayflow.ops.kernels import clamp_join_partitions
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    assert clamp_join_partitions(2 * cpus + 64) == cpus
+    assert clamp_join_partitions(2) == 2
+    assert clamp_join_partitions(1) == 2  # floor
+
+
+def test_sharded_join_survives_oversized_partition_request(ray_session):
+    # 128 partitions on a 4-CPU cluster hangs Ray's hash-shuffle
+    # aggregator pool without the clamp
+    left = pd.DataFrame({"k": ["a", "b", "c"] * 5, "v": range(15)})
+    right = pd.DataFrame({"k2": ["a", "b"], "w": [1, 2]})
+    out = build_op({"op": "sharded_join", "right": _ds(right),
+                    "on": ["k"], "right_on": ["k2"], "how": "inner",
+                    "num_partitions": 128})(_ds(left)).to_pandas()
+    assert len(out) == 10
+
+
+# ------------------------------------------------------- set_op types
+
+def test_set_op_rejects_mismatched_column_types(ray_session):
+    a = pd.DataFrame({"x": pd.Series([1, 2, 3], dtype="int64")})
+    b = pd.DataFrame({"x": pd.Series([1.0, 2.0], dtype="float64")})
+    with pytest.raises(Exception, match="types differ"):
+        build_op({"op": "set_op", "other": _ds(b),
+                  "how": "intersect"})(_ds(a)).to_pandas()
+
+
+# ------------------------------------------------- empty-input guards
+
+def test_group_zscore_empty_input(ray_session):
+    df = pd.DataFrame({"k": pd.Series([], dtype=str),
+                       "v": pd.Series([], dtype=float)})
+    out = build_op({"op": "group_zscore", "keys": ["k"],
+                    "value_col": "v"})(_ds(df))
+    assert out.count() == 0
+
+
+def test_tfidf_empty_input(ray_session):
+    df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                       "text": pd.Series([], dtype=str)})
+    out = build_op({"op": "tfidf"})(_ds(df))
+    assert out.count() == 0
