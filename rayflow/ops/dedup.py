@@ -1730,16 +1730,38 @@ def build_paragraph_dedup(*, id_col: str = "doc_id", text_col: str = "text",
             return t.append_column(
                 "_pd_shard", pa.array(mixed.astype(np.int64), pa.int64()))
 
-        def rebuild(g) -> "pd.DataFrame":
-            import pandas as pd
-
-            g = g.sort_values(["_pd_id", "_pd_idx"])
-            out = g.groupby("_pd_id", sort=True)["para"].agg(sep.join)
-            return pd.DataFrame({id_col: out.index.to_numpy(np.int64),
-                                 out_col: out.to_numpy()})
+        def rebuild(g: pa.Table) -> pa.Table:
+            # Arrow end to end (the shard carries the corpus TEXT — a
+            # pandas round-trip would object-box every paragraph):
+            # lexsort by (doc, para_idx), per-doc run offsets over the
+            # sorted value buffer → LargeListArray → pc.binary_join,
+            # the same one-C-kernel join group_concat uses
+            ids = g.column("_pd_id").to_numpy(zero_copy_only=False)
+            pidx = g.column("_pd_idx").to_numpy(zero_copy_only=False)
+            o = np.lexsort((pidx, ids))
+            ks = ids[o]
+            vals = g.column("para").combine_chunks() \
+                .cast(pa.large_string()).take(pa.array(o, pa.int64()))
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            starts = np.flatnonzero(
+                np.concatenate(([True], ks[1:] != ks[:-1]))) \
+                if len(ks) else np.zeros(0, np.int64)
+            offsets = np.concatenate((starts, [len(ks)])).astype(np.int64) \
+                if len(ks) else np.zeros(1, np.int64)
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), vals)
+            joined = pc.binary_join(lists,
+                                    pa.scalar(sep, pa.large_string()))
+            return pa.table({
+                id_col: pa.array(ks[starts] if len(ks) else [],
+                                 pa.int64()),
+                out_col: joined.cast(pa.string()),
+            })
 
         return winners.map_batches(shard, **_PA_KW) \
-            .groupby("_pd_shard").map_groups(rebuild, batch_format="pandas")
+            .groupby("_pd_shard").map_groups(rebuild,
+                                             batch_format="pyarrow")
 
     return apply
 
@@ -2047,10 +2069,36 @@ def build_dup_span_remove(*, k_tokens: int = 50, text_col: str = "text",
         marks = rows.groupby("bucket").map_groups(cut_marks,
                                                   batch_format="pandas")
 
-        def pack_marks(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby(id_col)["pos"].agg(
-                lambda s: ",".join(map(str, sorted(set(s)))))
-            return out.reset_index().rename(columns={"pos": "_cut_pos"})
+        def pack_marks(g: pa.Table) -> pa.Table:
+            # per-doc sorted-distinct positions joined "p1,p2,…" — all
+            # Arrow/numpy: lexsort + run dedup + binary_join
+            g = g.drop_columns(["_dsr_shard"])
+            ids = g.column(id_col).to_numpy(zero_copy_only=False)
+            pos = g.column("pos").to_numpy(zero_copy_only=False)
+            o = np.lexsort((pos, ids))
+            ids_s, pos_s = ids[o], pos[o]
+            keep = np.concatenate(([True], (ids_s[1:] != ids_s[:-1])
+                                   | (pos_s[1:] != pos_s[:-1]))) \
+                if len(ids_s) else np.zeros(0, bool)
+            ids_s, pos_s = ids_s[keep], pos_s[keep]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ids_s[1:] != ids_s[:-1]))) \
+                if len(ids_s) else np.zeros(0, np.int64)
+            offsets = np.concatenate(
+                (starts, [len(ids_s)])).astype(np.int64) \
+                if len(ids_s) else np.zeros(1, np.int64)
+            pos_str = pc.cast(pa.array(pos_s.astype(np.int64)),
+                              pa.string()) \
+                if len(pos_s) else pa.array([], pa.string())
+            if isinstance(pos_str, pa.ChunkedArray):
+                pos_str = pos_str.combine_chunks()
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pos_str)
+            return pa.table({
+                id_col: pa.array(ids_s[starts] if len(ids_s) else []
+                                 ).cast(g.schema.field(id_col).type),
+                "_cut_pos": pc.binary_join(lists, ","),
+            })
 
         def mark_shard(t: pa.Table) -> pa.Table:
             from rayflow.ops.kernels import shard_codes
@@ -2060,9 +2108,8 @@ def build_dup_span_remove(*, k_tokens: int = 50, text_col: str = "text",
                 pa.array(shard_codes(t.column(id_col), 64), pa.int64()))
 
         packed = marks.map_batches(mark_shard, **_PA_KW) \
-            .groupby("_dsr_shard").map_groups(
-                lambda g: pack_marks(g.drop(columns=["_dsr_shard"])),
-                batch_format="pandas")
+            .groupby("_dsr_shard").map_groups(pack_marks,
+                                              batch_format="pyarrow")
 
         joined = build_op({
             "op": "sharded_join", "right": packed, "how": "left",

@@ -366,52 +366,53 @@ def _detect_hot_keys(ds, on: str, *, sample_fraction: float = 0.05,
 
 
 def _salted_map_groups(both, *, on: str, side_col: str, salt_keys,
-                       num_salts: int, per_group):
+                       num_salts: int, per_shard,
+                       num_shards: int | None = None):
     """Key-grouped execution with optional hot-key salting (the CDC
     merge's salt-then-re-merge, applied to the join co-location
-    exchange).  Hot LEFT rows are spread round-robin across
-    ``num_salts`` sub-groups; hot RIGHT rows (the state history /
-    interval set every left row must see) are REPLICATED into every
-    sub-group, so each sub-group computes exactly the rows its left
-    slice would have produced unsalted — the result set is identical,
-    but the hot key's work lands on ``num_salts`` tasks instead of one
-    straggler.  Replication cost: (num_salts - 1) extra copies of the
-    hot keys' right rows only."""
+    exchange).  ``per_shard`` is an ARROW kernel over a co-located
+    slice — it must handle any number of keys (segmented sweeps), so
+    the same kernel serves both the coarse-shard path and the salted
+    per-group path (a salt group is just a one-key shard).
+
+    Hot LEFT rows are spread round-robin across ``num_salts``
+    sub-groups; hot RIGHT rows (the state history / interval set every
+    left row must see) are REPLICATED into every sub-group, so each
+    sub-group computes exactly the rows its left slice would have
+    produced unsalted — the result set is identical, but the hot key's
+    work lands on ``num_salts`` tasks instead of one straggler.
+    Replication cost: (num_salts - 1) extra copies of the hot keys'
+    right rows only."""
     from rayflow.ops import prefer_push_shuffle
 
     prefer_push_shuffle()
     if not salt_keys or num_salts <= 1:
         # COARSE shards, not one Ray group per key: hash(key) %
         # num_shards co-locates every key's rows exactly like the
-        # per-key groupby, but the per-group callback runs as a plain
-        # pandas iteration inside ~64 shard tasks — at corpus scale
-        # (millions of keys) per-key Ray group callbacks are the
-        # bottleneck, same reasoning as minhash's bucket groups
-        from rayflow.ops.kernels import shard_codes
+        # per-key groupby, but the whole shard resolves in ONE
+        # segmented Arrow kernel — at corpus scale (millions of keys)
+        # per-key Ray group callbacks are the bottleneck, same
+        # reasoning as minhash's bucket groups.  ``num_shards=None``
+        # sizes the fan-out by BYTES (auto_num_shards) — a constant
+        # would make per-shard heap grow linearly with the data.
+        from rayflow.ops.kernels import auto_num_shards, shard_codes
 
-        n_shards = 64
+        if num_shards is None:
+            n_shards, both = auto_num_shards(both)
+        else:
+            n_shards = int(num_shards)
 
         def add_shard(t: pa.Table) -> pa.Table:
             return t.append_column(
                 "_smg_shard",
                 pa.array(shard_codes(t.column(on), n_shards), pa.int64()))
 
-        def run_shard(g):
-            import pandas as pd
-
-            g = g.drop(columns=["_smg_shard"])
-            outs = [per_group(sub)
-                    for _, sub in g.groupby(on, sort=False, dropna=False)]
-            outs = [o for o in outs if o is not None and len(o)]
-            # all-empty shard: emit the OUTPUT schema (per_group on an
-            # empty slice), not a column-less frame — a 0-column block
-            # trips Ray's schema unification warning/behavior
-            return (pd.concat(outs, ignore_index=True) if outs
-                    else per_group(g.iloc[0:0]))
+        def run_shard(g: pa.Table) -> pa.Table:
+            return per_shard(g.drop_columns(["_smg_shard"]))
 
         return both.map_batches(add_shard, **_PA_KW) \
             .groupby("_smg_shard").map_groups(run_shard,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
     import numpy as np
 
@@ -447,10 +448,11 @@ def _salted_map_groups(both, *, on: str, side_col: str, salt_keys,
 
     salted = both.map_batches(add_salt, **_PA_KW)
 
-    def wrapper(g):
-        return per_group(g.drop(columns=["_gk"]))
+    def wrapper(g: pa.Table) -> pa.Table:
+        return per_shard(g.drop_columns(["_gk"]))
 
-    return salted.groupby("_gk").map_groups(wrapper, batch_format="pandas")
+    return salted.groupby("_gk").map_groups(wrapper,
+                                            batch_format="pyarrow")
 
 
 @register_op("asof_join")
@@ -459,7 +461,8 @@ def build_asof_join(*, right, on: str, time_col: str,
                     strategy: str = "auto",
                     broadcast_bytes_limit: int = 64 << 20,
                     salt_keys: list | None = None, num_salts: int = 8,
-                    auto_salt: bool = False):
+                    auto_salt: bool = False,
+                    num_shards: int | None = None):
     """As-of join — each left row picks the right row with the latest
     ``time_col`` ≤ its own (``direction="backward"``; ``"forward"`` =
     earliest ≥) within the same ``on`` key.  The enrichment shape Ray
@@ -476,20 +479,23 @@ def build_asof_join(*, right, on: str, time_col: str,
       searches.  ZERO exchanges; the left side never moves.
     - **shuffle** (``"shuffle"``, or auto when the right side is big):
       tag both sides, align schemas (missing columns are typed nulls),
-      union, then ONE hash exchange — ``groupby(on).map_groups``
-      co-locates each key's rows and pandas ``merge_asof`` runs
-      locally.  Hot keys: pass ``salt_keys=[...]`` (or
+      union, then ONE hash exchange — coarse hash(key) shards
+      (``num_shards=None`` → byte-sized fan-out) where the WHOLE
+      shard resolves in one segmented Arrow sweep: lexsort by
+      (key, time, side), then a run-encoded ``maximum.accumulate``
+      carries each left row's latest visible right row — no per-key
+      Python, no pandas round-trip, right values gathered with typed
+      Arrow takes.  Hot keys: pass ``salt_keys=[...]`` (or
       ``auto_salt=True`` for a seeded sampled heavy-key scan) to
       spread each listed key over ``num_salts`` sub-groups — left
       rows split round-robin, right state history replicated per
       salt; identical results, no straggler task.
 
-    Ties on equal ``time_col`` within a key resolve to the LAST right
-    row in (time, original-order); pre-dedupe the right side on
-    (key, time) for engine-independent determinism.
+    Ties on equal ``time_col`` within a key resolve: ``backward`` to
+    the LAST right row in (time, original-order), ``forward`` to the
+    FIRST (pandas ``merge_asof`` semantics); pre-dedupe the right
+    side on (key, time) for engine-independent determinism.
     """
-    import pandas as pd
-
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: bad direction {direction!r}")
 
@@ -587,81 +593,103 @@ def build_asof_join(*, right, on: str, time_col: str,
                 return apply_broadcast(ds, small, ren, out_right)
 
         both = _tag_union_align(ds, rt, all_cols, ren, "_asof_side")
+        out_names = list(all_cols)
+        right_names = list(out_right)
 
-        right_out_cols = list(out_right)
+        def asof_shard(g: pa.Table) -> pa.Table:
+            # segmented sweep over the whole co-located shard: encode
+            # (key-run, sorted-pos) so one maximum.accumulate carries
+            # "latest right row seen" across every key at once —
+            # O(n log n), zero per-key Python, typed Arrow gathers
+            from rayflow.ops.kernels import group_codes
 
-        def per_key(g: pd.DataFrame) -> pd.DataFrame:
-            lg = g[g["_asof_side"] == "l"].drop(columns=["_asof_side"])
-            rg = g[g["_asof_side"] == "r"]
-            lg = lg.sort_values(time_col, kind="stable", ignore_index=True)
-            if rg.empty:
-                return lg
-            rg = rg[[time_col] + right_out_cols] \
-                .sort_values(time_col, kind="stable", ignore_index=True)
-            merged = pd.merge_asof(
-                lg.drop(columns=right_out_cols), rg,
-                on=time_col, direction=direction)
-            return merged[list(lg.columns)]
+            n = g.num_rows
+            left_mask = pc.equal(g.column("_asof_side"), "l")
+            is_l = left_mask.to_numpy(zero_copy_only=False)
+            if n == 0 or is_l.all() or not is_l.any():
+                # no right rows → left rows pass through (right cols
+                # already typed nulls); no left rows → typed empty
+                return g.filter(left_mask).select(out_names)
+            kidx = group_codes(g.column(on))
+            tcol = g.column(time_col)
+            if pa.types.is_timestamp(tcol.type):
+                # int64 ns end to end (fill_null keeps the int dtype —
+                # a single null would force float64 and ~200 ns
+                # rounding at current epoch values)
+                times = pc.fill_null(
+                    pc.cast(pc.cast(tcol, pa.timestamp("ns")),
+                            pa.int64()), 0) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                times = tcol.to_numpy(zero_copy_only=False)
+            pos = np.arange(n, dtype=np.int64)
+            if direction == "backward":
+                tkey, tie = times, pos
+            else:
+                # forward = backward over reversed time; reversed tie
+                # order makes equal-time rights resolve to the FIRST
+                # original occurrence (merge_asof parity)
+                tkey, tie = -times, -pos
+            side_rank = is_l.astype(np.int8)  # right (0) before left
+            o = np.lexsort((tie, side_rank, tkey, kidx))
+            ks, isl_o = kidx[o], is_l[o]
+            run_id = np.cumsum(
+                np.concatenate(([True], ks[1:] != ks[:-1]))) - 1
+            # encoded scan: value = run_id*(n+1) + (sorted_pos if right
+            # else -1).  Any previous run's max ≤ run_id*(n+1) - 1, so
+            # rel < 0 decodes unambiguously to "no right row yet"
+            spos = np.arange(n, dtype=np.int64)
+            val = run_id * np.int64(n + 1) + np.where(isl_o, -1, spos)
+            rel = np.maximum.accumulate(val) - run_id * np.int64(n + 1)
+            lsel = np.flatnonzero(isl_o)
+            l_orig = o[lsel]
+            matched = rel[lsel] >= 0
+            r_orig = np.where(matched,
+                              o[np.clip(rel[lsel], 0, n - 1)], 0)
+            taken_l = g.take(pa.array(l_orig, pa.int64()))
+            ridx = pa.array(r_orig, pa.int64(),
+                            mask=~matched)  # null index → null row
+            cols = {}
+            for name in out_names:
+                cols[name] = (g.column(name).take(ridx)
+                              if name in out_right
+                              else taken_l.column(name))
+            return pa.table(cols)
 
         hot = list(salt_keys or [])
         if auto_salt and not hot:
             hot = _detect_hot_keys(ds, on)
-        grouped = _salted_map_groups(both, on=on, side_col="_asof_side",
-                                     salt_keys=hot, num_salts=num_salts,
-                                     per_group=per_key)
-
-        return grouped.map_batches(_restore_types(all_cols), **_PA_KW)
+        return _salted_map_groups(both, on=on, side_col="_asof_side",
+                                  salt_keys=hot, num_salts=num_salts,
+                                  per_shard=asof_shard,
+                                  num_shards=num_shards)
 
     return apply
-
-
-def _restore_types(all_cols: dict):
-    """Batch fn casting columns back to the source Arrow types — the
-    tag-union-align + pandas-group path promotes int columns with any
-    NaN to float64 (NaN → null on the way back)."""
-
-    def restore_types(t: pa.Table) -> pa.Table:
-        cols, names = [], []
-        for name in t.column_names:
-            col = t.column(name)
-            want = all_cols.get(name)
-            if want is not None and col.type != want:
-                arr = col.combine_chunks()
-                if pa.types.is_floating(arr.type) and \
-                        not pa.types.is_floating(want):
-                    nan = pc.fill_null(pc.is_nan(arr), True)
-                    arr = pc.if_else(nan, pa.nulls(len(arr), arr.type),
-                                     arr)
-                arr = pc.cast(arr, want, safe=False)
-                col = arr
-            names.append(name)
-            cols.append(col)
-        return pa.Table.from_arrays(cols, names=names)
-
-    return restore_types
 
 
 @register_op("interval_join")
 def build_interval_join(*, right, on: str, time_col: str,
                         start_col: str, end_col: str, suffix: str = "_r",
                         salt_keys: list | None = None, num_salts: int = 8,
-                        auto_salt: bool = False):
+                        auto_salt: bool = False,
+                        num_shards: int | None = None):
     """Range (interval) join: INNER-join each left row to every right
     interval ``[start_col, end_col]`` that contains its ``time_col``,
     within the same ``on`` key — the event-in-window enrichment
     (DuckDB: a plain inequality join; Ray Data has no primitive).
 
     Same co-location plan as :func:`build_asof_join` — tag, align,
-    union, ONE hash exchange, per-key local work.  Within a key the
-    left times are sorted once; each interval finds its matching rows
-    with two binary searches, so per-key cost is
-    O(intervals · log rows + output pairs), never the cross product.
-    Hot keys: ``salt_keys`` / ``auto_salt`` spread a listed key over
+    union, ONE hash exchange (byte-sized coarse shards), segmented
+    Arrow sweep per shard.  Left times sort once per key run; ALL of a
+    key's intervals resolve in ONE batched pair of ``searchsorted``
+    calls, pairs built with ``np.repeat`` offset arithmetic — the loop
+    is over key RUNS only, cost O(intervals·log rows + output pairs),
+    never the cross product and never per-interval Python.  Hot keys:
+    ``salt_keys`` / ``auto_salt`` spread a listed key over
     ``num_salts`` sub-groups (left rows split, intervals replicated) —
     same results, no straggler task.
     """
     import numpy as np
-    import pandas as pd
 
     def apply(ds):
         left_schema = ds.schema()
@@ -680,43 +708,95 @@ def build_interval_join(*, right, on: str, time_col: str,
         both = _tag_union_align(ds, right, all_cols, ren, "_iv_side")
         left_names = list(left_cols)
         right_names = list(out_right)
+        out_names = left_names + right_names
 
-        def per_key(g: pd.DataFrame) -> pd.DataFrame:
-            lg = g[g["_iv_side"] == "l"]
-            rg = g[g["_iv_side"] == "r"]
-            empty = pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
-                                  for c in left_names + right_names})
-            if lg.empty or rg.empty:
+        def _np_times(col):
+            # int64 ns with nulls FILLED (the union-align pads the
+            # other side's rows with typed nulls; a float64 fallback
+            # would cost ~200 ns rounding at current epoch values).
+            # Filled sentinels sit only on rows the sweep never indexes
+            # (time on right rows, start/end on left rows).
+            if pa.types.is_timestamp(col.type):
+                return pc.fill_null(
+                    pc.cast(pc.cast(col, pa.timestamp("ns")),
+                            pa.int64()), 0).to_numpy(zero_copy_only=False)
+            return col.to_numpy(zero_copy_only=False)
+
+        def interval_shard(g: pa.Table) -> pa.Table:
+            from rayflow.ops.kernels import group_codes
+
+            n = g.num_rows
+            left_mask = pc.equal(g.column("_iv_side"), "l")
+            is_l = left_mask.to_numpy(zero_copy_only=False)
+            empty = g.filter(pa.array(np.zeros(n, bool))).select(out_names)
+            if n == 0 or is_l.all() or not is_l.any():
                 return empty
-            lg = lg.sort_values(time_col, kind="stable", ignore_index=True)
-            times = lg[time_col].to_numpy()
-            starts = rg[rstart].to_numpy()
-            ends = rg[rend].to_numpy()
-            li, ri = [], []
-            for j in range(len(rg)):
-                lo = np.searchsorted(times, starts[j], side="left")
-                hi = np.searchsorted(times, ends[j], side="right")
-                if hi > lo:
-                    li.append(np.arange(lo, hi))
-                    ri.append(np.full(hi - lo, j))
-            if not li:
+            kidx = group_codes(g.column(on))
+            if (kidx < 0).any():   # null keys: one ordinary group
+                kidx = kidx.copy()
+                kidx[kidx < 0] = kidx.max() + 1
+            times = _np_times(g.column(time_col))
+            starts = _np_times(g.column(rstart))
+            ends = _np_times(g.column(rend))
+            l_idx = np.flatnonzero(is_l)
+            r_idx = np.flatnonzero(~is_l)
+            # left rows sorted by (key, time): per-key runs of sorted
+            # times, searchsorted-able per segment
+            lo_ord = np.lexsort((times[l_idx], kidx[l_idx]))
+            l_sorted = l_idx[lo_ord]
+            lk, ltimes = kidx[l_sorted], times[l_sorted]
+            l_run_start = np.flatnonzero(
+                np.concatenate(([True], lk[1:] != lk[:-1])))
+            l_run_end = np.append(l_run_start[1:], len(lk))
+            # key code → left run index (dense array lookup)
+            nk = int(kidx.max()) + 1
+            run_of_key = np.full(nk, -1, np.int64)
+            run_of_key[lk[l_run_start]] = np.arange(len(l_run_start))
+            # right intervals grouped by key: one batched searchsorted
+            # pair PER KEY RUN, pairs built with repeat+offset math
+            r_ord = np.argsort(kidx[r_idx], kind="stable")
+            r_sorted = r_idx[r_ord]
+            rk = kidx[r_sorted]
+            r_run_start = np.flatnonzero(
+                np.concatenate(([True], rk[1:] != rk[:-1])))
+            r_run_end = np.append(r_run_start[1:], len(rk))
+            li_parts, ri_parts = [], []
+            for rs, re in zip(r_run_start, r_run_end):
+                run = run_of_key[rk[rs]]
+                if run < 0:
+                    continue
+                ls, le = l_run_start[run], l_run_end[run]
+                seg = ltimes[ls:le]
+                rows = r_sorted[rs:re]
+                lo = np.searchsorted(seg, starts[rows], side="left")
+                hi = np.searchsorted(seg, ends[rows], side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if not total:
+                    continue
+                offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                ar = np.arange(total, dtype=np.int64)
+                li_parts.append(ls + np.repeat(lo, cnt) + (ar - offs))
+                ri_parts.append(np.repeat(rows, cnt))
+            if not li_parts:
                 return empty
-            li = np.concatenate(li)
-            ri = np.concatenate(ri)
-            out = lg.iloc[li][left_names].reset_index(drop=True)
-            rsel = rg.iloc[ri][right_names].reset_index(drop=True)
-            for c in right_names:
-                out[c] = rsel[c]
-            return out
+            l_pairs = l_sorted[np.concatenate(li_parts)]
+            r_pairs = np.concatenate(ri_parts)
+            taken_l = g.take(pa.array(l_pairs, pa.int64()))
+            ridx = pa.array(r_pairs, pa.int64())
+            cols = {}
+            for name in out_names:
+                cols[name] = (g.column(name).take(ridx)
+                              if name in out_right
+                              else taken_l.column(name))
+            return pa.table(cols)
 
         hot = list(salt_keys or [])
         if auto_salt and not hot:
             hot = _detect_hot_keys(ds, on)
-        grouped = _salted_map_groups(both, on=on, side_col="_iv_side",
-                                     salt_keys=hot, num_salts=num_salts,
-                                     per_group=per_key)
-        # same float64 promotion as asof (union-align NaN-pads the
-        # missing side): cast back to the source Arrow types
-        return grouped.map_batches(_restore_types(all_cols), **_PA_KW)
+        return _salted_map_groups(both, on=on, side_col="_iv_side",
+                                  salt_keys=hot, num_salts=num_salts,
+                                  per_shard=interval_shard,
+                                  num_shards=num_shards)
 
     return apply

@@ -341,6 +341,29 @@ def build_bloom_from(ds, key_col: str, *, bits_per_key: int = 10,
     return bf
 
 
+def auto_num_shards(ds, *, target_shard_bytes: int = 256 << 20,
+                    min_shards: int = 64, max_shards: int = 65536):
+    """Byte-based fan-out sizing for the coarse-shard keyed exchange
+    (the ``cdc/replay.py`` partition rule applied to window/join
+    shards): shards ≈ in-memory bytes ÷ ``target_shard_bytes``, floored
+    at ``min_shards`` (parallelism at small scale) and capped at
+    ``max_shards`` (shard-column cardinality sanity).  A constant
+    fan-out is a sizing hazard — at 100× the data each shard task holds
+    100× the bytes; this keeps per-shard heap bounded instead.
+
+    Returns ``(num_shards, materialized_ds)`` — sizing requires one
+    execution, so the materialized handle is returned for reuse (the
+    caller was about to shuffle it anyway; the exchange is blocking
+    all-to-all regardless)."""
+    import math
+
+    m = ds.materialize()
+    sz = m.size_bytes() or 0
+    n = int(max(min_shards,
+                min(max_shards, math.ceil(sz / max(1, target_shard_bytes)))))
+    return n, m
+
+
 def clamp_join_partitions(requested: int) -> int:
     """Bound a ``Dataset.join`` partition count by the cluster's CPU
     count.  Ray's hash-shuffle join spins up its aggregator actor pool

@@ -31,6 +31,32 @@ def _epoch_us(col) -> pc.Expression | pa.ChunkedArray:
     return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
 
 
+def _resolve_shards(ds, num_shards):
+    """Shared fan-out sizing for the coarse-shard keyed exchange:
+    ``num_shards=None`` (the default everywhere) sizes by BYTES via
+    :func:`rayflow.ops.kernels.auto_num_shards` — a constant fan-out
+    is a per-shard-heap hazard at 100× the data.  An explicit int is
+    honored verbatim (tests / known-small inputs)."""
+    if num_shards is not None:
+        return int(num_shards), ds
+    from rayflow.ops.kernels import auto_num_shards
+
+    return auto_num_shards(ds)
+
+
+def _shard_fn(key_col: str, out_col: str, ns: int):
+    """Batch fn appending the hash(key) % ns shard id column."""
+
+    def shard(t: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import shard_codes
+
+        return t.append_column(
+            out_col,
+            pa.array(shard_codes(t.column(key_col), ns), pa.int64()))
+
+    return shard
+
+
 def add_tumbling_bucket(t: pa.Table, ts_col: str, size_s: float,
                         out: str = "window_start") -> pa.Table:
     """Append the window start (as timestamp[us]) for a tumbling window."""
@@ -392,7 +418,8 @@ def build_window_session(*, keys: list[str], ts_col: str, gap_s: float,
 
 @register_op("group_rank")
 def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
-                     descending: bool = False, num_shards: int = 64,
+                     descending: bool = False,
+                     num_shards: int | None = None,
                      out_percent: str | None = None,
                      out_ntile: str | None = None, ntile: int = 4):
     """Per-key ``row_number()`` (1-based, ``OVER (PARTITION BY key
@@ -407,13 +434,6 @@ def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
     SQL's larger-buckets-first split — both from the same pass, no
     extra exchange (the per-key count is the run length already in
     hand)."""
-
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
-
-        return t.append_column(
-            "_gr_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
 
     def rank_shard(g: pa.Table) -> pa.Table:
         from rayflow.ops.kernels import group_codes
@@ -459,7 +479,9 @@ def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
         return res.drop_columns(["_gr_shard"])
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_gr_shard", ns),
+                              **_PA_KW) \
             .groupby("_gr_shard").map_groups(rank_shard,
                                              batch_format="pyarrow")
 
@@ -468,20 +490,14 @@ def build_group_rank(*, key_col: str, order_col: str, out: str = "rn",
 
 @register_op("group_cumsum")
 def build_group_cumsum(*, key_col: str, order_col: str, value_col: str,
-                       out: str = "running", num_shards: int = 64):
+                       out: str = "running",
+                       num_shards: int | None = None):
     """Per-key running sum (``SUM(v) OVER (PARTITION BY key ORDER BY
     order)`` with the default RANGE frame — ties share the frame total,
     matching SQL).  Same one-exchange coarse-shard shape as
     group_rank; within a shard the cumsum over every key is one
     vectorized pass (global cumsum minus each key run's start offset),
     with per-(key, order) tie groups collapsed to their last value."""
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
-
-        return t.append_column(
-            "_gc_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
-
     def cumsum_shard(g: pa.Table) -> pa.Table:
         from rayflow.ops.kernels import group_codes
 
@@ -510,7 +526,9 @@ def build_group_cumsum(*, key_col: str, order_col: str, value_col: str,
                 .drop_columns(["_gc_shard"])
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_gc_shard", ns),
+                              **_PA_KW) \
             .groupby("_gc_shard").map_groups(cumsum_shard,
                                              batch_format="pyarrow")
 
@@ -521,7 +539,7 @@ def build_group_cumsum(*, key_col: str, order_col: str, value_col: str,
 def build_group_lag(*, key_col: str, order_col: str,
                     value_col: str | None = None,
                     out: str = "lag", offset: int = 1,
-                    num_shards: int = 64,
+                    num_shards: int | None = None,
                     value_cols: list[str] | None = None,
                     outs: list[str] | None = None,
                     offsets: list[int] | None = None):
@@ -562,13 +580,6 @@ def build_group_lag(*, key_col: str, order_col: str,
         raise ValueError("group_lag: offset must be nonzero "
                          "(positive = lag, negative = lead)")
 
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
-
-        return t.append_column(
-            "_gl_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
-
     def lag_shard(g: pa.Table) -> pa.Table:
         from rayflow.ops.kernels import group_codes
 
@@ -597,7 +608,9 @@ def build_group_lag(*, key_col: str, order_col: str,
         return g.drop_columns(["_gl_shard"])
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_gl_shard", ns),
+                              **_PA_KW) \
             .groupby("_gl_shard").map_groups(lag_shard,
                                              batch_format="pyarrow")
 
@@ -607,7 +620,7 @@ def build_group_lag(*, key_col: str, order_col: str,
 @register_op("group_concat")
 def build_group_concat(*, key_col: str, order_col: str, value_col: str,
                        out: str = "concat", sep: str = "\n",
-                       num_shards: int = 64):
+                       num_shards: int | None = None):
     """Per-key ORDERED string concatenation — SQL
     ``string_agg(value, sep ORDER BY order) GROUP BY key`` — the
     chat-template / document-assembly primitive for transcript
@@ -628,13 +641,6 @@ def build_group_concat(*, key_col: str, order_col: str, value_col: str,
     bytes) — the same bound the exchange itself already implies.  Hot
     conversations bound single-DOCUMENT size, not single-task group
     count (the shard concatenates all keys in one pass)."""
-
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
-
-        return t.append_column(
-            "_gs_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
 
     def concat_shard(g: pa.Table) -> pa.Table:
         from rayflow.ops.kernels import group_codes
@@ -667,7 +673,9 @@ def build_group_concat(*, key_col: str, order_col: str, value_col: str,
         return pa.table({key_col: keys_out, out: joined})
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_gs_shard", ns),
+                              **_PA_KW) \
             .groupby("_gs_shard").map_groups(concat_shard,
                                              batch_format="pyarrow")
 
@@ -680,7 +688,7 @@ def build_scd2_history(*, keys: list[str], lsn_col: str = "lsn",
                        valid_from: str = "valid_from",
                        valid_to: str = "valid_to",
                        current_flag: str = "is_current",
-                       num_shards: int = 64):
+                       num_shards: int | None = None):
     """Slowly-changing-dimension TYPE-2 materialization of a CDC change
     stream (the Debezium→lake pattern): every non-delete change becomes
     a VERSION row with a ``[valid_from, valid_to)`` LSN interval;
@@ -729,7 +737,8 @@ def build_scd2_history(*, keys: list[str], lsn_col: str = "lsn",
 @register_op("funnel")
 def build_funnel(*, key_col: str, step_col: str, order_col: str,
                  steps: list, ts_outs: list[str] | None = None,
-                 within: float | None = None, num_shards: int = 64,
+                 within: float | None = None,
+                 num_shards: int | None = None,
                  reached_out: str = "reached"):
     """Ordered-event funnel analysis (the product-analytics classic,
     here over agent transcripts: which conversations did tool A, then
@@ -742,46 +751,45 @@ def build_funnel(*, key_col: str, step_col: str, order_col: str,
 
     ONE keyed exchange (the shared coarse-shard shape); in-shard the
     sweep is one pass PER STEP over the whole shard — ``len(steps)``
-    vectorized ``minimum.at`` scatters, never a per-key loop."""
+    vectorized ``minimum.at`` scatters, never a per-key loop.  The
+    shard stays ARROW end to end: only the key codes, step codes and
+    order values become numpy; no pandas round-trip copies the payload
+    columns."""
     n_steps = len(steps)
     if n_steps < 2:
         raise ValueError("funnel: need at least 2 steps")
     outs = ts_outs or [f"step{i+1}_order" for i in range(n_steps)]
     if len(outs) != n_steps:
         raise ValueError("funnel: ts_outs must match steps")
+    steps_str = pa.array([str(s) for s in steps], pa.string())
 
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
+    def sweep(g: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import group_codes
 
-        return t.append_column(
-            "_fn_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
-
-    def sweep(g) -> "pa.Table":
-        import pandas as pd
-
-        kidx, kvals = pd.factorize(g[key_col], use_na_sentinel=False)
-        nk = len(kvals)
-        order_raw = g[order_col]
-        is_dt = pd.api.types.is_datetime64_any_dtype(order_raw)
+        n = g.num_rows
+        kidx = group_codes(g.column(key_col))
+        if (kidx < 0).any():      # null keys form one ordinary group
+            kidx = kidx.copy()
+            kidx[kidx < 0] = kidx.max() + 1
+        nk = int(kidx.max()) + 1 if n else 0
+        ocol = g.column(order_col)
+        is_dt = pa.types.is_timestamp(ocol.type)
         # datetimes stay int64 ns end to end — a float64 cast loses
         # sub-microsecond bits (2^53 < ns range) and drifts the output
         if is_dt:
-            order = order_raw.astype("datetime64[ns]") \
-                .astype("int64").to_numpy()
+            order = pc.cast(pc.cast(ocol, pa.timestamp("ns")),
+                            pa.int64()).to_numpy(zero_copy_only=False)
             sent = np.iinfo(np.int64).max
             w = int(float(within) * 1e9) if within is not None else None
         else:
-            order = order_raw.to_numpy().astype(np.float64)
+            order = ocol.to_numpy(
+                zero_copy_only=False).astype(np.float64)
             sent = np.inf
             w = float(within) if within is not None else None
-        code = pd.Categorical(g[step_col],
-                              categories=[str(s) for s in steps]).codes \
-            if g[step_col].dtype == object else \
-            pd.Series(g[step_col]).map(
-                {s: i for i, s in enumerate(steps)}).fillna(-1) \
-            .to_numpy().astype(np.int64)
-        code = np.asarray(code, dtype=np.int64)
+        code = pc.fill_null(
+            pc.index_in(pc.cast(g.column(step_col), pa.string()),
+                        value_set=steps_str), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         ts = np.full((n_steps, nk), sent, dtype=order.dtype)
         for i in range(n_steps):
             m = code == i
@@ -793,32 +801,44 @@ def build_funnel(*, key_col: str, step_col: str, order_col: str,
                     m &= order <= bound
             if m.any():
                 np.minimum.at(ts[i], kidx[m], order[m])
+        # representative original row per key (first occurrence) —
+        # the key VALUE is gathered with an Arrow take, type preserved
+        rep = np.full(nk, n, dtype=np.int64)
+        if n:
+            np.minimum.at(rep, kidx, np.arange(n, dtype=np.int64))
         started = ts[0] != sent
+        sel = np.flatnonzero(started)
         reached = (ts != sent).sum(axis=0)  # monotone: sentinel propagates
-        cols = {key_col: pd.Series(kvals[started]),
-                reached_out: pd.Series(reached[started], dtype=np.int64)}
+        cols = {
+            key_col: g.column(key_col).take(pa.array(rep[sel], pa.int64())),
+            reached_out: pa.array(reached[sel].astype(np.int64),
+                                  pa.int64()),
+        }
         for i, nm in enumerate(outs):
-            v = ts[i][started]
-            hit = v != sent
+            v = ts[i][sel]
+            miss = v == sent
             if is_dt:
-                s = pd.Series(np.where(hit, v, 0))
-                dt = pd.to_datetime(s, unit="ns")
-                cols[nm] = dt.mask(~hit)
+                arr = pa.array(np.where(miss, 0, v), pa.int64(),
+                               mask=miss)
+                cols[nm] = arr.cast(pa.timestamp("ns"))
             else:
-                cols[nm] = pd.Series(np.where(hit, v, np.nan))
-        return pa.Table.from_pandas(pd.DataFrame(cols),
-                                    preserve_index=False)
+                cols[nm] = pa.array(np.where(miss, np.nan, v),
+                                    pa.float64())
+        return pa.table(cols)
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
-            .groupby("_fn_shard").map_groups(sweep, batch_format="pandas")
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_fn_shard", ns),
+                              **_PA_KW) \
+            .groupby("_fn_shard").map_groups(sweep,
+                                             batch_format="pyarrow")
 
     return apply
 
 
 @register_op("interval_coalesce")
 def build_interval_coalesce(*, key_col: str, start_col: str,
-                            end_col: str, num_shards: int = 64,
+                            end_col: str, num_shards: int | None = None,
                             agg_count: str = "n_merged"):
     """Gaps-and-islands: merge overlapping-or-touching ``[start, end]``
     intervals per key into maximal islands (the classic SQL pattern —
@@ -832,51 +852,59 @@ def build_interval_coalesce(*, key_col: str, start_col: str,
     exceeds the running max of everything before it — no per-key
     loop."""
 
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
+    def sweep(g: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import group_codes
 
-        return t.append_column(
-            "_ic_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
-
-    def sweep(g) -> "pa.Table":
-        import pandas as pd
-
-        g = g.sort_values([key_col, start_col], kind="mergesort",
-                          ignore_index=True)
-        kidx, _ = pd.factorize(g[key_col], use_na_sentinel=False)
-        start = g[start_col].to_numpy()
-        end = g[end_col].to_numpy()
-        n = len(g)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                key_col: g.column(key_col).slice(0, 0),
+                start_col: g.column(start_col).slice(0, 0),
+                end_col: g.column(end_col).slice(0, 0),
+                agg_count: pa.array([], pa.int64())})
+        kidx = group_codes(g.column(key_col))
+        start = g.column(start_col).to_numpy(zero_copy_only=False)
+        end = g.column(end_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((start, kidx))
+        ks, ss, es = kidx[o], start[o], end[o]
         # new island where a row's start exceeds the running max end of
         # everything before it IN ITS KEY RUN.  Segmented cummax has no
         # offset trick (unlike cumsum), so scan per key run — the loop
         # is over RUNS (≤ keys/shard), each slice a vectorized
         # maximum.accumulate, never a per-row loop
-        run_start = np.concatenate(([True], kidx[1:] != kidx[:-1]))
+        run_start = np.concatenate(([True], ks[1:] != ks[:-1]))
         reset_idx = np.nonzero(run_start)[0]
         new_island = np.zeros(n, dtype=bool)
-        new_island[run_start] = True
+        new_island[reset_idx] = True
         for s_i, e_i in zip(reset_idx, np.append(reset_idx[1:], n)):
             if e_i - s_i <= 1:
                 continue
-            seg_cm = np.maximum.accumulate(end[s_i:e_i])
-            new_island[s_i + 1:e_i] = start[s_i + 1:e_i] > seg_cm[:-1]
-        island = np.cumsum(new_island) - 1
-        df = pd.DataFrame({
-            key_col: g[key_col], "_ic_isl": island,
-            start_col: start, end_col: end})
-        out = df.groupby([key_col, "_ic_isl"], sort=False, as_index=False) \
-            .agg(**{start_col: (start_col, "min"),
-                    end_col: (end_col, "max"),
-                    agg_count: (end_col, "size")})
-        out[agg_count] = out[agg_count].astype(np.int64)
-        return pa.Table.from_pandas(
-            out.drop(columns=["_ic_isl"]), preserve_index=False)
+            seg_cm = np.maximum.accumulate(es[s_i:e_i])
+            new_island[s_i + 1:e_i] = ss[s_i + 1:e_i] > seg_cm[:-1]
+        # islands are CONTIGUOUS runs in (key, start) order: island
+        # start = first start (sorted), end = segmented max via
+        # reduceat, count = run length — no pandas groupby needed
+        isl_starts = np.flatnonzero(new_island)
+        isl_len = np.diff(np.append(isl_starts, n)).astype(np.int64)
+        isl_end = np.maximum.reduceat(es, isl_starts)
+        key_type = g.schema.field(key_col).type
+        s_type = g.schema.field(start_col).type
+        e_type = g.schema.field(end_col).type
+        return pa.table({
+            key_col: g.column(key_col).take(
+                pa.array(o[isl_starts], pa.int64())),
+            start_col: pa.array(ss[isl_starts]).cast(s_type),
+            end_col: pa.array(isl_end).cast(e_type),
+            agg_count: pa.array(isl_len, pa.int64()),
+        }).cast(pa.schema([(key_col, key_type), (start_col, s_type),
+                           (end_col, e_type), (agg_count, pa.int64())]))
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
-            .groupby("_ic_shard").map_groups(sweep, batch_format="pandas")
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_ic_shard", ns),
+                              **_PA_KW) \
+            .groupby("_ic_shard").map_groups(sweep,
+                                             batch_format="pyarrow")
 
     return apply
 
@@ -886,7 +914,7 @@ def build_group_moving_agg(*, key_col: str, order_col: str,
                            value_col: str, window: int,
                            fns: list[str] = ("sum",),
                            out_prefix: str | None = None,
-                           num_shards: int = 64):
+                           num_shards: int | None = None):
     """Per-key moving-window aggregates over the trailing ``window``
     rows (SQL ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``):
     moving sum / mean / count — the rolling-average primitive.  Pass a
@@ -907,55 +935,66 @@ def build_group_moving_agg(*, key_col: str, order_col: str,
                 "need a deque scan — excluded by design)")
     pre = out_prefix or f"{value_col}_mov"
 
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
+    def sweep(g: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import group_codes
 
-        return t.append_column(
-            "_ma_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
-
-    def sweep(g) -> "pa.Table":
-        import pandas as pd
-
-        g = g.sort_values([key_col, order_col], kind="mergesort",
-                          ignore_index=True)
-        kidx, _ = pd.factorize(g[key_col], use_na_sentinel=False)
-        v = g[value_col].to_numpy().astype(np.float64)
-        n = len(g)
-        run_start = np.concatenate(([True], kidx[1:] != kidx[:-1]))
-        # position within the key run, vectorized
+        g = g.drop_columns(["_ma_shard"])
+        n = g.num_rows
+        kidx = group_codes(g.column(key_col))
+        order = g.column(order_col).to_numpy(zero_copy_only=False)
+        v = pc.cast(g.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        # sorted-space prefix sums, results SCATTERED back to the
+        # original row order — the shard's payload columns are never
+        # reordered or copied (Arrow end to end)
+        o = np.lexsort((order, kidx))
+        ks, vs = kidx[o], v[o]
+        run_start = np.concatenate(([True], ks[1:] != ks[:-1])) \
+            if n else np.zeros(0, bool)
         idx = np.arange(n, dtype=np.int64)
         run_origin = np.maximum.accumulate(np.where(run_start, idx, 0))
-        ps = np.concatenate(([0.0], np.cumsum(np.nan_to_num(v))))
-        valid = np.concatenate(([0], np.cumsum((~np.isnan(v))
+        ps = np.concatenate(([0.0], np.cumsum(np.nan_to_num(vs))))
+        valid = np.concatenate(([0], np.cumsum((~np.isnan(vs))
                                                .astype(np.int64))))
         # trailing-window lower bound, clamped to the run start
         lo = np.maximum(idx - window + 1, run_origin)
-        msum = ps[idx + 1] - ps[lo]
-        mcnt = valid[idx + 1] - valid[lo]
-        g = g.drop(columns=["_ma_shard"])
+        msum_s = ps[idx + 1] - ps[lo]
+        mcnt_s = valid[idx + 1] - valid[lo]
+        msum = np.empty(n, np.float64)
+        mcnt = np.empty(n, np.int64)
+        msum[o] = msum_s
+        mcnt[o] = mcnt_s
         for f in fns:
             if f == "sum":
                 # SQL SUM over an all-null window is NULL, not 0
-                g[f"{pre}_sum"] = np.where(mcnt > 0, msum, np.nan)
+                g = g.append_column(
+                    f"{pre}_sum",
+                    pa.array(np.where(mcnt > 0, msum, np.nan),
+                             pa.float64()))
             elif f == "count":
-                g[f"{pre}_count"] = mcnt.astype(np.int64)
+                g = g.append_column(f"{pre}_count",
+                                    pa.array(mcnt, pa.int64()))
             else:
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    g[f"{pre}_mean"] = np.where(mcnt > 0, msum / mcnt,
-                                                np.nan)
-        return pa.Table.from_pandas(g, preserve_index=False)
+                    g = g.append_column(
+                        f"{pre}_mean",
+                        pa.array(np.where(mcnt > 0, msum / mcnt, np.nan),
+                                 pa.float64()))
+        return g
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
-            .groupby("_ma_shard").map_groups(sweep, batch_format="pandas")
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_ma_shard", ns),
+                              **_PA_KW) \
+            .groupby("_ma_shard").map_groups(sweep,
+                                             batch_format="pyarrow")
 
     return apply
 
 
 @register_op("resample_ffill")
 def build_resample_ffill(*, key_col: str, ts_col: str, value_col: str,
-                         interval_s: float, num_shards: int = 64,
+                         interval_s: float, num_shards: int | None = None,
                          max_ticks_per_key: int = 1_000_000,
                          tick_out: str = "tick",
                          value_out: str | None = None):
@@ -975,27 +1014,22 @@ def build_resample_ffill(*, key_col: str, ts_col: str, value_col: str,
     iv = int(interval_s * 1e6)
     vout = value_out or value_col
 
-    def shard(t: pa.Table) -> pa.Table:
-        from rayflow.ops.kernels import shard_codes
+    def sweep(g: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import group_codes
 
-        return t.append_column(
-            "_rf_shard",
-            pa.array(shard_codes(t.column(key_col), num_shards), pa.int64()))
-
-    def sweep(g) -> "pa.Table":
-        import pandas as pd
-
-        g = g.sort_values([key_col, ts_col], kind="mergesort",
-                          ignore_index=True)
-        kidx, kvals = pd.factorize(g[key_col], use_na_sentinel=False)
-        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        vals = g[value_col].to_numpy()
-        run_start = np.concatenate(([True], kidx[1:] != kidx[:-1]))
+        n = g.num_rows
+        kidx = group_codes(g.column(key_col))
+        ts = pc.cast(pc.cast(g.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.lexsort((ts, kidx))
+        ks, tss = kidx[o], ts[o]
+        run_start = np.concatenate(([True], ks[1:] != ks[:-1])) \
+            if n else np.zeros(0, bool)
         starts = np.nonzero(run_start)[0]
-        ends = np.append(starts[1:], len(g))
-        out_k, out_t, out_v = [], [], []
+        ends = np.append(starts[1:], n)
+        rep_idx, out_t = [], []
         for s_i, e_i in zip(starts, ends):
-            t_run = ts[s_i:e_i]
+            t_run = tss[s_i:e_i]
             lo = -(-t_run[0] // iv)            # ceil division
             hi = t_run[-1] // iv
             if hi < lo:
@@ -1008,24 +1042,30 @@ def build_resample_ffill(*, key_col: str, ts_col: str, value_col: str,
                     "or pre-filter")
             grid = np.arange(lo, hi + 1, dtype=np.int64) * iv
             src = np.searchsorted(t_run, grid, side="right") - 1
-            out_k.append(np.full(len(grid), kidx[s_i], np.int64))
+            # ORIGINAL row index of each tick's ffill source: key and
+            # value are gathered with Arrow takes, types preserved —
+            # no pandas object round-trip, and an all-empty sweep
+            # inherits the input schema instead of a hardcoded one
+            rep_idx.append(o[s_i + src])
             out_t.append(grid)
-            out_v.append(vals[s_i:e_i][src])
-        if not out_k:
+        if not rep_idx:
             return pa.table({
-                key_col: pa.array([], pa.string()),
+                key_col: g.column(key_col).slice(0, 0),
                 tick_out: pa.array([], pa.timestamp("us")),
-                vout: pa.array([], pa.float64())})
-        kcat = np.concatenate(out_k)
+                vout: g.column(value_col).slice(0, 0)})
+        idxs = pa.array(np.concatenate(rep_idx), pa.int64())
         return pa.table({
-            key_col: pa.array(pd.Series(kvals[kcat])),
-            tick_out: pa.array(np.concatenate(out_t)).cast(
+            key_col: g.column(key_col).take(idxs),
+            tick_out: pa.array(np.concatenate(out_t), pa.int64()).cast(
                 pa.timestamp("us")),
-            vout: pa.array(np.concatenate(out_v)),
+            vout: g.column(value_col).take(idxs),
         })
 
     def apply(ds):
-        return ds.map_batches(shard, **_PA_KW) \
-            .groupby("_rf_shard").map_groups(sweep, batch_format="pandas")
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_rf_shard", ns),
+                              **_PA_KW) \
+            .groupby("_rf_shard").map_groups(sweep,
+                                             batch_format="pyarrow")
 
     return apply

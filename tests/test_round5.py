@@ -151,3 +151,86 @@ def test_tfidf_empty_input(ray_session):
                        "text": pd.Series([], dtype=str)})
     out = build_op({"op": "tfidf"})(_ds(df))
     assert out.count() == 0
+
+# ------------------------------------------- byte-sized shard fan-out
+
+def test_auto_num_shards_scales_with_bytes(ray_session):
+    import ray.data as rd
+
+    from rayflow.ops.kernels import auto_num_shards
+
+    small = rd.range(1000)
+    n_small, _ = auto_num_shards(small)
+    assert n_small == 64  # floor: small inputs keep the old fan-out
+
+    # ~16 MB of rows with a 100 KB budget must fan out well past 64 —
+    # the 10x-inflation criterion: shard count tracks bytes, so peak
+    # per-shard bytes stay under budget instead of growing with data
+    big = rd.range(200_000).map_batches(
+        lambda b: {"id": b["id"], "pad": np.full(len(b["id"]), "x" * 80)})
+    n_big, m = auto_num_shards(big, target_shard_bytes=100_000)
+    sz = m.size_bytes()
+    assert n_big > 64
+    import math
+    assert n_big == min(65536, max(64, math.ceil(sz / 100_000)))
+
+
+def test_asof_shuffle_matches_merge_asof_randomized(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, n_l).astype(str),
+        "t": rng.integers(0, 1000, n_l).astype(np.int64),
+        "lv": rng.normal(size=n_l)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r).astype(str),
+        "t": rng.integers(0, 1000, n_r).astype(np.int64),
+        "rv": rng.normal(size=n_r)})
+    # pre-dedupe (k, t) on the right: the documented determinism rule
+    right = right.drop_duplicates(["k", "t"], keep="last",
+                                  ignore_index=True)
+    for direction in ("backward", "forward"):
+        out = build_op({"op": "asof_join", "right": _ds(right), "on": "k",
+                        "time_col": "t", "direction": direction,
+                        "strategy": "shuffle", "num_shards": 8})(
+            _ds(left)).to_pandas() \
+            .sort_values(["k", "t", "lv"], ignore_index=True)
+        ref_parts = []
+        for k, lg in left.groupby("k"):
+            lg = lg.sort_values("t", kind="stable", ignore_index=True)
+            rg = right[right.k == k][["t", "rv"]] \
+                .sort_values("t", kind="stable", ignore_index=True)
+            if rg.empty:
+                m = lg.assign(rv=np.nan)
+            else:
+                m = pd.merge_asof(lg, rg, on="t", direction=direction)
+            ref_parts.append(m)
+        ref = pd.concat(ref_parts, ignore_index=True) \
+            .sort_values(["k", "t", "lv"], ignore_index=True)
+        assert len(out) == len(ref), direction
+        np.testing.assert_allclose(
+            out["rv"].to_numpy(float), ref["rv"].to_numpy(float),
+            rtol=1e-12, equal_nan=True, err_msg=direction)
+
+
+def test_interval_join_interval_heavy_key(ray_session):
+    # 10^4 intervals on ONE key: the per-interval Python loop this
+    # replaced was quadratic; the batched searchsorted must finish fast
+    # and exactly
+    m = 10_000
+    right = pd.DataFrame({
+        "k": ["hot"] * m,
+        "s": np.arange(m, dtype=np.int64) * 10,
+        "e": np.arange(m, dtype=np.int64) * 10 + 4})
+    left = pd.DataFrame({
+        "k": ["hot"] * 500,
+        "t": np.arange(500, dtype=np.int64) * 200 + 2})
+    out = build_op({"op": "interval_join", "right": _ds(right),
+                    "on": "k", "time_col": "t", "start_col": "s",
+                    "end_col": "e", "num_shards": 4})(
+        _ds(left)).to_pandas()
+    # each left t = 200*i + 2 lands in exactly one interval [200i, 200i+4]
+    assert len(out) == 500
+    assert (out["t"] - out["s"] == 2).all()
