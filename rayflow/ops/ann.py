@@ -171,6 +171,25 @@ def build_knn_bruteforce(*, queries, query_ids, k: int = 10,
     return apply
 
 
+def _hamming_probe_sets(buckets: np.ndarray, n_planes: int,
+                        radius: int) -> np.ndarray:
+    """Multiprobe LSH probe sets: for each query bucket, every bucket
+    id within Hamming distance ≤ ``radius`` (the query's own bucket
+    first).  Returns (q, n_probes) int64.  Standard multiprobe — near
+    neighbors that land one sign-flip away are recovered without
+    rebuilding the index; probe count = Σ C(n_planes, r)."""
+    from itertools import combinations
+
+    flips = [0]
+    for r in range(1, max(0, int(radius)) + 1):
+        for comb in combinations(range(n_planes), r):
+            m = 0
+            for c in comb:
+                m |= 1 << c
+            flips.append(m)
+    return buckets[:, None] ^ np.array(flips, dtype=np.int64)[None, :]
+
+
 class LshIndexStage:
     """Actor stage: hyperplanes drawn once per actor from a fixed seed."""
 
@@ -197,27 +216,34 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   concurrency: int = 2,
                   index_above_bytes: int | None = 256 << 20,
-                  index_path: str | None = None):
+                  index_path: str | None = None,
+                  hamming_probes: int = 1):
     """Approximate top-k: bucket the corpus by hyperplane signs, search
-    only each query's bucket with exact cosine.
+    each query's probe buckets with exact cosine.  ``hamming_probes``
+    is the MULTIPROBE radius — every bucket within that Hamming
+    distance of the query's bucket is searched (radius 0 = classic
+    single-probe; the default 1 probes ``n_planes + 1`` of the
+    ``2^n_planes`` buckets, recovering neighbors that fall one sign
+    flip away at a linear, not exponential, probe cost).
 
     AUTO-ROUTED scale path: when the corpus's input files exceed
     ``index_above_bytes`` (metadata-only estimate; None disables), the
     op builds / reuses the bucket-partitioned on-disk
     :class:`LshIndex` at ``index_path`` and probes it — each query
-    then READS only its bucket's partitions (bytes pruned by the
-    2^n_planes bucket count) instead of streaming the whole corpus
-    per probe batch.  Identical results by construction: same seed →
-    same hyperplanes → same buckets → same exact-cosine top-k.  On a
-    multi-node cluster pass an ``index_path`` on shared storage; the
-    tempdir default is single-node."""
+    then READS only its probe buckets' partitions (bytes pruned by
+    the probe-count / 2^n_planes factor) instead of streaming the
+    whole corpus per probe batch.  Identical results by construction:
+    same seed → same hyperplanes → same buckets → same exact-cosine
+    top-k.  On a multi-node cluster pass an ``index_path`` on shared
+    storage; the tempdir default is single-node."""
     import ray
 
     q = np.asarray(queries, dtype=np.float64)
     qids = np.asarray(query_ids, dtype=np.int64)
     stage_probe = LshIndexStage(dim, n_planes, seed, vec_col)
-    q_buckets = stage_probe.bucket_of(q)
-    q_ref = ray.put((_normalize_rows(q), qids, q_buckets))
+    q_probes = _hamming_probe_sets(stage_probe.bucket_of(q), n_planes,
+                                   hamming_probes)
+    q_ref = ray.put((_normalize_rows(q), qids, q_probes))
 
     def bucket_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -228,7 +254,7 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
         buckets = t.column("lsh_bucket").to_numpy()
         rows_q, rows_v, rows_s = [], [], []
         for j in range(len(qi)):
-            mask = buckets == qb[j]
+            mask = np.isin(buckets, qb[j])
             if not mask.any():
                 continue
             sims = m[mask] @ qm[j]
@@ -263,7 +289,8 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
                     LshIndex.build(ds, path, dim=dim, n_planes=n_planes,
                                    seed=seed, vec_col=vec_col,
                                    id_col=id_col, concurrency=concurrency)
-                return LshIndex(path).probe(queries, query_ids, k=k)
+                return LshIndex(path).probe(queries, query_ids, k=k,
+                                            hamming_probes=hamming_probes)
         indexed = ds.map_batches(
             LshIndexStage,
             fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
@@ -335,14 +362,16 @@ class LshIndex:
                 out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
         return out
 
-    def probe(self, queries, query_ids, *, k: int = 10):
+    def probe(self, queries, query_ids, *, k: int = 10,
+              hamming_probes: int = 1):
         import ray
         import ray.data as rd
 
         q = np.asarray(queries, dtype=np.float64)
         qids = np.asarray(query_ids, dtype=np.int64)
-        qb = self.bucket_of(q)
-        files = self.list_files(qb)
+        qb = _hamming_probe_sets(self.bucket_of(q),
+                                 self.meta["n_planes"], hamming_probes)
+        files = self.list_files(qb.ravel())
         vec_col, id_col = self.meta["vec_col"], self.meta["id_col"]
         ds = rd.read_parquet(files, columns=[id_col, vec_col, "lsh_bucket"])
         qn = _normalize_rows(q)
@@ -357,7 +386,7 @@ class LshIndex:
             buckets = t.column("lsh_bucket").to_numpy()
             rows_q, rows_v, rows_s = [], [], []
             for j in range(len(qi)):
-                mask = buckets == qbs[j]
+                mask = np.isin(buckets, qbs[j])
                 if not mask.any():
                     continue
                 sims = m[mask] @ qm[j]

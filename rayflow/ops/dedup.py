@@ -1951,18 +1951,37 @@ def build_levenshtein_pairs(*, col: str, k: int = 2, max_len: int = 64,
     return apply
 
 
+def _mix64(x: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer over a uint64 vector — the second,
+    independent token-hash lane for the 128-bit window identity."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+#: second Horner base (odd, ≠ _FNV) for the 128-bit window-hash lane
+_FNV2 = 0x9E3779B97F4A7C15
+
+
 def _window_hash_positions(col, k: int):
-    """Positional 64-bit k-token window hashes for a batch: returns
-    ``(hash int64, doc_idx int64, pos int64)`` — one row per window,
-    ``pos`` = start token index within its doc.  Same token pipeline
-    and hash as :func:`_span_hashes` (whitespace split, empty tokens
-    dropped, crc32 per UNIQUE token, Horner combine in Z_2^64) so the
-    two agree bit-for-bit; unlike ``shingle_hash_batch`` nothing is
-    uniqued — the consumer needs every occurrence."""
+    """Positional 128-bit k-token window hashes for a batch: returns
+    ``(hash int64, hash2 int64, doc_idx int64, pos int64)`` — one row
+    per window, ``pos`` = start token index within its doc.  The first
+    lane is the same token pipeline and hash as :func:`_span_hashes`
+    (whitespace split, empty tokens dropped, crc32 per UNIQUE token,
+    Horner combine in Z_2^64) so the two agree bit-for-bit; the second
+    lane re-combines SplitMix64-finalized token hashes under a
+    different base, making window identity an effectively-128-bit key
+    (a 64-bit key alone meets its birthday bound near 2^32 windows —
+    guaranteed spurious matches at corpus scale).  Unlike
+    ``shingle_hash_batch`` nothing is uniqued — the consumer needs
+    every occurrence."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    empty = (np.zeros(0, np.int64),) * 3
+    empty = (np.zeros(0, np.int64),) * 4
     if n == 0:
         return empty
     toks = pc.utf8_split_whitespace(pc.fill_null(col, ""))
@@ -1983,20 +2002,26 @@ def _window_hash_positions(col, k: int):
         [zlib.crc32(v.encode("utf-8", "surrogatepass"))
          for v in values.to_pylist()], dtype=np.uint64)
     h_tok = tok_hash[codes] if len(codes) else np.empty(0, np.uint64)
+    h_tok2 = _mix64(h_tok)
     tcnt = np.bincount(doc_idx, minlength=n)
     m = len(h_tok) - k + 1
     if m <= 0:
         return empty
     pow_k = np.array([pow(_FNV, j, 1 << 64) for j in range(k)],
                      dtype=np.uint64)
+    pow2_k = np.array([pow(_FNV2, j, 1 << 64) for j in range(k)],
+                      dtype=np.uint64)
     wh = np.zeros(m, np.uint64)
+    wh2 = np.zeros(m, np.uint64)
     for j in range(k):
         wh += h_tok[j: j + m] * pow_k[k - 1 - j]
+        wh2 += h_tok2[j: j + m] * pow2_k[k - 1 - j]
     same = doc_idx[:m] == doc_idx[k - 1:]
     starts = np.concatenate(([0], np.cumsum(tcnt)))[:-1]
     gpos = np.nonzero(same)[0]
     d = doc_idx[:m][same]
-    return (wh[same].astype(np.int64), d, gpos - starts[d])
+    return (wh[same].astype(np.int64), wh2[same].astype(np.int64),
+            d, gpos - starts[d])
 
 
 @register_op("dup_span_remove")
@@ -2004,13 +2029,22 @@ def build_dup_span_remove(*, k_tokens: int = 50, text_col: str = "text",
                           id_col: str = "doc_id", n_buckets: int = 256,
                           hot_span_limit: int = 20_000,
                           num_partitions: int = 16):
-    """Exact duplicated-span REMOVAL (the actionable half of Lee et
-    al.'s ExactSubstr dedup; ``dup_span_pairs`` is the detection
-    half): every k-token window that occurs more than once corpus-wide
-    keeps ONLY its globally-first occurrence (min (doc_id, pos)); all
-    tokens covered by any other occurrence are cut and the doc is
-    rebuilt from the survivors (single-space joined — token-level
-    semantics, like the tokenizer the windows are defined over).
+    """Duplicated-span REMOVAL (the actionable half of Lee et al.'s
+    ExactSubstr dedup; ``dup_span_pairs`` is the detection half):
+    every k-token window that occurs more than once corpus-wide keeps
+    ONLY its globally-first occurrence (min (doc_id, pos)); all tokens
+    covered by any other occurrence are cut and the doc is rebuilt
+    from the survivors (single-space joined — token-level semantics,
+    like the tokenizer the windows are defined over).
+
+    Span identity is a 128-BIT window hash (two independent 64-bit
+    Horner lanes — see :func:`_window_hash_positions`), never verified
+    against the tokens themselves: a collision would silently excise
+    unrelated text, so the key is sized for the corpus scale the
+    docstrings target (~1e12 windows → expected collisions ≈
+    n²/2^129 ≈ 1e-15; a single 64-bit lane would already be past its
+    birthday bound there).  Unlike the suffix-array formulation this
+    is hash-exact, not byte-exact.
 
     Plan: positional window hashes (nothing uniqued) → ONE
     hash-bucketed exchange that picks each window's canonical
@@ -2032,26 +2066,35 @@ def build_dup_span_remove(*, k_tokens: int = 50, text_col: str = "text",
 
         def win_rows(t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_numpy()
-            sh, didx, pos = _window_hash_positions(t.column(text_col),
-                                                   k_tokens)
+            sh, sh2, didx, pos = _window_hash_positions(
+                t.column(text_col), k_tokens)
             return pa.table({
                 "sh": pa.array(sh, pa.int64()),
+                "sh2": pa.array(sh2, pa.int64()),
                 id_col: pa.array(ids[didx]) if len(didx)
                 else pa.array(np.zeros(0, ids.dtype)),
                 "pos": pa.array(pos, pa.int64()),
+                # bucketing on lane 1 alone is fine: rows sharing the
+                # full (sh, sh2) identity share sh, hence the bucket
                 "bucket": pa.array((sh % n_buckets).astype(np.int32)),
             })
 
         rows = ds.map_batches(win_rows, **_PA_KW)
 
-        def cut_marks(g: pd.DataFrame) -> pd.DataFrame:
-            sh = g["sh"].to_numpy()
-            ids = g[id_col].to_numpy()
-            pos = g["pos"].to_numpy()
-            order = np.lexsort((pos, ids, sh))
-            sh, ids, pos = sh[order], ids[order], pos[order]
-            _, starts, counts = np.unique(sh, return_index=True,
-                                          return_counts=True)
+        def cut_marks(g: pa.Table) -> pa.Table:
+            sh = g.column("sh").to_numpy(zero_copy_only=False)
+            sh2 = g.column("sh2").to_numpy(zero_copy_only=False)
+            ids = g.column(id_col).to_numpy(zero_copy_only=False)
+            pos = g.column("pos").to_numpy(zero_copy_only=False)
+            order = np.lexsort((pos, ids, sh2, sh))
+            sh, sh2 = sh[order], sh2[order]
+            ids, pos = ids[order], pos[order]
+            # identity runs on the FULL 128-bit key (both lanes)
+            new = np.concatenate(([True], (sh[1:] != sh[:-1])
+                                  | (sh2[1:] != sh2[:-1]))) \
+                if len(sh) else np.zeros(0, bool)
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, len(sh)))
             big = counts > hot_span_limit
             if big.any():
                 raise ValueError(
@@ -2059,15 +2102,16 @@ def build_dup_span_remove(*, k_tokens: int = 50, text_col: str = "text",
                     f"{counts[big].max()} times (> hot_span_limit="
                     f"{hot_span_limit}) — mass boilerplate; exact-dedup "
                     "or strip it first, or raise the limit")
-            # within each sh run the first row (min doc, then min pos)
-            # is canonical; every other row is a cut mark
+            # within each identity run the first row (min doc, then min
+            # pos) is canonical; every other row is a cut mark
             keep_first = np.zeros(len(sh), bool)
             keep_first[starts] = True
             cut = ~keep_first
-            return pd.DataFrame({id_col: ids[cut], "pos": pos[cut]})
+            return pa.table({id_col: pa.array(ids[cut]),
+                             "pos": pa.array(pos[cut], pa.int64())})
 
         marks = rows.groupby("bucket").map_groups(cut_marks,
-                                                  batch_format="pandas")
+                                                  batch_format="pyarrow")
 
         def pack_marks(g: pa.Table) -> pa.Table:
             # per-doc sorted-distinct positions joined "p1,p2,…" — all

@@ -234,3 +234,70 @@ def test_interval_join_interval_heavy_key(ray_session):
     # each left t = 200*i + 2 lands in exactly one interval [200i, 200i+4]
     assert len(out) == 500
     assert (out["t"] - out["s"] == 2).all()
+
+
+def test_window_hash_positions_has_two_independent_lanes():
+    from rayflow.ops.dedup import _window_hash_positions
+
+    col = pa.array([" ".join(f"w{i}" for i in range(30))])
+    sh, sh2, d, p = _window_hash_positions(col, 20)
+    assert len(sh) == len(sh2) == 11 and len(d) == len(p) == 11
+    # the second Horner lane must not mirror the first
+    assert (np.asarray(sh) != np.asarray(sh2)).any()
+
+
+# ---------------------------------------------------- ANN recall@10
+
+def _recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame, k: int = 10):
+    """Mean |approx∩exact| / |exact| per query (exact may have < k
+    rows for tiny corpora)."""
+    ex = exact.groupby("query_id")["vec_id"].apply(set)
+    ap = approx.groupby("query_id")["vec_id"].apply(set)
+    vals = []
+    for qid, truth in ex.items():
+        got = ap.get(qid, set())
+        vals.append(len(got & truth) / max(1, len(truth)))
+    return float(np.mean(vals))
+
+
+def test_ann_recall_at_10_vs_bruteforce(ray_session, sf_dir):
+    """VERDICT r4 item #7: the planted oracles prove rank-1 only — this
+    records recall@10 for BOTH index families against knn_bruteforce on
+    the fixture embeddings and asserts a floor at default-ish probe
+    settings (ivf nprobe=8/32 lists; lsh 6 planes)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qt = emb.filter(pa.compute.less(emb["vec_id"], 20))
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    dim = queries.shape[1]
+
+    def run(spec):
+        ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        return build_op(spec)(ds).to_pandas()
+
+    exact = run({"op": "knn_bruteforce", "queries": queries,
+                 "query_ids": qids, "k": 10})
+    lsh = run({"op": "ann_lsh", "queries": queries, "query_ids": qids,
+               "k": 10, "dim": dim, "n_planes": 6, "hamming_probes": 2,
+               "index_above_bytes": None})
+    ivf = run({"op": "ann_ivf", "queries": queries, "query_ids": qids,
+               "k": 10, "n_clusters": 32, "nprobe": 8,
+               "index_above_bytes": None})
+    r_lsh = _recall_at_k(lsh, exact)
+    r_ivf = _recall_at_k(ivf, exact)
+    print(f"\nANN recall@10 vs bruteforce: lsh={r_lsh:.3f} ivf={r_ivf:.3f}")
+    # Floors measured on the fixture (recorded in COVERAGE.md).  The
+    # fixture embeddings are near-ISOTROPIC (64-dim, weak cosine
+    # locality), so sign-LSH recall ≈ probe fraction regardless of
+    # planes (measured 0.25/0.55/0.83 at probe fractions
+    # 0.11/0.34/0.66) — a data property, not an engine defect; the
+    # data-adaptive IVF quantizer concentrates the same neighbors at
+    # 0.94 recall reading nprobe/n_clusters = 1/4 of the corpus.
+    assert r_ivf >= 0.9, f"ivf recall@10 {r_ivf:.3f} < 0.9"
+    assert r_lsh >= 0.4, f"lsh recall@10 {r_lsh:.3f} < 0.4"
