@@ -1,0 +1,277 @@
+"""Non-PCM WAV codecs, pure numpy — closes the "non-PCM audio"
+plug point left in :func:`rayflow.ops.multimodal.decode_wav`.
+
+Everything here is a from-scratch implementation of a PUBLIC wire
+spec (no library, no copied code):
+
+* **G.711 mu-law / A-law** (ITU-T Recommendation G.711, the telephony
+  companding standard; WAV format tags 7 and 6).  The decoders are
+  the exact piecewise-linear segment expansion from the Recommendation
+  tables, evaluated once into 256-entry int16 LUTs so per-payload
+  decode is a single fancy-index.  The encoders quantize to the
+  NEAREST codeword (optimal mid-tread quantization over the same
+  codebook) via ``searchsorted`` on the sorted decode table — used to
+  synthesize fixtures; decode(encode(x)) is the closest representable
+  level, which is what the round-trip tests assert.
+* **IMA / DVI4 ADPCM** (IMA Digital Audio Focus and Technical Working
+  Groups, "Recommended Practices for Enhancing Digital Audio
+  Compatibility", rev 3.00 — the step/index tables and 4-bit coder
+  below are from that public document; WAV format tag 0x11).  The
+  per-sample recurrence is sequential WITHIN a block, so the decoder
+  vectorizes ACROSS blocks: every numpy step advances one nibble
+  position in all blocks (and both stereo channels) at once — a
+  payload with thousands of blocks costs ``samples_per_block`` numpy
+  ops, not ``n_samples`` Python ops.
+* **PCM depth conversion** (RIFF/WAVE format tag 1 at 8/24/32 bits,
+  tag 3 IEEE float 32/64, and WAVE_FORMAT_EXTENSIBLE 0xFFFE with the
+  PCM/float SubFormat GUIDs) — straight bit arithmetic to the int16
+  contract the pipeline uses.
+
+All decoders return ``(n_samples, channels) int16`` to match
+``decode_wav``'s existing contract (reference inventory anchor:
+SURVEY.md §2 multimodal row; upstream Benthos has no audio codec at
+all — this is beyond-reference surface for the training-data plane).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- G.711 (ITU-T) ------------------------------------------------
+
+# Segment end-points for A-law encode (13-bit magnitudes).
+_ALAW_SEG = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
+                     dtype=np.int32)
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """256-entry mu-law code → linear int16 (G.711 Table 2a/2b
+    expansion: sign / 3-bit exponent / 4-bit mantissa, bias 0x84)."""
+    codes = np.arange(256, dtype=np.int32) ^ 0xFF      # transmitted inverted
+    mantissa = codes & 0x0F
+    exponent = (codes >> 4) & 0x07
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(codes & 0x80, -magnitude, magnitude).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """256-entry A-law code → linear int16 (G.711 Table 1a/1b
+    expansion; codes are transmitted with even bits inverted, 0x55)."""
+    codes = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (codes & 0x70) >> 4
+    t = (codes & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    # A-law sign bit SET means positive.
+    return np.where(codes & 0x80, t, -t).astype(np.int16)
+
+
+ULAW_DECODE = _build_ulaw_table()
+ALAW_DECODE = _build_alaw_table()
+
+# Sorted codebooks for nearest-codeword encode: sort decode levels,
+# remember which code each level came from.
+_ULAW_ORDER = np.argsort(ULAW_DECODE, kind="stable").astype(np.uint8)
+_ULAW_LEVELS = ULAW_DECODE[_ULAW_ORDER].astype(np.int32)
+_ALAW_ORDER = np.argsort(ALAW_DECODE, kind="stable").astype(np.uint8)
+_ALAW_LEVELS = ALAW_DECODE[_ALAW_ORDER].astype(np.int32)
+
+
+def _nearest_code(samples: np.ndarray, levels: np.ndarray,
+                  order: np.ndarray) -> np.ndarray:
+    """Quantize int16 samples to the nearest codebook level → codes."""
+    s = samples.astype(np.int32).ravel()
+    hi = np.searchsorted(levels, s).clip(1, len(levels) - 1)
+    lo = hi - 1
+    pick_hi = (levels[hi] - s) < (s - levels[lo])
+    return order[np.where(pick_hi, hi, lo)]
+
+
+def ulaw_decode(codes: np.ndarray | bytes) -> np.ndarray:
+    """G.711 mu-law bytes → linear int16 (vectorized LUT gather)."""
+    return ULAW_DECODE[np.frombuffer(codes, np.uint8)
+                       if isinstance(codes, (bytes, bytearray))
+                       else np.asarray(codes, np.uint8)]
+
+
+def alaw_decode(codes: np.ndarray | bytes) -> np.ndarray:
+    """G.711 A-law bytes → linear int16 (vectorized LUT gather)."""
+    return ALAW_DECODE[np.frombuffer(codes, np.uint8)
+                       if isinstance(codes, (bytes, bytearray))
+                       else np.asarray(codes, np.uint8)]
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → mu-law codes (nearest G.711 codeword, vectorized)."""
+    return _nearest_code(samples, _ULAW_LEVELS, _ULAW_ORDER)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → A-law codes (nearest G.711 codeword, vectorized)."""
+    return _nearest_code(samples, _ALAW_LEVELS, _ALAW_ORDER)
+
+
+# --- IMA / DVI4 ADPCM (WAV tag 0x11) -------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int32)
+
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
+                           -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(nibbles: np.ndarray, pred: np.ndarray,
+              index: np.ndarray) -> np.ndarray:
+    """One IMA decode step for a VECTOR of streams in lock-step.
+    ``nibbles``/``pred``/``index`` are same-shape int32 arrays;
+    ``pred``/``index`` are updated in place; returns decoded samples."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    diff += np.where(nibbles & 1, step >> 2, 0)
+    diff += np.where(nibbles & 2, step >> 1, 0)
+    diff += np.where(nibbles & 4, step, 0)
+    np.copyto(pred, np.clip(np.where(nibbles & 8, pred - diff, pred + diff),
+                            -32768, 32767))
+    np.copyto(index, np.clip(index + _IMA_INDEX_ADJ[nibbles], 0, 88))
+    return pred.copy()
+
+
+def adpcm_decode_blocks(data: bytes, block_align: int,
+                        channels: int) -> np.ndarray:
+    """IMA-ADPCM WAV data chunk → (n_samples, channels) int16.
+
+    WAV block layout (IMA rev 3.00 / MS RIFF registry): per block,
+    a 4-byte header PER CHANNEL (int16 predictor, uint8 step index,
+    reserved), then 4-byte words of eight 4-bit nibbles, words
+    round-robin across channels, nibbles low-first within a word.
+    Vectorized across (block, channel): the inner loop runs once per
+    nibble POSITION, not per sample."""
+    if channels not in (1, 2):
+        raise NotImplementedError("IMA ADPCM: only mono/stereo WAV")
+    if block_align < channels * 4 or block_align % 4:
+        raise ValueError("IMA ADPCM: bad block_align")
+    raw = np.frombuffer(data, np.uint8)
+    n_blocks = len(raw) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, channels), np.int16)
+    blocks = raw[: n_blocks * block_align].reshape(n_blocks, block_align)
+
+    head = blocks[:, : 4 * channels].reshape(n_blocks, channels, 4)
+    pred = (head[:, :, 0].astype(np.int32)
+            | (head[:, :, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # sign-extend
+    index = np.clip(head[:, :, 2].astype(np.int32), 0, 88)
+
+    body = blocks[:, 4 * channels:]
+    words_per_group = channels           # one 4-byte word per channel
+    n_groups = body.shape[1] // (4 * words_per_group)
+    samples_per_block = 1 + n_groups * 8
+    out = np.empty((n_blocks, samples_per_block, channels), np.int32)
+    out[:, 0, :] = pred                  # header predictor IS sample 0
+
+    # (n_blocks, n_groups, channels, 4 bytes) → 8 nibbles low-first.
+    grouped = body[:, : n_groups * 4 * channels].reshape(
+        n_blocks, n_groups, channels, 4)
+    for g in range(n_groups):
+        word = grouped[:, g, :, :].astype(np.int32)   # (blocks, ch, 4)
+        for b in range(4):
+            lo = word[:, :, b] & 0x0F
+            hi = word[:, :, b] >> 4
+            out[:, 1 + g * 8 + b * 2, :] = _ima_step(lo, pred, index)
+            out[:, 1 + g * 8 + b * 2 + 1, :] = _ima_step(hi, pred, index)
+    return out.reshape(-1, channels).astype(np.int16)
+
+
+def adpcm_encode_blocks(samples: np.ndarray, block_align: int) -> bytes:
+    """(n, ch) int16 → IMA-ADPCM WAV data bytes (fixture encoder).
+    Same lock-step vectorization as the decoder; the tail block is
+    zero-padded to a whole block as real encoders do."""
+    samples = np.asarray(samples, np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if channels not in (1, 2):
+        raise NotImplementedError("IMA ADPCM: only mono/stereo WAV")
+    n_groups = (block_align - 4 * channels) // (4 * channels)
+    spb = 1 + n_groups * 8
+    n_blocks = max(1, -(-n // spb))
+    padded = np.zeros((n_blocks * spb, channels), np.int32)
+    padded[:n] = samples
+    blk = padded.reshape(n_blocks, spb, channels)
+
+    pred = blk[:, 0, :].copy()           # sample 0 is stored verbatim
+    # Initial step index per (block, channel) from the block's own
+    # typical sample-to-sample delta — stored in the header (any
+    # value is spec-valid), so the coder needs no cross-block state
+    # and no slow attack ramp.  A nibble can represent diffs up to
+    # ~1.875·step, so aim step at ~delta/1.5.
+    d = np.abs(np.diff(blk, axis=1)).mean(axis=1) / 1.5
+    index0 = np.searchsorted(_IMA_STEPS, d).clip(0, 88).astype(np.int32)
+    index = index0.copy()
+    nib = np.empty((n_blocks, spb - 1, channels), np.uint8)
+    for s in range(1, spb):
+        step = _IMA_STEPS[index]
+        delta = blk[:, s, :] - pred
+        code = np.where(delta < 0, 8, 0).astype(np.int32)
+        mag = np.abs(delta)
+        for bit, shift in ((4, 0), (2, 1), (1, 2)):
+            take = mag >= (step >> shift)
+            code |= np.where(take, bit, 0)
+            mag -= np.where(take, step >> shift, 0)
+        _ima_step(code, pred, index)     # track decoder state exactly
+        nib[:, s - 1, :] = code.astype(np.uint8)
+
+    head = np.zeros((n_blocks, channels, 4), np.uint8)
+    first = blk[:, 0, :].astype(np.int32) & 0xFFFF
+    head[:, :, 0] = first & 0xFF
+    head[:, :, 1] = first >> 8
+    head[:, :, 2] = index0.astype(np.uint8)
+    grouped = nib.reshape(n_blocks, n_groups, 8, channels)
+    lo = grouped[:, :, 0::2, :].transpose(0, 1, 3, 2).astype(np.uint8)
+    hi = grouped[:, :, 1::2, :].transpose(0, 1, 3, 2).astype(np.uint8)
+    words = (lo | (hi << 4))             # (blocks, groups, ch, 4)
+    out = np.empty((n_blocks, block_align), np.uint8)
+    out[:, : 4 * channels] = head.reshape(n_blocks, 4 * channels)
+    out[:, 4 * channels:] = words.reshape(n_blocks, -1)
+    return out.tobytes()
+
+
+# --- PCM depth / float conversion ---------------------------------
+
+def pcm_to_int16(data: bytes, bits: int) -> np.ndarray:
+    """Integer-PCM data chunk at 8/16/24/32 bits → flat int16
+    (8-bit WAV is unsigned per the RIFF spec; wider depths keep the
+    top 16 bits, the standard lossy narrowing)."""
+    if bits == 16:
+        return np.frombuffer(data, "<i2").copy()
+    if bits == 8:
+        return ((np.frombuffer(data, np.uint8).astype(np.int16) - 128)
+                << 8)
+    if bits == 24:
+        b = np.frombuffer(data, np.uint8)
+        b = b[: len(b) // 3 * 3].reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return (v >> 8).astype(np.int16)
+    if bits == 32:
+        return (np.frombuffer(data, "<i4") >> 16).astype(np.int16)
+    raise NotImplementedError(f"PCM WAV at {bits} bits")
+
+
+def float_to_int16(data: bytes, bits: int) -> np.ndarray:
+    """IEEE-float data chunk (32/64-bit, nominal range [-1, 1]) →
+    flat int16 with clipping, the standard float→PCM narrowing."""
+    if bits == 32:
+        f = np.frombuffer(data, "<f4")
+    elif bits == 64:
+        f = np.frombuffer(data, "<f8")
+    else:
+        raise NotImplementedError(f"float WAV at {bits} bits")
+    return np.clip(np.rint(f.astype(np.float64) * 32767.0),
+                   -32768, 32767).astype(np.int16)

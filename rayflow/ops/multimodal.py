@@ -405,9 +405,17 @@ def synth_gif(frames: list[np.ndarray], delays_ms: list[int] | None = None,
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL PCM-16 WAV decode → ((n_samples, channels) int16, rate).
-    Non-PCM / non-16-bit encodings raise ``NotImplementedError`` where
-    a real audio library would take over."""
+    """REAL WAV decode → ((n_samples, channels) int16, rate).
+
+    Handles every registered encoding the RIFF/WAVE spec family
+    defines without a licensed codec: integer PCM at 8/16/24/32 bits
+    (format tag 1), IEEE float 32/64 (tag 3), ITU-T G.711 A-law /
+    mu-law (tags 6/7), IMA/DVI4 ADPCM (tag 0x11) and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE, resolved through its SubFormat
+    GUID).  The compressed decoders live in :mod:`rayflow.ops.audio`
+    (vectorized LUT / block-parallel numpy).  Anything else — MP3,
+    AAC and friends — raises ``NotImplementedError`` where a real
+    audio library would take over."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -425,14 +433,32 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
+    (block_align,) = struct.unpack("<H", fmt[12:14])
     (bits,) = struct.unpack("<H", fmt[14:16])
-    if audio_fmt != 1 or bits != 16:
+    ch = max(ch, 1)
+    if audio_fmt == 0xFFFE and len(fmt) >= 26:
+        # EXTENSIBLE: the effective tag is the SubFormat GUID's first
+        # two bytes (KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT,...}).
+        (audio_fmt,) = struct.unpack("<H", fmt[24:26])
+
+    from rayflow.ops import audio as _audio
+
+    if audio_fmt == 1:
+        a = _audio.pcm_to_int16(data, bits)
+    elif audio_fmt == 3:
+        a = _audio.float_to_int16(data, bits)
+    elif audio_fmt == 6:
+        a = _audio.alaw_decode(data)
+    elif audio_fmt == 7:
+        a = _audio.ulaw_decode(data)
+    elif audio_fmt == 0x11:
+        return _audio.adpcm_decode_blocks(data, block_align, ch), rate
+    else:
         raise NotImplementedError(
-            f"WAV fmt={audio_fmt} bits={bits}: only PCM-16 decodes "
-            "without an audio library")
-    a = np.frombuffer(data, "<i2")
-    n = len(a) // max(ch, 1)
-    return a[: n * ch].reshape(n, max(ch, 1)), rate
+            f"WAV fmt={audio_fmt} bits={bits}: PCM/float/G.711/IMA-"
+            "ADPCM decode natively; this tag needs an audio library")
+    n = len(a) // ch
+    return a[: n * ch].reshape(n, ch), rate
 
 
 def decode_image_pixels(payload: bytes) -> np.ndarray:
@@ -822,15 +848,63 @@ def synth_png_pixels(pixels: np.ndarray, color: int | None = None,
 
 
 def synth_wav(rate: int = 16000, channels: int = 1,
-              samples: np.ndarray | None = None) -> bytes:
+              samples: np.ndarray | None = None,
+              encoding: str = "pcm16") -> bytes:
     """REAL WAV byte stream; pass ``samples`` ((n, ch) int16) for a
-    fully decodable PCM payload, omit for a header-only fixture."""
+    fully decodable payload, omit for a header-only fixture.
+
+    ``encoding`` selects the data-chunk codec (every one round-trips
+    through :func:`decode_wav`): ``pcm8 pcm16 pcm24 pcm32 float32
+    float64 alaw ulaw adpcm`` — the non-PCM encoders live in
+    :mod:`rayflow.ops.audio`."""
     import struct
 
-    data = b"" if samples is None else \
-        np.ascontiguousarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
-                      channels * 2, 16)
+    from rayflow.ops import audio as _audio
+
+    s = None if samples is None else \
+        np.ascontiguousarray(samples, dtype="<i2")
+    if s is not None and s.ndim == 1:
+        s = s[:, None]
+    tag, bits, block = 1, 16, channels * 2
+    if encoding == "pcm16":
+        data = b"" if s is None else s.tobytes()
+    elif encoding == "pcm8":
+        bits, block = 8, channels
+        data = b"" if s is None else \
+            (((s.astype(np.int32) >> 8) + 128).astype(np.uint8)).tobytes()
+    elif encoding == "pcm24":
+        bits, block = 24, channels * 3
+        if s is None:
+            data = b""
+        else:
+            v = (s.astype(np.int32) << 8).ravel()
+            b3 = np.empty((len(v), 3), np.uint8)
+            b3[:, 0], b3[:, 1], b3[:, 2] = v & 0xFF, (v >> 8) & 0xFF, \
+                (v >> 16) & 0xFF
+            data = b3.tobytes()
+    elif encoding == "pcm32":
+        bits, block = 32, channels * 4
+        data = b"" if s is None else \
+            (s.astype("<i4") << 16).tobytes()
+    elif encoding in ("float32", "float64"):
+        tag, bits = 3, (32 if encoding == "float32" else 64)
+        block = channels * bits // 8
+        dt = "<f4" if bits == 32 else "<f8"
+        data = b"" if s is None else \
+            (s.astype(np.float64) / 32767.0).astype(dt).tobytes()
+    elif encoding in ("alaw", "ulaw"):
+        tag, bits, block = (6 if encoding == "alaw" else 7), 8, channels
+        enc = _audio.alaw_encode if encoding == "alaw" else _audio.ulaw_encode
+        data = b"" if s is None else enc(s).tobytes()
+    elif encoding == "adpcm":
+        tag, bits = 0x11, 4
+        block = 256 * channels          # 4-byte header + 252 data bytes/ch
+        data = b"" if s is None else \
+            _audio.adpcm_encode_blocks(s, block)
+    else:
+        raise ValueError(f"synth_wav: unknown encoding {encoding!r}")
+    fmt = struct.pack("<HHIIHH", tag, channels, rate,
+                      rate * max(block, 1), block, bits)
     return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
