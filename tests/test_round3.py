@@ -704,6 +704,34 @@ def test_avi_roundtrip():
         assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
 
 
+def test_avi_dib_roundtrip_bit_exact():
+    """Uncompressed BI_RGB streams (biCompression=0) decode natively —
+    DIB rows are padded bottom-up BGR, so the round-trip is lossless."""
+    from rayflow.ops.avi import decode_avi, probe_avi, synth_avi
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)  # odd w: pad
+              for _ in range(3)]
+    data = synth_avi(frames, fps=8, codec="DIB")
+    assert probe_avi(data) == (13, 11, 3)
+    out, fps = decode_avi(data)
+    assert fps == 8.0 and len(out) == 3
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_avi_unknown_codec_fails_loud():
+    from rayflow.ops.avi import decode_avi, synth_avi
+
+    data = bytearray(synth_avi([np.zeros((8, 8, 3), np.uint8)], fps=5))
+    i = data.find(b"vids") + 4
+    data[i:i + 4] = b"H264"                       # strh handler
+    j = data.find(b"strf") + 8 + 16
+    data[j:j + 4] = (0x34363248).to_bytes(4, "little")   # biCompression
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_avi(bytes(data))
+
+
 def test_avi_grayscale_and_errors():
     from rayflow.ops.avi import decode_avi, synth_avi
 
