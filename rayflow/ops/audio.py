@@ -242,6 +242,135 @@ def adpcm_encode_blocks(samples: np.ndarray, block_align: int) -> bytes:
     return out.tobytes()
 
 
+# --- MS ADPCM (WAV tag 2) ------------------------------------------
+# Block-parallel like IMA: the per-sample recurrence (two-tap linear
+# predictor + adaptive delta, "Microsoft ADPCM" in the public
+# RIFF/WAVE multimedia registration) runs lock-step across blocks.
+
+_MS_COEF = np.array([[256, 0], [512, -256], [0, 0], [192, 64],
+                     [240, 0], [460, -208], [392, -232]], dtype=np.int64)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230],
+                     dtype=np.int64)
+
+
+def _ms_step(codes: np.ndarray, s1: np.ndarray, s2: np.ndarray,
+             delta: np.ndarray, c1: np.ndarray,
+             c2: np.ndarray) -> np.ndarray:
+    """One MS-ADPCM step for a vector of streams; updates state in
+    place, returns the decoded samples.  ``codes`` are raw nibbles."""
+    signed = np.where(codes >= 8, codes - 16, codes).astype(np.int64)
+    pred = (s1 * c1 + s2 * c2) >> 8
+    new = np.clip(pred + signed * delta, -32768, 32767)
+    np.copyto(s2, s1)
+    np.copyto(s1, new)
+    np.copyto(delta, np.maximum((_MS_ADAPT[codes] * delta) >> 8, 16))
+    return new.copy()
+
+
+def ms_adpcm_decode_blocks(data: bytes, block_align: int,
+                           channels: int) -> np.ndarray:
+    """MS-ADPCM WAV data chunk → (n_samples, channels) int16.
+
+    Block layout (per the registration): per channel a predictor
+    index byte, then int16 idelta / sample1 / sample2 per channel;
+    the two header samples ARE the first two outputs (sample2 older),
+    then one 4-bit code per sample, HIGH nibble first, channels
+    alternating nibble-by-nibble."""
+    if channels not in (1, 2):
+        raise NotImplementedError("MS ADPCM: only mono/stereo WAV")
+    hdr = 7 * channels
+    if block_align <= hdr:
+        raise ValueError("MS ADPCM: bad block_align")
+    raw = np.frombuffer(data, np.uint8)
+    n_blocks = len(raw) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, channels), np.int16)
+    blocks = raw[: n_blocks * block_align].reshape(n_blocks, block_align)
+
+    pred_idx = np.minimum(blocks[:, :channels].astype(np.int64), 6)
+    c1 = _MS_COEF[pred_idx, 0]
+    c2 = _MS_COEF[pred_idx, 1]
+
+    def i16(col0: int) -> np.ndarray:
+        v = (blocks[:, col0:col0 + 2 * channels:2].astype(np.int64)
+             | (blocks[:, col0 + 1:col0 + 2 * channels:2]
+                .astype(np.int64) << 8))
+        return np.where(v >= 0x8000, v - 0x10000, v)
+
+    delta = np.maximum(i16(channels), 16)
+    s1 = i16(channels * 3)
+    s2 = i16(channels * 5)
+
+    body = blocks[:, hdr:]
+    n_codes = body.shape[1] * 2          # nibbles per block
+    samples_per_block = 2 + n_codes // channels
+    out = np.empty((n_blocks, samples_per_block, channels), np.int64)
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    for i in range(n_codes // channels):
+        for ch in range(channels):
+            k = i * channels + ch
+            byte = body[:, k // 2].astype(np.int64)
+            code = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+            out[:, 2 + i, ch] = _ms_step(code, s1[:, ch], s2[:, ch],
+                                         delta[:, ch], c1[:, ch],
+                                         c2[:, ch])
+    return out.reshape(-1, channels).astype(np.int16)
+
+
+def ms_adpcm_encode_blocks(samples: np.ndarray, block_align: int) -> bytes:
+    """(n, ch) int16 → MS-ADPCM WAV data bytes (fixture encoder,
+    predictor 0 = coefs (256, 0), initial delta from the block's own
+    prediction error; tail zero-padded to a whole block)."""
+    samples = np.asarray(samples, np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if channels not in (1, 2):
+        raise NotImplementedError("MS ADPCM: only mono/stereo WAV")
+    hdr = 7 * channels
+    n_codes = (block_align - hdr) * 2
+    spb = 2 + n_codes // channels
+    n_blocks = max(1, -(-n // spb))
+    padded = np.zeros((n_blocks * spb, channels), np.int64)
+    padded[:n] = samples
+    blk = padded.reshape(n_blocks, spb, channels)
+
+    s2 = blk[:, 0, :].copy()
+    s1 = blk[:, 1, :].copy()
+    c1 = np.full((n_blocks, channels), 256, np.int64)
+    c2 = np.zeros((n_blocks, channels), np.int64)
+    # initial delta ~ mean |prediction error| / 2 (any value >= 16 is
+    # spec-valid in the header)
+    err = np.abs(np.diff(blk, axis=1)).mean(axis=1).astype(np.int64)
+    delta = np.maximum(err // 2, 16)
+    delta0 = delta.copy()
+
+    codes = np.empty((n_blocks, spb - 2, channels), np.uint8)
+    for i in range(spb - 2):
+        for ch in range(channels):
+            pred = (s1[:, ch] * c1[:, ch] + s2[:, ch] * c2[:, ch]) >> 8
+            c = np.clip((blk[:, 2 + i, ch] - pred) // delta[:, ch],
+                        -8, 7)
+            codes[:, i, ch] = (c & 0x0F).astype(np.uint8)
+            _ms_step(codes[:, i, ch].astype(np.int64), s1[:, ch],
+                     s2[:, ch], delta[:, ch], c1[:, ch], c2[:, ch])
+
+    out = np.zeros((n_blocks, block_align), np.uint8)
+    out[:, :channels] = 0                # predictor index 0
+    for ch in range(channels):
+        for col, v in ((channels + 2 * ch, delta0[:, ch]),
+                       (channels * 3 + 2 * ch, blk[:, 1, ch]),
+                       (channels * 5 + 2 * ch, blk[:, 0, ch])):
+            u = v.astype(np.int64) & 0xFFFF
+            out[:, col] = (u & 0xFF).astype(np.uint8)
+            out[:, col + 1] = (u >> 8).astype(np.uint8)
+    flat = codes.reshape(n_blocks, -1)   # nibble order: sample, channel
+    out[:, hdr:] = ((flat[:, 0::2] << 4) | flat[:, 1::2]).astype(np.uint8)
+    return out.tobytes()
+
+
 # --- PCM depth / float conversion ---------------------------------
 
 def pcm_to_int16(data: bytes, bits: int) -> np.ndarray:

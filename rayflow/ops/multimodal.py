@@ -451,11 +451,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         a = _audio.alaw_decode(data)
     elif audio_fmt == 7:
         a = _audio.ulaw_decode(data)
+    elif audio_fmt == 2:
+        return _audio.ms_adpcm_decode_blocks(data, block_align, ch), rate
     elif audio_fmt == 0x11:
         return _audio.adpcm_decode_blocks(data, block_align, ch), rate
     else:
         raise NotImplementedError(
-            f"WAV fmt={audio_fmt} bits={bits}: PCM/float/G.711/IMA-"
+            f"WAV fmt={audio_fmt} bits={bits}: PCM/float/G.711/MS+IMA-"
             "ADPCM decode natively; this tag needs an audio library")
     n = len(a) // ch
     return a[: n * ch].reshape(n, ch), rate
@@ -855,7 +857,7 @@ def synth_wav(rate: int = 16000, channels: int = 1,
 
     ``encoding`` selects the data-chunk codec (every one round-trips
     through :func:`decode_wav`): ``pcm8 pcm16 pcm24 pcm32 float32
-    float64 alaw ulaw adpcm`` — the non-PCM encoders live in
+    float64 alaw ulaw adpcm ms_adpcm`` — the non-PCM encoders live in
     :mod:`rayflow.ops.audio`."""
     import struct
 
@@ -901,6 +903,11 @@ def synth_wav(rate: int = 16000, channels: int = 1,
         block = 256 * channels          # 4-byte header + 252 data bytes/ch
         data = b"" if s is None else \
             _audio.adpcm_encode_blocks(s, block)
+    elif encoding == "ms_adpcm":
+        tag, bits = 2, 4
+        block = 256 * channels          # 7-byte header/ch + codes
+        data = b"" if s is None else \
+            _audio.ms_adpcm_encode_blocks(s, block)
     else:
         raise ValueError(f"synth_wav: unknown encoding {encoding!r}")
     fmt = struct.pack("<HHIIHH", tag, channels, rate,

@@ -108,6 +108,56 @@ def test_wav_ima_adpcm_tracks_signal(channels):
     assert np.array_equal(out[0], pcm[0])       # header predictor exact
 
 
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_ms_adpcm_tracks_signal(channels):
+    t = np.arange(6000, dtype=np.float64)
+    sig = (8000.0 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    pcm = np.stack([sig + c * 100 for c in range(channels)], axis=1) \
+        .astype(np.int16)
+    out, rate = decode_wav(synth_wav(16000, channels, pcm,
+                                     encoding="ms_adpcm"))
+    assert rate == 16000
+    out = out[: len(pcm)]
+    err = out.astype(np.float64) - pcm.astype(np.float64)
+    assert np.sqrt(np.mean(err ** 2)) < 300
+    assert np.array_equal(out[:2], pcm[:2])     # header samples exact
+
+
+def test_ms_adpcm_block_parallel_matches_scalar_reference():
+    """Lock-step numpy MS-ADPCM decoder vs a scalar reference over the
+    registration's predictor/adaptation rules."""
+    from rayflow.ops.audio import (ms_adpcm_decode_blocks,
+                                   ms_adpcm_encode_blocks)
+
+    rng = np.random.default_rng(13)
+    pcm = (5000 * np.sin(np.cumsum(rng.normal(0, 0.15, 2500)))) \
+        .astype(np.int16)[:, None]
+    data = ms_adpcm_encode_blocks(pcm, 256)
+    fast = ms_adpcm_decode_blocks(data, 256, 1).ravel()
+
+    coef = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+            (460, -208), (392, -232)]
+    adapt = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    slow = []
+    for off in range(0, len(data), 256):
+        blk = data[off:off + 256]
+        c1, c2 = coef[min(blk[0], 6)]
+        delta = max(struct.unpack("<h", blk[1:3])[0], 16)
+        s1 = struct.unpack("<h", blk[3:5])[0]
+        s2 = struct.unpack("<h", blk[5:7])[0]
+        slow += [s2, s1]
+        for byte in blk[7:]:
+            for code in (byte >> 4, byte & 0x0F):
+                signed = code - 16 if code >= 8 else code
+                pred = (s1 * c1 + s2 * c2) >> 8
+                new = max(-32768, min(32767, pred + signed * delta))
+                s2, s1 = s1, new
+                delta = max((adapt[code] * delta) >> 8, 16)
+                slow.append(new)
+    assert np.array_equal(fast, np.array(slow, np.int16))
+
+
 def test_adpcm_block_parallel_matches_scalar_reference():
     """Lock-step numpy decoder vs a one-stream-at-a-time scalar
     reference over the same spec rules."""
