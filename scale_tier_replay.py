@@ -161,6 +161,63 @@ def duckdb_ground_truth(log_dir: str, lake_files: list[str]) -> dict:
     }
 
 
+def kill_resume(log_dir: str, lake_dir: str, cpus: int,
+                kill_after_s: float) -> None:
+    """Mid-flight SIGKILL → fresh-process resume → exact-state check.
+
+    The child replays into a fresh lake and is killed hard after
+    ``kill_after_s`` seconds; the parent reads the manifest's
+    ``committed_lsn`` (the only carried state), resumes in another
+    subprocess, then verifies the final lake against the DuckDB LWW
+    ground truth over the raw log — the scale-tier proof of the north
+    rule's exactly-once + resumable-from-checkpoint clauses."""
+    import signal
+    import subprocess
+
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    body = f'''
+import ray
+ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from rayflow.cdc.replay import CdcEngine
+eng = CdcEngine({lake_dir!r}, num_partitions=64, auto_salt=True,
+                salt_sample_fraction=0.01)
+stats = eng.replay({log_dir!r}, bands_per_commit=4)
+import json
+print(json.dumps({{"resumed_events": stats.n_events,
+                   "committed_lsn": eng.manifest.state.get("committed_lsn"),
+                   "files": eng.manifest.live_files()}}))
+'''
+    here = os.path.dirname(os.path.abspath(__file__))
+    child = subprocess.Popen([sys.executable, "-c", body], cwd=here,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+    time.sleep(kill_after_s)
+    child.send_signal(signal.SIGKILL)
+    child.wait()
+    with open(os.path.join(lake_dir, "manifest.json")) as f:
+        lsn_at_kill = json.load(f).get("committed_lsn")
+    print(f"killed at committed_lsn={lsn_at_kill}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    out = subprocess.run([sys.executable, "-c", body], cwd=here,
+                         capture_output=True, text=True, check=True)
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    resume_s = round(time.perf_counter() - t0, 1)
+
+    oracle = duckdb_ground_truth(log_dir, r["files"])
+    print(json.dumps({
+        "metric": "scale_tier_kill_resume",
+        "committed_lsn_at_kill": lsn_at_kill,
+        "resumed_events": r["resumed_events"],
+        "final_committed_lsn": r["committed_lsn"],
+        "resume_wall_s": resume_s,
+        "oracle": oracle,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=5,
@@ -168,6 +225,12 @@ def main() -> None:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--kill-resume", type=float, metavar="SECS",
+                    default=None,
+                    help="SIGKILL the replay in a subprocess after SECS "
+                         "seconds, resume from the manifest in a fresh "
+                         "process, verify exact final state (the scale-"
+                         "tier exactly-once/resumability evidence)")
     args = ap.parse_args()
 
     log_dir = f"/tmp/rayflow-bench/changelog-scaletier-{args.scale}x"
@@ -178,6 +241,11 @@ def main() -> None:
     gen_s = round(time.perf_counter() - t0, 1)
     print(f"log ready: {info['n_events']:,} events, {info['n_bands']} bands "
           f"({gen_s}s)", file=sys.stderr)
+
+    if args.kill_resume is not None:
+        kill_resume(log_dir, lake_dir + "-resume", args.cpus,
+                    args.kill_resume)
+        return
 
     import ray
 
