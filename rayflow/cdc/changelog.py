@@ -163,7 +163,11 @@ def _events_to_table(ev: dict[str, np.ndarray], lo: int, hi: int,
             cols[name] = pc.if_else(mask, pa.scalar(None, cols[name].type), cols[name])
 
     tbl = pa.table(cols).cast(CHANGE_SCHEMA)
-    if evolve_at is not None and hi > evolve_at:
+    # evolve when the slice contains any row at/past the switch LSN;
+    # lsn is monotone, so the last element is the slice max (works for
+    # both position-equal lsns and the scale-tier generator's globally
+    # shifted lsns).
+    if evolve_at is not None and len(lsn) and int(lsn[-1]) >= evolve_at:
         import pyarrow.compute as pc
         meta = pc.if_else(
             pa.array(lsn >= evolve_at),

@@ -64,7 +64,8 @@ def _peak_rss_sampler(stop: threading.Event, out: dict) -> None:
         stop.wait(0.5)
 
 
-def generate_scaled_log(log_dir: str, scale: int) -> dict:
+def generate_scaled_log(log_dir: str, scale: int,
+                        evolve_seg: int | None = None) -> dict:
     """Write ``scale`` consecutive sf0.1-sized segments as one change
     log.  Segment k's conv ids live in [k·n_convs, (k+1)·n_convs) and
     its LSNs in [off_k, off_k + n_k) — disjoint keys and globally
@@ -86,6 +87,7 @@ def generate_scaled_log(log_dir: str, scale: int) -> dict:
     nsp = 8
     lsn_off = 0
     n_files = 0
+    evolve_at_lsn = None
     for seg in range(scale):
         spec = ChangeLogSpec(
             n_convs=n_convs, turns_per_conv=10.0, update_ratio=45.0,
@@ -97,6 +99,13 @@ def generate_scaled_log(log_dir: str, scale: int) -> dict:
         ev["conv"] = ev["conv"] + seg * n_convs
         ev["lsn"] = ev["lsn"] + lsn_off
         ev["ver"] = ev["ver"] + lsn_off  # keeps per-version text unique
+        # schema evolution switch: every event from segment
+        # ``evolve_seg`` on carries the V2 payload column (the switch
+        # LSN is the segment boundary — recorded in _DONE.json)
+        if evolve_seg is not None and seg == evolve_seg:
+            evolve_at_lsn = lsn_off
+        seg_evolve = evolve_at_lsn if (evolve_seg is not None
+                                       and seg >= evolve_seg) else None
         src_part = (ev["conv"].astype(np.uint64) * np.uint64(2654435761)) \
             % np.uint64(nsp)
         bounds = np.linspace(0, n, bands_per_seg + 1).astype(np.int64)
@@ -107,7 +116,7 @@ def generate_scaled_log(log_dir: str, scale: int) -> dict:
             gb = seg * bands_per_seg + b  # global band id
             band_dir = os.path.join(log_dir, f"band-{gb:05d}")
             os.makedirs(band_dir, exist_ok=True)
-            tbl = _events_to_table(ev, lo, hi, None)
+            tbl = _events_to_table(ev, lo, hi, seg_evolve)
             parts = src_part[lo:hi]
             for sp in range(nsp):
                 idx = np.nonzero(parts == sp)[0]
@@ -123,19 +132,24 @@ def generate_scaled_log(log_dir: str, scale: int) -> dict:
         del ev
         print(f"segment {seg + 1}/{scale} written ({lsn_off:,} events so far)",
               file=sys.stderr)
-    info = {"n_events": lsn_off, "n_bands": scale * bands_per_seg,
+    info = {"evolve_at_lsn": evolve_at_lsn,
+            "n_events": lsn_off, "n_bands": scale * bands_per_seg,
             "n_files": n_files, "max_lsn": lsn_off - 1}
     with open(done, "w") as f:
         json.dump(info, f)
     return info
 
 
-def duckdb_ground_truth(log_dir: str, lake_files: list[str]) -> dict:
+def duckdb_ground_truth(log_dir: str, lake_files: list[str],
+                        evolve_at_lsn: int | None = None) -> dict:
     """Independent LWW oracle over the raw change log vs the lake.
 
     DuckDB computes, per (conv_id, turn_idx), the max-LSN event; keys
     whose winner is a delete are absent.  Compares row count AND
-    sum(winning lsn) — a value-level fingerprint of the merge."""
+    sum(winning lsn) — a value-level fingerprint of the merge.  With
+    schema evolution, additionally checks that exactly the keys whose
+    WINNING event is at/past the switch LSN carry the V2 column
+    (``union_by_name`` handles the pre/post-switch Parquet schemas)."""
     import duckdb
 
     con = duckdb.connect()
@@ -143,22 +157,37 @@ def duckdb_ground_truth(log_dir: str, lake_files: list[str]) -> dict:
         WITH w AS (
           SELECT conv_id, turn_idx, arg_max(op, lsn) AS last_op,
                  max(lsn) AS lsn
-          FROM read_parquet('{log_dir}/band-*/*.parquet')
+          FROM read_parquet('{log_dir}/band-*/*.parquet',
+                            union_by_name=true)
           GROUP BY conv_id, turn_idx
         )
-        SELECT count(*) AS rows, sum(lsn) AS lsn_sum
+        SELECT count(*) AS rows, sum(lsn) AS lsn_sum,
+               count(*) FILTER (lsn >= {evolve_at_lsn
+                                        if evolve_at_lsn is not None
+                                        else -1}) AS v2_rows
         FROM w WHERE last_op <> 'delete'
     """).fetchone()
     got = con.execute(
-        "SELECT count(*) AS rows, sum(_lsn) AS lsn_sum FROM read_parquet(?)",
+        "SELECT count(*) AS rows, sum(_lsn) AS lsn_sum FROM "
+        "read_parquet(?, union_by_name=true)",
         [lake_files],
     ).fetchone()
-    con.close()
-    return {
+    out = {
         "expected_rows": exp[0], "lake_rows": got[0],
         "expected_lsn_sum": int(exp[1]), "lake_lsn_sum": int(got[1]),
         "match": exp[0] == got[0] and int(exp[1]) == int(got[1]),
     }
+    if evolve_at_lsn is not None:
+        got_v2 = con.execute(
+            "SELECT count(*) FILTER (meta_model IS NOT NULL) FROM "
+            "read_parquet(?, union_by_name=true)", [lake_files],
+        ).fetchone()
+        out["expected_v2_rows"] = exp[2]
+        out["lake_v2_rows"] = got_v2[0]
+        out["evolution_match"] = exp[2] == got_v2[0]
+        out["match"] = out["match"] and out["evolution_match"]
+    con.close()
+    return out
 
 
 def kill_resume(log_dir: str, lake_dir: str, cpus: int,
@@ -225,6 +254,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--evolve-seg", type=int, default=None, metavar="K",
+                    help="schema-evolve the payload (V2 column) from "
+                         "segment K on — exercises Arrow schema "
+                         "unification at the scale tier")
     ap.add_argument("--kill-resume", type=float, metavar="SECS",
                     default=None,
                     help="SIGKILL the replay in a subprocess after SECS "
@@ -233,11 +266,14 @@ def main() -> None:
                          "tier exactly-once/resumability evidence)")
     args = ap.parse_args()
 
-    log_dir = f"/tmp/rayflow-bench/changelog-scaletier-{args.scale}x"
-    lake_dir = f"/tmp/rayflow-bench/lake-scaletier-{args.scale}x"
+    suffix = f"{args.scale}x" + (
+        f"-evolve{args.evolve_seg}" if args.evolve_seg is not None else "")
+    log_dir = f"/tmp/rayflow-bench/changelog-scaletier-{suffix}"
+    lake_dir = f"/tmp/rayflow-bench/lake-scaletier-{suffix}"
 
     t0 = time.perf_counter()
-    info = generate_scaled_log(log_dir, args.scale)
+    info = generate_scaled_log(log_dir, args.scale,
+                               evolve_seg=args.evolve_seg)
     gen_s = round(time.perf_counter() - t0, 1)
     print(f"log ready: {info['n_events']:,} events, {info['n_bands']} bands "
           f"({gen_s}s)", file=sys.stderr)
@@ -287,7 +323,8 @@ def main() -> None:
     oracle = None
     if not args.skip_oracle:
         print("running DuckDB ground-truth oracle...", file=sys.stderr)
-        oracle = duckdb_ground_truth(log_dir, lake_files)
+        oracle = duckdb_ground_truth(log_dir, lake_files,
+                                     info.get("evolve_at_lsn"))
 
     lake_bytes = sum(os.path.getsize(f) for f in lake_files)
     print(json.dumps({
