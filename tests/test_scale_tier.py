@@ -78,3 +78,43 @@ def test_replayed_lake_matches_duckdb_lww_oracle(tmp_path):
     ).fetchone()
     con.close()
     assert (got_rows, int(got_sum)) == (exp_rows, int(exp_sum))
+
+
+def _gen_evolved(tmp_path, scale: int, evolve_seg: int, convs: int = 500):
+    os.environ["RAYFLOW_SCALETIER_CONVS"] = str(convs)
+    try:
+        from scale_tier_replay import generate_scaled_log
+
+        log_dir = str(tmp_path / f"log{scale}x-ev{evolve_seg}")
+        return log_dir, generate_scaled_log(log_dir, scale,
+                                            evolve_seg=evolve_seg)
+    finally:
+        del os.environ["RAYFLOW_SCALETIER_CONVS"]
+
+
+def test_evolved_scale_tier_oracle(tmp_path):
+    """Schema evolution at the scale tier: segments >= evolve_seg carry
+    the V2 column; after replay, exactly the keys whose WINNING event
+    is at/past the switch LSN carry it in the lake (the harness's own
+    duckdb_ground_truth enforces this via evolution_match)."""
+    from scale_tier_replay import duckdb_ground_truth
+
+    from rayflow.cdc.replay import CdcEngine
+
+    log_dir, info = _gen_evolved(tmp_path, scale=3, evolve_seg=2)
+    assert info["evolve_at_lsn"] is not None
+    # pre-switch bands are V1, post-switch bands are V2
+    first = sorted(glob.glob(os.path.join(log_dir, "band-00000",
+                                          "*.parquet")))[0]
+    last = sorted(glob.glob(os.path.join(log_dir, "band-*",
+                                         "*.parquet")))[-1]
+    assert "meta_model" not in pq.read_schema(first).names
+    assert "meta_model" in pq.read_schema(last).names
+
+    lake = str(tmp_path / "lake-ev")
+    engine = CdcEngine(lake, num_partitions=4, auto_salt=False)
+    engine.replay(log_dir, bands_per_commit=4)
+    oracle = duckdb_ground_truth(log_dir, engine.manifest.live_files(),
+                                 info["evolve_at_lsn"])
+    assert oracle["match"] and oracle["evolution_match"]
+    assert 0 < oracle["lake_v2_rows"] < oracle["lake_rows"]
