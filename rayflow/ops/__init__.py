@@ -68,6 +68,7 @@ from rayflow.ops import curation as _curation  # noqa: E402,F401
 from rayflow.ops import dedup as _dedup  # noqa: E402,F401
 from rayflow.ops import joins as _joins  # noqa: E402,F401
 from rayflow.ops import multimodal as _multimodal  # noqa: E402,F401
+from rayflow.ops import net as _net  # noqa: E402,F401
 from rayflow.ops import serde as _serde  # noqa: E402,F401
 from rayflow.ops import textops as _textops  # noqa: E402,F401
 from rayflow.ops import windows as _windows  # noqa: E402,F401
