@@ -532,6 +532,8 @@ EXCHANGE_CLASS: dict[str, str] = {
         "read_parquet", "read_csv", "read_json", "read_text",
         "generate", "sql_query", "write_parquet", "write_json",
         "route_write", "export_partitioned",
+        "read_stdin", "read_socket", "read_socket_server",
+        "write_stdout", "write_socket",
     )},
     **{n: "driver" for n in ("workflow",)},
 }
