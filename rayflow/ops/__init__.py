@@ -66,6 +66,7 @@ from rayflow.ops import ann as _ann  # noqa: E402,F401
 from rayflow.ops import core as _core  # noqa: E402,F401
 from rayflow.ops import curation as _curation  # noqa: E402,F401
 from rayflow.ops import dedup as _dedup  # noqa: E402,F401
+from rayflow.ops import http as _http  # noqa: E402,F401
 from rayflow.ops import joins as _joins  # noqa: E402,F401
 from rayflow.ops import multimodal as _multimodal  # noqa: E402,F401
 from rayflow.ops import net as _net  # noqa: E402,F401

@@ -527,6 +527,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "cache_get", "cache_set", "cached_mapping", "rate_limit",
         "media_decode", "media_probe", "media_resize",
         "media_frame_sample", "audio_features", "subprocess_map",
+        "http_request",
     )},
     **{n: "source/sink" for n in (
         "read_parquet", "read_csv", "read_json", "read_text",
@@ -534,6 +535,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "route_write", "export_partitioned",
         "read_stdin", "read_socket", "read_socket_server",
         "write_stdout", "write_socket",
+        "read_http_client", "write_http_client", "read_http_server",
     )},
     **{n: "driver" for n in ("workflow",)},
 }
