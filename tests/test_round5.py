@@ -301,3 +301,66 @@ def test_ann_recall_at_10_vs_bruteforce(ray_session, sf_dir):
     # 0.94 recall reading nprobe/n_clusters = 1/4 of the corpus.
     assert r_ivf >= 0.9, f"ivf recall@10 {r_ivf:.3f} < 0.9"
     assert r_lsh >= 0.4, f"lsh recall@10 {r_lsh:.3f} < 0.4"
+
+
+# ---------------------------------------------------------------------------
+# AVI codec widening (round 5): RLE8 + raw YUV (YUY2 / I420)
+# ---------------------------------------------------------------------------
+
+def test_avi_rle8_roundtrip_bit_exact_gray():
+    from rayflow.ops.avi import decode_avi, probe_avi, synth_avi
+
+    rng = np.random.default_rng(5)
+    # runs of flat regions (RLE-friendly) + noise patches
+    frames = []
+    for _ in range(3):
+        g = np.zeros((24, 32), np.uint8)
+        g[:12] = 200
+        g[12:, :16] = 37
+        g[20:, 28:] = rng.integers(0, 256, (4, 4), np.uint8)
+        frames.append(g)
+    data = synth_avi(frames, fps=6, codec="RLE8")
+    assert probe_avi(data) == (32, 24, 3)
+    out, fps = decode_avi(data)
+    assert abs(fps - 6) < 0.1 and len(out) == 3
+    for f, o in zip(frames, out):
+        assert o.shape == (24, 32, 3)
+        np.testing.assert_array_equal(o[:, :, 0], f)   # gray bit-exact
+        np.testing.assert_array_equal(o[:, :, 1], f)
+
+
+def test_avi_yuy2_and_i420_roundtrip_close():
+    from rayflow.ops.avi import decode_avi, synth_avi
+
+    rng = np.random.default_rng(7)
+    # smooth gradients — chroma subsampling error stays tiny
+    y, x = np.mgrid[0:16, 0:24]
+    base = ((x * 7 + y * 5) % 200 + 20).astype(np.uint8)
+    frames = [np.stack([base, base[::-1], np.roll(base, 5, axis=1)],
+                       axis=2),
+              np.repeat(rng.integers(40, 200, (16, 1), np.uint8),
+                        24, axis=1)[..., None].repeat(3, axis=2)]
+    for codec in ("YUY2", "I420"):
+        data = synth_avi(frames, fps=12, codec=codec)
+        out, fps = decode_avi(data)
+        assert abs(fps - 12) < 0.1 and len(out) == 2
+        for f, o in zip(frames, out):
+            assert o.shape == f.shape
+            err = np.abs(o.astype(int) - f.astype(int)).mean()
+            # chroma-busy fixture: 4:2:2 stays tight, 4:2:0 box-averages
+            # vertically too (measured 7.2 here) — codec loss, not error;
+            # the grayscale test below pins conversion exactness
+            assert err < (6.0 if codec == "YUY2" else 9.0), (codec, err)
+
+
+def test_avi_yuv_gray_is_near_exact():
+    """Grayscale content has constant chroma — YUV round-trip error is
+    pure Y-quantization (≤1 LSB after limited-range scaling)."""
+    from rayflow.ops.avi import decode_avi, synth_avi
+
+    g = (np.arange(20 * 20, dtype=np.uint16).reshape(20, 20)
+         % 220 + 18).astype(np.uint8)
+    for codec in ("YUY2", "I420"):
+        out, _ = decode_avi(synth_avi([g], fps=5, codec=codec))
+        err = np.abs(out[0][:, :, 0].astype(int) - g.astype(int)).max()
+        assert err <= 2, (codec, err)
