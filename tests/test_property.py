@@ -618,3 +618,40 @@ def test_set_op_matches_python_sets(a_rows, b_rows):
                         "how": how})(rd.from_pandas(a)).to_pandas()
         got = set(map(tuple, out.values)) if len(out) else set()
         assert got == exp, (how, got, exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_rle8_roundtrip_property(data):
+    """Any gray frame survives BI_RLE8 encode→decode bit-exactly."""
+    import numpy as np
+
+    from rayflow.ops.avi import _decode_rle8_frame, _encode_rle8_frame
+
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    # mix flat runs (RLE-friendly) and noise (absolute-mode heavy)
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    if data.draw(st.booleans()):
+        g[: h // 2] = data.draw(st.integers(0, 255))
+    out = _decode_rle8_frame(_encode_rle8_frame(g), w, h)
+    np.testing.assert_array_equal(out[:, :, 0], g)
+    np.testing.assert_array_equal(out[:, :, 2], g)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.sampled_from(["YUY2", "I420"]))
+def test_yuv_gray_roundtrip_property(seed, codec):
+    """Grayscale frames (constant chroma) survive YUV round-trip within
+    Y-quantization error (≤2 LSB, BT.601 limited-range scaling)."""
+    import numpy as np
+
+    from rayflow.ops.avi import decode_avi, synth_avi
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+    out, _ = decode_avi(synth_avi([g], fps=5, codec=codec))
+    err = np.abs(out[0][:, :, 0].astype(int) - g.astype(int)).max()
+    assert err <= 2, (codec, err)
