@@ -127,6 +127,18 @@ def build_write_json(*, path: str, **kw):
     return sink
 
 
+@register_op("write_csv")
+def build_write_csv(*, path: str, **kw):
+    """``file`` output with the csv codec (``⟨upstream:
+    internal/codec/writer.go⟩``) — streamed per-block part files."""
+
+    def sink(ds):
+        ds.write_csv(path, **kw)
+        return None
+
+    return sink
+
+
 @register_op("route_write")
 def build_route_write(*, path: str, route_col: str = "route"):
     """``switch`` output: one partition directory per route value."""
@@ -531,7 +543,7 @@ EXCHANGE_CLASS: dict[str, str] = {
     )},
     **{n: "source/sink" for n in (
         "read_parquet", "read_csv", "read_json", "read_text",
-        "generate", "sql_query", "write_parquet", "write_json",
+        "generate", "sql_query", "write_parquet", "write_json", "write_csv",
         "route_write", "export_partitioned",
         "read_stdin", "read_socket", "read_socket_server",
         "write_stdout", "write_socket",

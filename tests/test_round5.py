@@ -364,3 +364,14 @@ def test_avi_yuv_gray_is_near_exact():
         out, _ = decode_avi(synth_avi([g], fps=5, codec=codec))
         err = np.abs(out[0][:, :, 0].astype(int) - g.astype(int)).max()
         assert err <= 2, (codec, err)
+
+
+def test_write_csv_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    ds = rd.from_items([{"a": i, "b": f"s{i}"} for i in range(10)])
+    out = str(tmp_path / "csvout")
+    build_op({"op": "write_csv", "path": out})(ds)
+    back = build_op({"op": "read_csv", "paths": out})().to_pandas()
+    assert sorted(back["a"].tolist()) == list(range(10))
+    assert set(back.columns) == {"a", "b"}
