@@ -504,7 +504,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "batch_policy", "noop", "sleep", "log_stage", "metric",
         "token_count", "lang_id", "quality_score", "fingerprint",
         "simhash", "pii_redact", "gopher_quality",
-        "repetition_signals", "c4_line_filter", "unpivot",
+        "repetition_signals", "c4_line_filter", "unpivot", "awk",
         "parse_avro", "parse_msgpack", "parse_protobuf",
         "parse_parquet", "format_avro", "format_msgpack",
         "format_protobuf", "format_parquet", "late_filter",
