@@ -5627,3 +5627,37 @@ def sft_corpus_transcripts(sf_dir: str):
         "op": "mapping", "cols": {"n_dups": E.F("int64", E.col("n_dups"))},
         "select": ["conv_id", "doc", "n_dups", "n_chars"],
     })(out)
+
+
+@query(
+    "awk_high_value_users",
+    """
+    SELECT CAST(user_id AS VARCHAR) || ' ' || CAST(event_id AS VARCHAR)
+               AS text
+    FROM events
+    WHERE value > 90.0 AND event_type = 'purchase'
+    """)
+def q_awk_high_value_users(sf_dir: str):
+    """The ``awk`` one-liner surface over real data: render events as
+    text records, then ``awk '$3 == "purchase" && $2 > 90 {print $1,
+    $4}'`` — a stateless program, so it parallelizes as a map_batches
+    stage (rayflow/ops/awk.py; the upstream analogue is
+    ⟨upstream: internal/impl/awk/processor.go⟩ over message text)."""
+    ds = _rd().read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "value", "event_type", "event_id"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        ln = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()),
+            pc.cast(t["value"], pa.string()),
+            t["event_type"],
+            pc.cast(t["event_id"], pa.string()), " ")
+        return pa.table({"text": ln})
+
+    lines = ds.map_batches(to_lines, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return build_op({
+        "op": "awk",
+        "program": '$3 == "purchase" && $2 > 90 { print $1, $4 }',
+    })(lines)
