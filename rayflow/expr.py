@@ -52,7 +52,27 @@ class Expr:
         return Expr(lambda t: kernel(_arr(self.eval(t)), _arr(other.eval(t))), name)
 
     def __add__(self, o):
-        return self._bin(o, pc.add, "add")
+        # Bloblang `+` concatenates when either side is a string
+        # (⟨upstream: internal/bloblang/query/arithmetic.go⟩); numeric
+        # add otherwise — dispatched on the evaluated Arrow types
+        def add_or_concat(a, b):
+            def _is_str(x):
+                t = x.type if hasattr(x, "type") else None
+                return t is not None and (pa.types.is_string(t)
+                                          or pa.types.is_large_string(t))
+
+            if _is_str(a) or _is_str(b):
+                def _as_str(x):
+                    t = x.type if hasattr(x, "type") else None
+                    if t is not None and not (pa.types.is_string(t) or
+                                              pa.types.is_large_string(t)):
+                        return pc.cast(x, pa.string())
+                    return x
+                return pc.binary_join_element_wise(_as_str(a), _as_str(b),
+                                                   "")
+            return pc.add(a, b)
+
+        return self._bin(o, add_or_concat, "add")
 
     def __sub__(self, o):
         return self._bin(o, pc.subtract, "sub")

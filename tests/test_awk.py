@@ -148,3 +148,16 @@ def test_awk_op_custom_fs(ray_session):
     out = build_op({"op": "awk", "fs": "|",
                     "program": '{print $2}'})(ds).to_pandas()
     assert sorted(out["text"].tolist()) == ["b", "e"]
+
+
+def test_bloblang_plus_concatenates_strings(ray_session):
+    """Bloblang `+` on strings concatenates (upstream arithmetic.go),
+    numeric add otherwise — the string path feeds the awk example."""
+    import ray.data as rd
+
+    ds = rd.from_items([{"a": "x", "n": 3}])
+    out = build_op({"op": "mapping", "text":
+                    'root.s = this.a + "_" + this.n.string()\n'
+                    'root.m = this.n + 1'})(ds).to_pandas()
+    assert out["s"].tolist() == ["x_3"]
+    assert out["m"].tolist() == [4]
