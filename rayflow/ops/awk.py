@@ -6,12 +6,15 @@ Scope (the classic one-liner surface): ``pattern { action }`` rules
 with ``BEGIN``/``END`` blocks, ``$0``/``$N``/``$(expr)`` field refs,
 ``NF``/``NR``/``FS``/``OFS`` builtins, regex patterns (``/re/`` and
 ``~``/``!~``), comparison/arithmetic/concatenation/logical operators,
-``print``, ``next``, ``if``/``else``, variable and ``a[key]``
+``print``/``printf`` (with partial-line buffering so consecutive
+``printf`` fragments join across records, like a real stream),
+``next``, ``if``/``else``, variable and ``a[key]``
 associative-array assignment with ``++``/``--``/``+=`` (so
 ``!seen[$0]++`` dedup works), and the string functions ``length
 substr index toupper tolower int sub gsub split sprintf``.  Not
-implemented (fails loud at parse): ``getline``, ``printf`` to files,
-user functions, field assignment, ``for``/``while`` loops.
+implemented (fails loud at parse): ``getline``, output redirection,
+user functions, field assignment (except ``$0``), ``for``/``while``
+loops.
 
 Execution model — the honest scale adjudication: a program is
 classified STATELESS (only field refs, regexes, per-row prints) or
@@ -99,8 +102,8 @@ def _lex(src: str) -> list[tuple[str, str]]:
             operand_ok = False
         elif kind == "name":
             toks.append(("name", text))
-            operand_ok = text in ("print", "if", "else", "next", "in",
-                                  "BEGIN", "END")
+            operand_ok = text in ("print", "printf", "if", "else",
+                                  "next", "in", "BEGIN", "END")
         else:
             toks.append(("op", text))
             operand_ok = text not in (")", "]", "++", "--")
@@ -114,7 +117,7 @@ def _lex(src: str) -> list[tuple[str, str]]:
 
 _FUNCS = {"length", "substr", "index", "toupper", "tolower", "int",
           "sub", "gsub", "split", "sprintf"}
-_UNSUPPORTED = {"getline", "printf", "function", "while", "for", "do",
+_UNSUPPORTED = {"getline", "function", "while", "for", "do",
                 "delete", "exit", "close", "system"}
 
 
@@ -189,6 +192,18 @@ class _Parser:
             if not args:
                 args = [("field", ("num", 0.0))]
             return ("print", args)
+        if k == "name" and v == "printf":
+            self.next()
+            paren = self.peek() == ("op", "(")
+            if paren:
+                self.next()
+            args = [self.expr()]
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.expr())
+            if paren:
+                self.eat("op", ")")
+            return ("printf", args)
         if k == "name" and v == "next":
             self.next()
             return ("next",)
@@ -420,6 +435,16 @@ def _truth(v: Any) -> bool:
 class _Next(Exception):
     pass
 
+
+def _sprintf(fmt: str, vals: list) -> str:
+    """awk (s)printf: coerce each arg to the type its %-spec wants."""
+    coerced = []
+    for spec, v in zip(re.findall(r"%[-+ #0-9.]*[a-zA-Z]", fmt), vals):
+        coerced.append(int(_to_num(v)) if spec[-1] in "dioxXc"
+                       else _to_num(v) if spec[-1] in "eEfgG"
+                       else _to_str(v))
+    return fmt % tuple(coerced)
+
 class _AwkProgram:
     """Compiled program + per-run state.  Row state (``$0`` and the
     field list) lives on ``self`` so ``sub``/``gsub`` on ``$0`` can
@@ -460,6 +485,7 @@ class _AwkProgram:
         self.vars: dict[str, Any] = {"FS": " ", "OFS": " ", "NR": 0.0}
         self.arrays: dict[str, dict] = {}
         self.out: list[str] = []
+        self._partial = ""              # printf text awaiting a newline
         self._line = ""
         self._fields: list[str] = []
         for p, stmts in self.rules:
@@ -489,8 +515,18 @@ class _AwkProgram:
         for p, stmts in self.rules:
             if p == "END":
                 self._exec_block(stmts)
+        if self._partial:               # printf tail without newline
+            self.out.append(self._partial)
+            self._partial = ""
         out, self.out = self.out, []
         return out
+
+    def _emit(self, text: str) -> None:
+        """Append raw output text; only COMPLETE lines land in
+        ``self.out`` (the op drains it mid-stream), a trailing
+        unterminated printf fragment carries in ``self._partial``."""
+        *lines, self._partial = (self._partial + text).split("\n")
+        self.out.extend(lines)
 
     # ---- execution ----------------------------------------------------
     def _exec_block(self, stmts):
@@ -501,8 +537,11 @@ class _AwkProgram:
         op = s[0]
         if op == "print":
             ofs = _to_str(self.vars.get("OFS", " "))
-            self.out.append(ofs.join(
-                _to_str(self._eval(a)) for a in s[1]))
+            self._emit(ofs.join(
+                _to_str(self._eval(a)) for a in s[1]) + "\n")
+        elif op == "printf":
+            vals = [self._eval(a) for a in s[1]]
+            self._emit(_sprintf(_to_str(vals[0]), vals[1:]))
         elif op == "next":
             raise _Next()
         elif op == "if":
@@ -687,14 +726,7 @@ class _AwkProgram:
         if name == "int":
             return float(int(_to_num(ev[0])))
         if name == "sprintf":
-            fmt = _to_str(ev[0])
-            vals = []
-            for spec, v in zip(re.findall(r"%[-+ #0-9.]*[a-zA-Z]", fmt),
-                               ev[1:]):
-                vals.append(int(_to_num(v)) if spec[-1] in "dioxX"
-                            else _to_num(v) if spec[-1] in "eEfgG"
-                            else _to_str(v))
-            return fmt % tuple(vals)
+            return _sprintf(_to_str(ev[0]), ev[1:])
         raise ValueError(f"awk: unknown function {name}")
 
 

@@ -161,3 +161,15 @@ def test_bloblang_plus_concatenates_strings(ray_session):
                     'root.m = this.n + 1'})(ds).to_pandas()
     assert out["s"].tolist() == ["x_3"]
     assert out["m"].tolist() == [4]
+
+
+def test_awk_printf():
+    assert run_awk(r'{ printf "%s:%d\n", $1, $2 }',
+                   ["a 5", "b 7"]) == ["a:5", "b:7"]
+    # fragments join across records until a newline lands
+    assert run_awk(r'{ printf "%s", $1 } END { print "" }',
+                   ["a", "b", "c"]) == ["abc"]
+    assert run_awk(r'{ printf("%05d|%x\n", $1, $1) }',
+                   ["255"]) == ["00255|ff"]
+    # unterminated tail still flushes at finish
+    assert run_awk(r'{ printf "%s-", $1 }', ["x", "y"]) == ["x-y-"]
