@@ -5661,3 +5661,28 @@ def q_awk_high_value_users(sf_dir: str):
         "op": "awk",
         "program": '$3 == "purchase" && $2 > 90 { print $1, $4 }',
     })(lines)
+
+
+@query(
+    "awk_distinct_user_event",
+    """
+    SELECT DISTINCT CAST(user_id AS VARCHAR) || ' ' || event_type AS text
+    FROM events
+    """)
+def q_awk_distinct_user_event(sf_dir: str):
+    """The STATEFUL awk path in the driver contract: ``!seen[$0]++``
+    (the classic streaming-dedup one-liner) over rendered event lines.
+    Array state forces the ordered single-pass mode — one sequential
+    stream, exactly awk's own execution model (rayflow/ops/awk.py
+    docstring); equivalent to SELECT DISTINCT."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "event_type"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        ln = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()), t["event_type"], " ")
+        return pa.table({"text": ln})
+
+    lines = ds.map_batches(to_lines, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return build_op({"op": "awk", "program": "!seen[$0]++"})(lines)
