@@ -872,3 +872,101 @@ def build_ann_ivf(*, queries, query_ids, k: int = 10, n_clusters: int = 32,
         )
 
     return apply
+
+
+@register_op("semdedup")
+def build_semdedup(*, threshold: float = 0.95, n_clusters: int = 1,
+                   n_iter: int = 8, seed: int = 42, sample_n: int = 4096,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   max_cluster: int = 4096, max_split_depth: int = 16):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column.  k-means partitions the
+    embedding space; WITHIN each cluster an item is dropped when its
+    cosine similarity to any lower-id item of the same cluster is
+    >= ``threshold`` (lowest id is the kept representative — the
+    deterministic, order-independent keep rule used by the public
+    implementations).  Returns the surviving ``(id_col, cluster)``
+    rows — ids only, so the shuffled payload and the result stay
+    small; join survivors back to the corpus with ``broadcast_semi``
+    / ``sharded_semi`` when the full rows are needed.
+
+    Plan shape (scale notes):
+
+    - k-means fit is the bounded-partials loop of the ``kmeans`` op
+      (k x d sums per batch, centroids re-broadcast per iteration);
+      assignment is one streaming pass.  Corpus never drives.
+    - the ONLY all-to-all exchange is ``groupby(cluster)`` carrying
+      (id, vector); at 100 TB ``n_clusters`` is sized so a cluster
+      ~ corpus/n_clusters fits one task (the paper uses ~100k
+      clusters for LAION-scale corpora).
+    - inside a cluster the O(n^2) verify is bounded by the same
+      lossless margin-split used by ``embedding_near_dup``: clusters
+      above ``max_cluster`` recursively split on a seeded hyperplane,
+      vectors within ``margin = sqrt(2-2t)/2`` of the plane go to
+      BOTH sides, so every above-threshold pair co-locates on at
+      least one side and the union of per-side drop sets is exactly
+      the unsplit drop set (a drop needs one witness pair; no side
+      can invent a witness).
+
+    ``n_clusters=1`` (single cluster, exact global semantics) is the
+    oracle mode — SQL-expressible as NOT EXISTS over a cosine
+    cross-join; the clustered mode is property-tested against a
+    brute-force reference and against the k=1 mode on planted
+    duplicates."""
+
+    def apply(ds):
+        if n_clusters > 1:
+            clustered = build_kmeans(
+                n_clusters=n_clusters, n_iter=n_iter, seed=seed,
+                sample_n=sample_n, vec_col=vec_col, id_col=id_col,
+                out="_sd_cluster")(ds)
+        else:
+            clustered = ds.map_batches(
+                lambda t: t.append_column(
+                    "_sd_cluster",
+                    pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+                **_PA_KW)
+
+        margin = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)) / 2.0)
+
+        def drops_of(ids: np.ndarray, m: np.ndarray, depth: int) -> set:
+            if len(ids) > max_cluster and depth < max_split_depth:
+                rng = np.random.default_rng(seed + 7000 + depth)
+                plane = rng.standard_normal(m.shape[1])
+                plane /= np.linalg.norm(plane)
+                proj = m @ plane
+                left = proj <= margin
+                right = proj >= -margin
+                if max(left.sum(), right.sum()) < len(ids):
+                    dropped: set = set()
+                    for sel in (left, right):
+                        if sel.sum() >= 2:
+                            dropped |= drops_of(ids[sel], m[sel], depth + 1)
+                    return dropped
+            order = np.argsort(ids, kind="stable")
+            hits = (m[order] @ m[order].T) >= threshold
+            drop_sorted = np.tril(hits, k=-1).any(axis=1)
+            return set(int(i) for i in ids[order][drop_sorted])
+
+        def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                return pd.DataFrame({
+                    id_col: ids,
+                    "cluster": g["_sd_cluster"].to_numpy(dtype=np.int64),
+                })
+            m = _normalize_rows(
+                np.asarray(g[vec_col].tolist(), dtype=np.float64))
+            dropped = drops_of(ids, m, 0)
+            keep = ~np.isin(ids, np.fromiter(dropped, dtype=np.int64,
+                                             count=len(dropped))) \
+                if dropped else np.ones(len(ids), dtype=bool)
+            return pd.DataFrame({
+                id_col: ids[keep],
+                "cluster": g["_sd_cluster"].to_numpy(dtype=np.int64)[keep],
+            })
+
+        return clustered.groupby("_sd_cluster").map_groups(
+            per_cluster, batch_format="pandas")
+
+    return apply

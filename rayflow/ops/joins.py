@@ -129,6 +129,66 @@ def build_broadcast_join(*, small, on: list[str], right_on: list[str] | None = N
     return apply
 
 
+@register_op("cross_join")
+def build_cross_join(*, small, suffix: str = "_r",
+                     broadcast_bytes_limit: int = 64 << 20,
+                     out_chunk_rows: int = 65536):
+    """CROSS JOIN (cartesian product) with a broadcast right side.
+
+    The right side must be genuinely small — a cross join's output is
+    |left| x |right| rows, so a large right side is an outer-product
+    explosion no engine should run silently; sides above
+    ``broadcast_bytes_limit`` fail loud.  The left streams: each batch
+    emits its product in ``out_chunk_rows``-bounded chunks (generator
+    ``map_batches``), so the per-task heap stays bounded no matter how
+    the batch x right product blows up.  Name collisions on the right
+    get ``suffix``."""
+    import ray
+
+    if not isinstance(small, ray.ObjectRef):
+        tbl = small if isinstance(small, pa.Table) else pa.Table.from_pandas(
+            small, preserve_index=False)
+        if tbl.nbytes > broadcast_bytes_limit:
+            raise ValueError(
+                f"cross_join: right side is {tbl.nbytes >> 20} MiB "
+                f"(> {broadcast_bytes_limit >> 20} MiB) — a cartesian "
+                f"product against a side this large is almost always a "
+                f"mistake; pre-aggregate or raise broadcast_bytes_limit")
+        small_ref = ray.put(tbl)
+    else:
+        small_ref = small
+
+    def product(batch: pa.Table):
+        right = _fetch(small_ref, lambda v: v)
+        n, m = batch.num_rows, right.num_rows
+        if n == 0 or m == 0:
+            out = batch.slice(0, 0)
+            empty_r = right.slice(0, 0)
+            for name in right.column_names:
+                out_name = name + suffix if name in out.column_names else name
+                out = out.append_column(out_name, empty_r.column(name))
+            yield out
+            return
+        rows_per_slice = max(1, out_chunk_rows // m)
+        for start in range(0, n, rows_per_slice):
+            part = batch.slice(start, rows_per_slice)
+            k = part.num_rows
+            left_idx = np.repeat(np.arange(k, dtype=np.int64), m)
+            right_idx = np.tile(np.arange(m, dtype=np.int64), k)
+            out = part.take(pa.array(left_idx))
+            gathered = right.take(pa.array(right_idx))
+            for name in right.column_names:
+                out_name = name + suffix if name in out.column_names else name
+                out = out.append_column(out_name, gathered.column(name))
+            yield out
+
+    def apply(ds):
+        return ds.map_batches(product, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    return apply
+
+
 @register_op("broadcast_semi")
 def build_broadcast_semi(*, keys_ref, on: str, anti: bool = False):
     """Semi/anti join: broadcast the key set, vectorized membership filter."""

@@ -5686,3 +5686,101 @@ def q_awk_distinct_user_event(sf_dir: str):
     lines = ds.map_batches(to_lines, batch_format="pyarrow",
                            zero_copy_batch=True)
     return build_op({"op": "awk", "program": "!seen[$0]++"})(lines)
+
+
+@query(
+    "semdedup_keep_docs",
+    """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id < 50
+    )
+    SELECT a.vec_id, CAST(0 AS BIGINT) AS cluster
+    FROM aug a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM aug b
+      WHERE b.vec_id < a.vec_id
+        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+    )
+    """,
+)
+def semdedup_keep_docs(sf_dir: str):
+    """SemDeDup (semantic dedup, arXiv:2303.09540) in its exact oracle
+    mode: single cluster (k=1 — global pairwise semantics, SQL NOT
+    EXISTS over a cosine cross-join), lowest-id representative kept.
+    Planted exact copies of the first 50 vectors (+1e6 ids) are the
+    ground-truth duplicates — every planted copy must drop, every
+    original must survive (natural max pairwise cosine in the fixture
+    is ~0.6, far from the 0.98 threshold, so there is no float-
+    boundary ambiguity between the engine and the oracle).  The
+    clustered mode (k>1, the 100 TB path) is property-tested against
+    a brute-force reference in tests/test_semdedup.py."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    planted = emb.slice(0, 50).set_column(
+        0, "vec_id", pc.add(emb.slice(0, 50)["vec_id"], 1_000_000)
+    )
+    ds = _rd().from_arrow(pa.concat_tables([emb, planted]))
+    return build_op({
+        "op": "semdedup", "threshold": 0.98, "n_clusters": 1,
+    })(ds)
+
+
+@query(
+    "cross_join_region_nation",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS BIGINT) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_join_region_nation(sf_dir: str):
+    """CROSS JOIN as a first-class op: broadcast right side, generator
+    map_batches emitting bounded product chunks (rayflow/ops/joins.py
+    build_cross_join).  region x nation = 5 x 25 with a computed
+    match flag."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_name", "n_regionkey"])
+    ds = _rd().read_parquet(_t(sf_dir, "region"),
+                            columns=["r_name", "r_regionkey"])
+    joined = build_op({"op": "cross_join", "small": nation})(ds)
+
+    def flag(t: pa.Table) -> pa.Table:
+        is_home = pc.cast(
+            pc.equal(t["r_regionkey"], t["n_regionkey"]), pa.int64())
+        return pa.table({
+            "r_name": t["r_name"], "n_name": t["n_name"],
+            "is_home": is_home,
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+@query("bpe_train_encode_docs")  # rows-only: merge learning is not SQL
+def bpe_train_encode_docs(sf_dir: str):
+    """Train a BPE tokenizer on the documents corpus (distributed
+    word-frequency count -> driver merge learning over the vocabulary-
+    bounded type table, Sennrich arXiv:1508.07909), then encode the
+    same corpus with the learned merges and return per-doc true token
+    counts.  Deterministic (tie-break: count DESC, pair ASC) but merge
+    learning is not SQL-expressible — exactness is pinned by
+    tests/test_bpe.py against the textbook reference implementation."""
+    import pyarrow as pa_
+
+    docs = _rd().read_parquet(_t(sf_dir, "documents"),
+                              columns=["doc_id", "text"])
+    merges_rows = build_op({
+        "op": "bpe_train", "n_merges": 64, "lowercase": True,
+    })(docs).take_all()
+    merges = pa_.Table.from_pylist(
+        sorted(merges_rows, key=lambda r: r["rank"]))
+    enc = build_op({
+        "op": "bpe_encode", "merges": merges, "lowercase": True,
+    })(docs)
+    return enc.select_columns(["doc_id", "n_bpe_tokens"])
