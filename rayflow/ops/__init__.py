@@ -65,6 +65,7 @@ from rayflow.ops import advanced as _advanced  # noqa: E402,F401
 from rayflow.ops import ann as _ann  # noqa: E402,F401
 from rayflow.ops import awk as _awk  # noqa: E402,F401
 from rayflow.ops import bpe as _bpe  # noqa: E402,F401
+from rayflow.ops import dsir as _dsir  # noqa: E402,F401
 from rayflow.ops import core as _core  # noqa: E402,F401
 from rayflow.ops import curation as _curation  # noqa: E402,F401
 from rayflow.ops import dedup as _dedup  # noqa: E402,F401

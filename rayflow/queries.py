@@ -5784,3 +5784,28 @@ def bpe_train_encode_docs(sf_dir: str):
         "op": "bpe_encode", "merges": merges, "lowercase": True,
     })(docs)
     return enc.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+@query("dsir_select_docs")  # rows-only: hashed-feature LLR is not SQL
+def dsir_select_docs(sf_dir: str):
+    """DSIR data selection (arXiv:2302.03169): target = the src0
+    slice of the documents corpus, raw = everything; hashed n-gram
+    log-importance weights (two bounded streaming passes, one <=dim
+    keyed sum) then deterministic Gumbel top-k resampling (seeded
+    splitmix64 noise — block-order independent).  Weight exactness is
+    pinned against a scalar reference in tests/test_dsir.py; the
+    end-to-end selection is deterministic but not SQL-expressible."""
+    import pyarrow.parquet as pq
+
+    tgt = pq.read_table(_t(sf_dir, "documents"), columns=["text", "source"])
+    tgt = tgt.filter(pc.equal(tgt["source"], "src0")).select(["text"])
+    docs = _rd().read_parquet(_t(sf_dir, "documents"),
+                              columns=["doc_id", "text", "source"])
+    weighted = build_op({
+        "op": "dsir_weights", "target": tgt, "dim": 4096,
+    })(docs)
+    picked = build_op({
+        "op": "gumbel_topk_sample", "k": 100, "weight_col": "dsir_logw",
+        "id_col": "doc_id", "seed": 13,
+    })(weighted)
+    return picked.select_columns(["doc_id", "source"])
