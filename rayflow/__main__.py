@@ -38,6 +38,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="stop after N consecutive empty polls "
                          "(default: effectively forever)")
     tl.add_argument("--num-cpus", type=int, default=None)
+    rp = sub.add_parser("repartition", help="partition evolution: rewrite "
+                        "a lake under a new partition count + fresh salt "
+                        "plan (one atomic manifest flip; old files stay "
+                        "for time travel until vacuum)")
+    rp.add_argument("lake_dir")
+    rp.add_argument("--num-partitions", type=int, required=True)
+    rp.add_argument("--keep-salts", action="store_true",
+                    help="keep the existing salt plan instead of "
+                         "re-measuring hot keys from the live rows")
+    rp.add_argument("--num-cpus", type=int, default=None)
     snap = sub.add_parser("snapshot", help="time-travel read: lake state "
                                            "as of a committed watermark")
     snap.add_argument("lake_dir")
@@ -228,6 +238,20 @@ def main(argv: list[str] | None = None) -> int:
                 "bands_applied": stats.bands_applied,
                 "n_events": stats.n_events,
                 "wall_s": round(stats.wall_s, 3),
+                "committed_lsn": engine.manifest.committed_lsn,
+            }))
+        elif args.cmd == "repartition":
+            from rayflow.cdc import CdcEngine
+
+            engine = CdcEngine(args.lake_dir)
+            old_p = engine.num_partitions
+            n = engine.repartition(args.num_partitions,
+                                   resalt=not args.keep_salts)
+            print(json.dumps({
+                "from_partitions": old_p,
+                "to_partitions": engine.num_partitions,
+                "partitions_written": n,
+                "n_salted_keys": len(engine.manifest.state.get("salts", {})),
                 "committed_lsn": engine.manifest.committed_lsn,
             }))
         elif args.cmd == "replay":

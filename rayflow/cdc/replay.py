@@ -426,6 +426,142 @@ class CdcEngine:
         )
         return len(part_stats)
 
+    def repartition(self, new_num_partitions: int, *, resalt: bool = True,
+                    salt_sample_fraction: float = 1.0) -> int:
+        """PARTITION EVOLUTION: rewrite the lake under a new partition
+        count (and, by default, a fresh salt plan measured from the
+        lake's live keys).
+
+        The placement law ("key→partition is fixed for the lake's
+        lifetime", module docstring) exists so a delta is never
+        LWW-merged against the wrong base state — i.e. placement must
+        be stable *between* commits, not for eternity.  An offline
+        repartition preserves it by moving EVERY key in one atomic
+        step: all live rows are re-bucketed under the new
+        ``(P, salts)`` law, every new state file is written
+        idempotently, and ONE manifest replace flips
+        ``num_partitions`` + ``salts`` + the whole partition map
+        together.  Crash before the commit → only unreferenced files
+        exist (vacuum fodder) and the old layout is still live; crash
+        after → the lake IS the new layout and the next replay band
+        adopts it (``__init__`` reads P from the manifest).  Superseded
+        files stay on disk for time travel until :meth:`vacuum`, like
+        any other commit.
+
+        Use when the lake outgrows its creation-time sizing rule
+        (P ≈ total_keys × row_bytes / partition_budget) — e.g. a lake
+        sized for 10^8 keys that grew to 10^10.  The rewrite is one
+        keyed exchange over the live rows (much smaller than the log
+        that produced them); ``resalt`` re-measures hot conversations
+        from the live turn counts.  Returns new partitions written.
+        """
+        import ray
+        import ray.data as rd
+
+        from rayflow.cdc.partitioner import compute_part_ids
+        from rayflow.schema import conform as _conform
+
+        if new_num_partitions < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        files = self.manifest.live_files()
+        hi = self.manifest.committed_lsn
+        old_p = self.num_partitions
+        if not files:
+            # empty lake: the law flip is pure metadata
+            self.manifest.state["num_partitions"] = int(new_num_partitions)
+            self.manifest.state["partitions"] = {}
+            if resalt:
+                self.manifest.state["salts"] = {}
+            self.manifest.state["lineage"].append({
+                "repartition": True, "lsn_hi": hi,
+                "from_partitions": old_p, "to_partitions": int(new_num_partitions),
+                "partitions": [], "rows_after": 0,
+            })
+            self.manifest.state["version"] = int(self.manifest.state["version"]) + 1
+            self.manifest._write()
+            self.num_partitions = int(new_num_partitions)
+            return 0
+
+        target = lake_schema_for(self.manifest.schema)
+        if resalt:
+            key_ds = rd.read_parquet(files, columns=["conv_id"])
+            salts = plan_salts(key_ds, new_num_partitions,
+                               sample_fraction=salt_sample_fraction,
+                               seed=self.seed)
+        else:
+            salts = {k: int(v)
+                     for k, v in self.manifest.state.get("salts", {}).items()}
+        lake_dir = self.lake_dir
+        new_p = int(new_num_partitions)
+
+        def _route(t: pa.Table) -> pa.Table:
+            t = _conform(t, target)
+            pid = compute_part_ids(t["conv_id"], t["turn_idx"], new_p, salts)
+            return t.append_column(PART_COL, pa.array(pid, pa.int32()))
+
+        class _WritePart:
+            """Write one new partition's state file; emit a stats row.
+
+            Path is a pure function of ``(pid, hi, new_p)`` so retried
+            tasks converge — the same idempotence contract as
+            MergeWorker state files."""
+
+            def __call__(self, group: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as _pq
+
+                pid = int(group[PART_COL][0].as_py())
+                t = group.drop_columns([PART_COL])
+                t = t.take(pc.sort_indices(
+                    t, sort_keys=[("conv_id", "ascending"),
+                                  ("turn_idx", "ascending")]))
+                part_dir = os.path.join(lake_dir, f"part-{pid:05d}")
+                os.makedirs(part_dir, exist_ok=True)
+                final = os.path.join(
+                    part_dir, f"repart-{hi:012d}-p{new_p}.parquet")
+                tmp = final + f".tmp.{os.getpid()}"
+                _pq.write_table(t, tmp)
+                os.replace(tmp, final)
+                return pa.table({
+                    "part_id": pa.array([pid], pa.int32()),
+                    "rows": pa.array([t.num_rows], pa.int64()),
+                    "file": pa.array([final], pa.string()),
+                })
+
+        merge_conc = self.merge_concurrency or max(
+            1, min(new_p, int(ray.cluster_resources().get("CPU", 8)) - 2, 16))
+        routed = rd.read_parquet(files).map_batches(
+            _route, batch_format="pyarrow", zero_copy_batch=True)
+        part_stats = routed.groupby(PART_COL).map_groups(
+            _WritePart, batch_format="pyarrow", concurrency=merge_conc,
+            num_cpus=1).take_all()  # ≤ new_p tiny stats rows
+
+        self.manifest.state["partitions"] = {
+            str(int(r["part_id"])): {
+                "file": os.path.relpath(r["file"], lake_dir),
+                "lsn": hi, "rows": int(r["rows"]),
+            } for r in part_stats
+        }
+        self.manifest.state["num_partitions"] = new_p
+        self.manifest.state["salts"] = {str(k): int(v) for k, v in salts.items()}
+        self.manifest.state["lineage"].append({
+            "repartition": True, "lsn_hi": hi,
+            "from_partitions": old_p, "to_partitions": new_p,
+            "rows_after": int(sum(int(r["rows"]) for r in part_stats)),
+            # full per-partition file list: a repartition record is a
+            # complete snapshot — snapshot_dataset() RESETS its selection
+            # here because the pid namespace changed
+            "partitions": [
+                {"part_id": int(r["part_id"]), "rows": int(r["rows"]),
+                 "n_events": 0, "file": os.path.basename(r["file"])}
+                for r in sorted(part_stats, key=lambda x: int(x["part_id"]))
+            ],
+        })
+        self.manifest.state["version"] = int(self.manifest.state["version"]) + 1
+        self.manifest._write()
+        self.num_partitions = new_p
+        return len(part_stats)
+
     def vacuum(self) -> int:
         """Delete state files not referenced by the manifest (older
         versions superseded by later commits).  Safe any time: a file
@@ -508,6 +644,11 @@ class CdcEngine:
         latest: dict[int, str] = {}
         for rec in self.manifest.state.get("lineage", []):
             if int(rec.get("lsn_hi", -1)) <= as_of_lsn:
+                if rec.get("repartition"):
+                    # pid namespace changed: this record is a COMPLETE
+                    # snapshot under the new law — carrying pre-evolution
+                    # pids forward would double-count rows
+                    latest = {}
                 for p in rec.get("partitions", []):
                     latest[int(p["part_id"])] = p["file"]
         files, missing = [], []

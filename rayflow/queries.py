@@ -548,6 +548,57 @@ def cdc_upsert_events(sf_dir: str):
 
 
 @query(
+    "cdc_repartition_midstream",
+    """
+    WITH changes AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  ELSE 4 END AS INTEGER)     AS turn_idx,
+             event_type                      AS role,
+             props                           AS text,
+             ''                              AS tool,
+             ts,
+             event_id                        AS lsn,
+             CASE WHEN value < 10 THEN 'delete' ELSE 'update' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn AS _lsn
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_repartition_midstream(sf_dir: str):
+    """PARTITION EVOLUTION mid-stream: the events change log is written
+    as three lsn bands; band 1 replays into a P=8 lake, the lake is then
+    repartitioned to P=3 with a fresh salt plan (atomic manifest flip,
+    every key re-bucketed — ``CdcEngine.repartition``), and bands 2-3
+    replay under the NEW placement law.  The oracle is the plain LWW
+    final state over the whole log: evolution must be invisible to the
+    result."""
+    import tempfile
+
+    from rayflow.cdc.changelog import write_changelog_dataset
+    from rayflow.cdc.replay import CdcEngine
+
+    changes = _events_as_changes(sf_dir)
+    work = tempfile.mkdtemp(prefix="rayflow-repartq-")
+    log_dir = os.path.join(work, "log")
+    write_changelog_dataset(changes, log_dir, n_bands=3)
+
+    lake = os.path.join(work, "lake")
+    e1 = CdcEngine(lake, num_partitions=8, auto_salt=False)
+    e1.replay(log_dir, max_bands=1)
+    e1.repartition(3)
+    e2 = CdcEngine(lake, num_partitions=3)  # fresh engine, post-evolution law
+    e2.replay(log_dir)
+    return e2.final_dataset(include_meta=True)
+
+
+@query(
     "incremental_window_view",
     """
     WITH changes AS (
