@@ -758,3 +758,120 @@ def build_tfidf(*, column: str = "text", id_col: str = "doc_id",
         })(scored)
 
     return apply
+
+
+@register_op("bm25_topk")
+def build_bm25_topk(*, terms: list[str], k: int = 10, k1: float = 1.2,
+                    b: float = 0.75, column: str = "text",
+                    id_col: str = "doc_id"):
+    """Okapi BM25 full-text retrieval: top-``k`` documents for a bag of
+    query ``terms`` (Lucene's non-negative idf form,
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``).
+
+    Scale shape — the inverted index is IMPLICIT, never materialized:
+
+    1. one streaming pass computes the corpus scalars (N, avgdl) from
+       per-block ``(n_docs, n_tokens)`` partials — two numbers per
+       block cross to the driver, never a token;
+    2. a second pass emits candidates ``(doc, term, tf, dl)`` ONLY for
+       documents containing at least one query term (the per-batch
+       kernel matches the dictionary-encoded token stream against the
+       query set, so cost is O(tokens) with no per-row Python);
+    3. df per query term comes from the candidate partials (bounded by
+       |terms| — broadcast back as plain closure constants);
+    4. candidates are scored vectorized, summed per doc (one bounded
+       keyed combine over docs that matched — corpus-size-independent
+       for selective queries), and top-k'd.
+
+    The doc-length norm uses the document's FULL whitespace-token count
+    (the same tokenizer as ``tfidf``/``token_count``: lowercase, space
+    split, empties dropped), not just matching tokens.  Ties at the cut
+    break by ``id_col`` asc — deterministic and SQL-mirrorable."""
+    from rayflow.ops import build_op
+    from rayflow.ops.curation import _tokenize_codes
+    from rayflow.ops.kernels import collect_table
+
+    if not terms:
+        raise ValueError("bm25_topk: terms must be non-empty")
+    qset = pa.array(sorted({t.lower() for t in terms}), pa.string())
+
+    def apply(ds):
+        ds = ds.materialize()  # two passes over the same blocks
+
+        def len_partial(t: pa.Table) -> pa.Table:
+            codes, _, _, n_rows = _tokenize_codes(t, column)
+            return pa.table({"n_docs": pa.array([n_rows], pa.int64()),
+                             "n_tokens": pa.array([len(codes)], pa.int64())})
+
+        tot = collect_table(ds.map_batches(len_partial, **_PA_KW))
+        n_corpus = int(pc.sum(tot["n_docs"]).as_py() or 0)
+        n_tokens = int(pc.sum(tot["n_tokens"]).as_py() or 0)
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())})
+        if n_corpus == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(empty)
+        avgdl = n_tokens / n_corpus
+
+        def cand(t: pa.Table) -> pa.Table:
+            codes, doc_idx, values, n_rows = _tokenize_codes(t, column)
+            none = pa.table({
+                id_col: t.column(id_col).slice(0, 0),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64())})
+            if not len(codes):
+                return none
+            dl = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+            # dictionary-side membership: |dict| lookups, then O(tokens)
+            qpos = pc.index_in(values, value_set=qset) \
+                .to_numpy(zero_copy_only=False)           # NaN = non-member
+            tq = qpos[codes]
+            sel = ~np.isnan(tq)
+            if not sel.any():
+                return none
+            key = doc_idx[sel] * np.int64(len(qset)) + tq[sel].astype(np.int64)
+            uniq, cnt = np.unique(key, return_counts=True)
+            d = (uniq // len(qset)).astype(np.int64)
+            q = (uniq % len(qset)).astype(np.int64)
+            return pa.table({
+                id_col: t.column(id_col).take(pa.array(d)),
+                "term": qset.take(pa.array(q)),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+                "dl": pa.array(dl[d], pa.int64())})
+
+        cands = ds.map_batches(cand, **_PA_KW).materialize()
+
+        df_tbl = collect_table(build_op({
+            "op": "group_agg", "keys": ["term"],
+            "aggs": [("count", None, "df")],
+        })(cands))
+        if df_tbl.num_rows == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(empty)
+        df_map = dict(zip(df_tbl["term"].to_pylist(),
+                          df_tbl["df"].to_pylist()))
+        idf_map = {t: float(np.log1p((n_corpus - df + 0.5) / (df + 0.5)))
+                   for t, df in df_map.items()}
+
+        def score(t: pa.Table) -> pa.Table:
+            idf = np.array([idf_map[x] for x in t["term"].to_pylist()],
+                           dtype=np.float64)
+            tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            return pa.table({id_col: t.column(id_col),
+                             "score": pa.array(s, pa.float64())})
+
+        scored = build_op({
+            "op": "group_agg", "keys": [id_col],
+            "aggs": [("sum", "score", "score")],
+        })(cands.map_batches(score, **_PA_KW))
+        out = build_op({"op": "sort", "keys": ["score", id_col],
+                        "descending": [True, False]})(scored)
+        return build_op({"op": "limit", "n": k})(out)
+
+    return apply

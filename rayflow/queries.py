@@ -5860,3 +5860,48 @@ def dsir_select_docs(sf_dir: str):
         "id_col": "doc_id", "seed": 13,
     })(weighted)
     return picked.select_columns(["doc_id", "source"])
+
+
+@query(
+    "bm25_search_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ), stats AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('merge', 'window', 'vector') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 4) AS score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search_docs(sf_dir: str):
+    """BM25 top-10 for the query {merge, window, vector} (``bm25_topk``
+    op): implicit inverted index — corpus scalars and per-term df are
+    the only global state (driver-bounded), candidates are the only
+    exchange.  Same tokenizer as ``tfidf``; the oracle reproduces
+    Lucene-form BM25 (k1=1.2, b=0.75) in closed-form SQL; scores
+    rounded to 4 on both sides."""
+    ds = _rd().read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    out = build_op({"op": "bm25_topk",
+                    "terms": ["merge", "window", "vector"], "k": 10})(ds)
+    return _round_cols(out, ["score"]).select_columns(["doc_id", "score"])
