@@ -1297,8 +1297,14 @@ def _ann_planted(sf_dir: str, op: str):
         sample = np.asarray(
             emb.take(pa.array(range(0, emb.num_rows, max(1, emb.num_rows // 500))))
             ["embedding"].to_pylist(), dtype=np.float64)
-        spec = {"op": "ann_ivf", "queries": queries_m, "query_ids": qids,
-                "k": 10, "n_clusters": 16, "nprobe": 4, "train_sample": sample}
+        if op == "ann_pq":
+            spec = {"op": "ann_pq", "queries": queries_m, "query_ids": qids,
+                    "k": 10, "m_sub": 8, "k_sub": 64, "rerank": 4,
+                    "train_sample": sample}
+        else:
+            spec = {"op": "ann_ivf", "queries": queries_m, "query_ids": qids,
+                    "k": 10, "n_clusters": 16, "nprobe": 4,
+                    "train_sample": sample}
     out = build_op(spec)(ds)
     return build_op({"op": "filter", "predicate": E.col("rank") == 1})(out)
 
@@ -5905,3 +5911,30 @@ def bm25_search_docs(sf_dir: str):
     out = build_op({"op": "bm25_topk",
                     "terms": ["merge", "window", "vector"], "k": 10})(ds)
     return _round_cols(out, ["score"]).select_columns(["doc_id", "score"])
+
+
+@query("ann_pq_planted", _ANN_PLANTED_SQL)
+def ann_pq_planted(sf_dir: str):
+    return _ann_planted(sf_dir, "ann_pq")
+
+
+@query("ann_pq_topk")  # approximate; recall@10 floor asserted in pytest
+def ann_pq_topk(sf_dir: str):
+    """PQ/ADC top-10 over the embeddings corpus: compressed-domain scan
+    (8 bytes/vector) + exact re-rank of the k·rerank shortlist."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 5))
+    queries_m = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    sample = np.asarray(
+        emb.take(pa.array(range(0, emb.num_rows,
+                                max(1, emb.num_rows // 500))))
+        ["embedding"].to_pylist(), dtype=np.float64)
+    ds = _rd().read_parquet(_t(sf_dir, "embeddings"),
+                            columns=["vec_id", "embedding"])
+    return build_op({"op": "ann_pq", "queries": queries_m,
+                     "query_ids": qids, "k": 10, "m_sub": 8, "k_sub": 64,
+                     "rerank": 4, "train_sample": sample})(ds)

@@ -435,3 +435,81 @@ def test_bm25_topk_k_cuts_and_case_folds(ray_session):
         _ds(df)).to_pandas()
     assert len(out) == 2           # k cut
     assert set(out["doc_id"]) <= {0, 1, 2}
+
+
+# ---------------------------------------------------- PQ/ADC ann
+
+def test_ann_pq_recall_and_planted(ray_session, sf_dir):
+    """PQ/ADC with exact re-rank: recall@10 vs bruteforce on the
+    fixture embeddings, plus the planted-copy rank-1 invariant
+    (identical vector ⇒ identical codes ⇒ shortlist ⇒ cos 1.0)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qt = emb.filter(pa.compute.less(emb["vec_id"], 20))
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    sample = np.asarray(
+        emb.take(pa.array(range(0, emb.num_rows,
+                                max(1, emb.num_rows // 400))))
+        ["embedding"].to_pylist(), dtype=np.float64)
+
+    def run(spec, table=None):
+        ds = rd.from_arrow(table) if table is not None else \
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        return build_op(spec)(ds).to_pandas()
+
+    exact = run({"op": "knn_bruteforce", "queries": queries,
+                 "query_ids": qids, "k": 10})
+    pq_res = run({"op": "ann_pq", "queries": queries, "query_ids": qids,
+                  "k": 10, "m_sub": 8, "k_sub": 64, "rerank": 8,
+                  "train_sample": sample})
+    from tests.test_round5 import _recall_at_k  # same module, explicit
+    r_pq = _recall_at_k(pq_res, exact)
+    print(f"\nPQ recall@10 vs bruteforce: {r_pq:.3f}")
+    assert r_pq >= 0.85
+
+    # planted twin: corpus ∪ exact copies of the queries (ids +1e6)
+    planted = qt.set_column(0, "vec_id",
+                            pa.compute.add(qt["vec_id"], 1_000_000))
+    aug = pa.concat_tables([emb, planted])
+    res = run({"op": "ann_pq", "queries": queries, "query_ids": qids,
+               "k": 10, "m_sub": 8, "k_sub": 64, "rerank": 4,
+               "train_sample": sample}, table=aug)
+    r1 = res[res["rank"] == 1]
+    assert len(r1) == len(qids)
+    assert (r1["vec_id"].to_numpy()
+            == r1["query_id"].to_numpy() + 1_000_000).all()
+
+
+def test_pq_encode_artifact(ray_session, sf_dir):
+    """pq_encode appends fixed_size_binary(m_sub) codes: m_sub bytes
+    per vector, deterministic across runs, identical vectors get
+    identical codes."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    sample = np.asarray(emb["embedding"].to_pylist()[:200],
+                        dtype=np.float64)
+    spec = {"op": "pq_encode", "train_sample": sample, "m_sub": 8,
+            "k_sub": 64}
+    a = build_op(spec)(rd.from_arrow(emb)).to_pandas()
+    b = build_op(spec)(rd.from_arrow(emb)).to_pandas()
+    assert all(len(c) == 8 for c in a["pq_code"])
+    pd.testing.assert_series_equal(
+        a.sort_values("vec_id")["pq_code"].reset_index(drop=True),
+        b.sort_values("vec_id")["pq_code"].reset_index(drop=True))
+    # 8 bytes/vector vs 8*64 raw float64 = 64x compression
+    dup = emb.slice(0, 1)
+    two = pa.concat_tables([dup, dup.set_column(0, "vec_id",
+                                                pa.array([999_999]))])
+    c = build_op(spec)(rd.from_arrow(two)).to_pandas()
+    assert c["pq_code"].iloc[0] == c["pq_code"].iloc[1]
