@@ -843,35 +843,171 @@ def build_bm25_topk(*, terms: list[str], k: int = 10, k1: float = 1.2,
                 "dl": pa.array(dl[d], pa.int64())})
 
         cands = ds.map_batches(cand, **_PA_KW).materialize()
-
-        df_tbl = collect_table(build_op({
-            "op": "group_agg", "keys": ["term"],
-            "aggs": [("count", None, "df")],
-        })(cands))
-        if df_tbl.num_rows == 0:
-            import ray.data as rd
-
-            return rd.from_arrow(empty)
-        df_map = dict(zip(df_tbl["term"].to_pylist(),
-                          df_tbl["df"].to_pylist()))
-        idf_map = {t: float(np.log1p((n_corpus - df + 0.5) / (df + 0.5)))
-                   for t, df in df_map.items()}
-
-        def score(t: pa.Table) -> pa.Table:
-            idf = np.array([idf_map[x] for x in t["term"].to_pylist()],
-                           dtype=np.float64)
-            tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-            dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
-            s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            return pa.table({id_col: t.column(id_col),
-                             "score": pa.array(s, pa.float64())})
-
-        scored = build_op({
-            "op": "group_agg", "keys": [id_col],
-            "aggs": [("sum", "score", "score")],
-        })(cands.map_batches(score, **_PA_KW))
-        out = build_op({"op": "sort", "keys": ["score", id_col],
-                        "descending": [True, False]})(scored)
-        return build_op({"op": "limit", "n": k})(out)
+        return _bm25_rank(cands, n_corpus=n_corpus, avgdl=avgdl,
+                          k1=k1, b=b, k=k, id_col=id_col)
 
     return apply
+
+
+def _bm25_rank(cands, *, n_corpus: int, avgdl: float, k1: float, b: float,
+               k: int, id_col: str):
+    """Shared BM25 finish over a candidate set of one row per
+    (doc, term): df per query term (bounded), vectorized Lucene-idf
+    scoring, one bounded keyed combine per doc, global top-k."""
+    from rayflow.ops import build_op
+    from rayflow.ops.kernels import collect_table
+
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64())})
+    df_tbl = collect_table(build_op({
+        "op": "group_agg", "keys": ["term"],
+        "aggs": [("count", None, "df")],
+    })(cands))
+    if df_tbl.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    idf_map = {t: float(np.log1p((n_corpus - df + 0.5) / (df + 0.5)))
+               for t, df in zip(df_tbl["term"].to_pylist(),
+                                df_tbl["df"].to_pylist())}
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = np.array([idf_map[x] for x in t["term"].to_pylist()],
+                       dtype=np.float64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({id_col: t.column(id_col),
+                         "score": pa.array(s, pa.float64())})
+
+    scored = build_op({
+        "op": "group_agg", "keys": [id_col],
+        "aggs": [("sum", "score", "score")],
+    })(cands.map_batches(score, **_PA_KW))
+    out = build_op({"op": "sort", "keys": ["score", id_col],
+                    "descending": [True, False]})(scored)
+    return build_op({"op": "limit", "n": k})(out)
+
+
+class Bm25Index:
+    """On-disk inverted index for BM25: the corpus' FULL posting set
+    ``(doc, term, tf, dl)`` written ONCE as Parquet hash-partitioned by
+    term (``part=crc32(term) % n_parts`` hive directories) plus the
+    corpus scalars in ``meta.json``.  A probe reads ONLY the partitions
+    its query terms hash to — bytes read drop by ~|query parts|/n_parts
+    versus re-streaming the corpus (asserted from the file listing in
+    tests).  This is the scale path the streaming ``bm25_topk`` op
+    computes implicitly; both paths share ``_bm25_rank``, so results
+    are identical (df is exact in both: postings hold one row per
+    (doc, term), and a term's rows all live in its own partition).
+
+    Mirrors :class:`rayflow.ops.ann.IvfIndex` (same artifact pattern:
+    partitioned corpus + meta, probe = pruned read)."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    @staticmethod
+    def _term_parts(values: pa.Array, n_parts: int) -> np.ndarray:
+        """crc32 partition per dictionary value (per-UNIQUE-term loop —
+        vocabulary-sized, not token- or row-sized)."""
+        import zlib
+
+        return np.array([zlib.crc32(s.encode("utf-8")) % n_parts
+                         for s in values.to_pylist()], dtype=np.int64)
+
+    @classmethod
+    def build(cls, ds, path: str, *, n_parts: int = 64,
+              column: str = "text", id_col: str = "doc_id") -> "Bm25Index":
+        import json
+        import os
+
+        from rayflow.ops.curation import _tokenize_codes
+        from rayflow.ops.kernels import collect_table
+
+        ds = ds.materialize()
+
+        def len_partial(t: pa.Table) -> pa.Table:
+            codes, _, _, n_rows = _tokenize_codes(t, column)
+            return pa.table({"n_docs": pa.array([n_rows], pa.int64()),
+                             "n_tokens": pa.array([len(codes)], pa.int64())})
+
+        tot = collect_table(ds.map_batches(len_partial, **_PA_KW))
+        n_docs = int(pc.sum(tot["n_docs"]).as_py() or 0)
+        n_tokens = int(pc.sum(tot["n_tokens"]).as_py() or 0)
+
+        def postings(t: pa.Table) -> pa.Table:
+            codes, doc_idx, values, n_rows = _tokenize_codes(t, column)
+            if not len(codes):
+                return pa.table({
+                    id_col: t.column(id_col).slice(0, 0),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64())})
+            dl = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+            key = doc_idx.astype(np.uint64) * np.uint64(len(values)) \
+                + codes.astype(np.uint64)
+            uniq, cnt = np.unique(key, return_counts=True)
+            d = (uniq // np.uint64(len(values))).astype(np.int64)
+            c = (uniq % np.uint64(len(values))).astype(np.int64)
+            parts = cls._term_parts(values, n_parts)
+            return pa.table({
+                id_col: t.column(id_col).take(pa.array(d)),
+                "term": values.take(pa.array(c)),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+                "dl": pa.array(dl[d], pa.int64()),
+                "part": pa.array(parts[c], pa.int64())})
+
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(postings, **_PA_KW).write_parquet(
+            os.path.join(path, "postings"), partition_cols=["part"])
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"n_docs": n_docs, "n_tokens": n_tokens,
+                       "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+                       "n_parts": int(n_parts), "column": column,
+                       "id_col": id_col}, f)
+        return cls(path)
+
+    def part_files(self, terms) -> list[str]:
+        import glob
+        import os
+        import zlib
+
+        n_parts = int(self.meta["n_parts"])
+        wanted = sorted({zlib.crc32(t.lower().encode("utf-8")) % n_parts
+                         for t in terms})
+        out = []
+        for p in wanted:
+            d = os.path.join(self.path, "postings", f"part={p}")
+            if os.path.isdir(d):
+                out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return out
+
+    def probe(self, terms: list[str], *, k: int = 10, k1: float = 1.2,
+              b: float = 0.75):
+        """Top-k BM25 reading only the query terms' hash partitions."""
+        import ray.data as rd
+
+        id_col = self.meta["id_col"]
+        if not terms:
+            raise ValueError("Bm25Index.probe: terms must be non-empty")
+        qset = pa.array(sorted({t.lower() for t in terms}), pa.string())
+        files = self.part_files(terms)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if not files or not self.meta["n_docs"]:
+            return rd.from_arrow(empty)
+        posts = rd.read_parquet(files, columns=[id_col, "term", "tf", "dl"])
+        cands = posts.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("term"), value_set=qset)),
+            **_PA_KW).materialize()
+        return _bm25_rank(cands, n_corpus=int(self.meta["n_docs"]),
+                          avgdl=float(self.meta["avgdl"]),
+                          k1=k1, b=b, k=k, id_col=id_col)

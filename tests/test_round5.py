@@ -513,3 +513,45 @@ def test_pq_encode_artifact(ray_session, sf_dir):
                                                 pa.array([999_999]))])
     c = build_op(spec)(rd.from_arrow(two)).to_pandas()
     assert c["pq_code"].iloc[0] == c["pq_code"].iloc[1]
+
+
+def test_bm25_index_probe_matches_streaming(ray_session, sf_dir, tmp_path):
+    """On-disk inverted index: probe result == streaming bm25_topk on
+    the same corpus, and the probe reads ONLY the query terms' hash
+    partitions (bytes pruning, same invariant as IvfIndex)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from rayflow.ops.textops import Bm25Index
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    terms = ["merge", "window", "vector"]
+    stream = build_op({"op": "bm25_topk", "terms": terms, "k": 10})(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])).to_pandas()
+
+    idx_path = str(tmp_path / "bm25idx")
+    idx = Bm25Index.build(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        idx_path, n_parts=16)
+    probe = idx.probe(terms, k=10).to_pandas()
+
+    pd.testing.assert_frame_equal(
+        stream.reset_index(drop=True), probe.reset_index(drop=True),
+        check_dtype=False)
+
+    # pruning: selected files are a strict subset of the index
+    sel = idx.part_files(terms)
+    all_files = glob.glob(os.path.join(idx_path, "postings", "part=*",
+                                       "*.parquet"))
+    assert 0 < len(sel) < len(all_files)
+    sel_bytes = sum(os.path.getsize(f) for f in sel)
+    all_bytes = sum(os.path.getsize(f) for f in all_files)
+    assert sel_bytes < 0.5 * all_bytes
+
+    # reload from disk (fresh handle, meta-driven) — same result
+    probe2 = Bm25Index(idx_path).probe(terms, k=10).to_pandas()
+    pd.testing.assert_frame_equal(probe.reset_index(drop=True),
+                                  probe2.reset_index(drop=True),
+                                  check_dtype=False)
