@@ -5938,3 +5938,19 @@ def ann_pq_topk(sf_dir: str):
     return build_op({"op": "ann_pq", "queries": queries_m,
                      "query_ids": qids, "k": 10, "m_sub": 8, "k_sub": 64,
                      "rerank": 4, "train_sample": sample})(ds)
+
+
+@query("tdigest_value_by_type")  # approximate sketch; rank-error bound
+def tdigest_value_by_type(sf_dir: str):  # pinned in tests/test_round5.py
+    """Per-event-type t-digest quantiles of the continuous ``value``
+    column (``group_tdigest``): domain-free mergeable sketch — the
+    open-ended-range companion to ``approx_percentile_nchars``'s
+    declared-bin histogram.  Centroid lists, never raw values, cross
+    the one keyed exchange."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["event_type", "value"])
+    out = build_op({"op": "group_tdigest", "keys": ["event_type"],
+                    "value_col": "value",
+                    "quantiles": [0.5, 0.95, 0.99]})(ds)
+    return _round_cols(out, ["p50", "p95", "p99"]) \
+        .select_columns(["event_type", "p50", "p95", "p99"])

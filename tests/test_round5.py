@@ -555,3 +555,71 @@ def test_bm25_index_probe_matches_streaming(ray_session, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(probe.reset_index(drop=True),
                                   probe2.reset_index(drop=True),
                                   check_dtype=False)
+
+
+# ---------------------------------------------------------------- t-digest
+
+def test_td_compress_and_quantile_exact_small(ray_session):
+    """With delta far above n, every value stays its own centroid and
+    td_quantile is plain midpoint interpolation — checkable by hand."""
+    from rayflow.ops.sketch import td_compress, td_quantile
+
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    m, w = td_compress(v, np.ones(4), delta=1000.0)
+    assert len(m) >= 2 and np.isclose(w.sum(), 4.0)
+    assert np.isclose(td_quantile(m, w, np.array([0.5])), 2.5)
+    assert td_quantile(m, w, np.array([0.0]))[0] <= 1.5
+    assert td_quantile(m, w, np.array([1.0]))[0] >= 3.5
+
+
+def test_tdigest_rank_error_bound(ray_session):
+    """Rank error vs exact quantiles on a heavy-tailed sample, through
+    the full distributed plan (multi-block partials + merge)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n).astype(str),
+        "v": np.exp(rng.normal(0, 2, n)),     # lognormal: brutal tail
+    })
+    out = build_op({"op": "group_tdigest", "keys": ["k"],
+                    "value_col": "v",
+                    "quantiles": [0.01, 0.5, 0.99],
+                    "delta": 200.0})(
+        rd.from_pandas(df).repartition(8)).to_pandas()
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+        for q, col in [(0.01, "p1"), (0.5, "p50"), (0.99, "p99")]:
+            est = row[col]
+            # achieved rank of the estimate
+            rank = np.searchsorted(vals, est) / len(vals)
+            err = abs(rank - q)
+            bound = max(0.005, 8.0 * q * (1 - q) / 200.0)
+            assert err <= bound, (row["k"], q, est, rank, err, bound)
+
+
+def test_tdigest_merge_invariance_bound(ray_session):
+    """Different block splits give (slightly) different digests — both
+    must satisfy the rank bound, and the medians must agree closely."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": ["a"] * 20_000,
+                       "v": rng.gamma(2.0, 3.0, 20_000)})
+    spec = {"op": "group_tdigest", "keys": ["k"], "value_col": "v",
+            "quantiles": [0.5]}
+    a = build_op(spec)(rd.from_pandas(df).repartition(1)).to_pandas()
+    b = build_op(spec)(rd.from_pandas(df).repartition(16)).to_pandas()
+    exact = np.quantile(df["v"], 0.5)
+    assert abs(a["p50"][0] - exact) / exact < 0.02
+    assert abs(b["p50"][0] - exact) / exact < 0.02
+
+
+def test_tdigest_nan_and_null_dropped(ray_session):
+    df = pd.DataFrame({"k": ["a"] * 5, "v": [1.0, np.nan, 3.0, None, 2.0]})
+    out = build_op({"op": "group_tdigest", "keys": ["k"],
+                    "value_col": "v", "quantiles": [0.5],
+                    "delta": 500.0})(_ds(df)).to_pandas()
+    assert np.isclose(out["p50"][0], 2.0)
