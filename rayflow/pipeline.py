@@ -528,12 +528,14 @@ EXCHANGE_CLASS: dict[str, str] = {
         "approx_distinct", "pivot", "weighted_mix", "embedding_near_dup",
         "profile_columns", "funnel", "group_mode", "dup_span_remove",
         "group_zscore", "semdedup", "bpe_train", "gumbel_topk_sample",
+        "group_tdigest", "bm25_topk",
     )},
     **{n: "broadcast" for n in (
         "broadcast_join", "broadcast_semi", "decontaminate",
         "knn_bruteforce", "kmeans", "ngram_lm_score", "dedup_against",
         "ann_lsh", "ann_ivf", "connected_components", "pagerank",
         "cross_join", "dsir_weights", "bpe_encode",
+        "ann_pq", "pq_encode",
     )},
     **{n: "global" for n in ("sort", "repartition", "union")},
     **{n: "actor" for n in (
