@@ -74,6 +74,7 @@ from rayflow.ops import joins as _joins  # noqa: E402,F401
 from rayflow.ops import multimodal as _multimodal  # noqa: E402,F401
 from rayflow.ops import net as _net  # noqa: E402,F401
 from rayflow.ops import serde as _serde  # noqa: E402,F401
+from rayflow.ops import graph as _graph  # noqa: E402,F401
 from rayflow.ops import sketch as _sketch  # noqa: E402,F401
 from rayflow.ops import textops as _textops  # noqa: E402,F401
 from rayflow.ops import windows as _windows  # noqa: E402,F401

@@ -5954,3 +5954,49 @@ def tdigest_value_by_type(sf_dir: str):  # pinned in tests/test_round5.py
                     "quantiles": [0.5, 0.95, 0.99]})(ds)
     return _round_cols(out, ["p50", "p95", "p99"]) \
         .select_columns(["event_type", "p50", "p95", "p99"])
+
+
+@query(
+    "triangle_counts_graph",
+    """
+    WITH raw AS (
+      SELECT CAST(l_orderkey % 397 AS VARCHAR) AS s,
+             CAST(l_partkey % 397 AS VARCHAR) AS d
+      FROM lineitem WHERE l_quantity < 3
+    ), e AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM raw WHERE s <> d
+    ), t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT x AS node FROM t UNION ALL
+          SELECT y FROM t UNION ALL
+          SELECT z FROM t)
+    GROUP BY 1
+    """,
+)
+def triangle_counts_graph(sf_dir: str):
+    """Per-node exact triangle counts (``triangle_count`` op) over the
+    deterministic mixed-mod graph derived from lineitem (order/part
+    keys mod 397 share one id space, so odd cycles exist).  The oracle
+    enumerates each triangle once via the same string-canonical
+    ordering (x < y < z) the degree-ordered wedge join guarantees."""
+    ds = _rd().read_parquet(_t(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_quantity"])
+    ds = build_op({"op": "filter",
+                   "predicate": E.col("l_quantity") < 3})(ds)
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False) % 397
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) % 397
+        return pa.table({
+            "src": pc.cast(pa.array(o, pa.int64()), pa.string()),
+            "dst": pc.cast(pa.array(p, pa.int64()), pa.string())})
+
+    ds = ds.map_batches(derive, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return build_op({"op": "triangle_count"})(ds)

@@ -623,3 +623,52 @@ def test_tdigest_nan_and_null_dropped(ray_session):
                     "value_col": "v", "quantiles": [0.5],
                     "delta": 500.0})(_ds(df)).to_pandas()
     assert np.isclose(out["p50"][0], 2.0)
+
+
+# --------------------------------------------------------------- triangles
+
+def _ref_triangles(edges):
+    """Brute-force per-node triangle counts (string-canonical nodes)."""
+    from itertools import combinations
+
+    es, adj = set(), {}
+    for s, d in edges:
+        a, b = sorted((str(s), str(d)))
+        if a == b:
+            continue
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for trio in combinations(sorted(adj), 3):
+        if all(tuple(sorted(p)) in es for p in combinations(trio, 2)):
+            for n in trio:
+                tri[n] += 1
+    return {n: c for n, c in tri.items() if c}
+
+
+def test_triangle_count_random_graph(ray_session):
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 25, size=(200, 2))]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out = build_op({"op": "triangle_count"})(_ds(df)).to_pandas()
+    got = dict(zip(out["node"], out["triangles"]))
+    assert got == _ref_triangles(edges)
+
+
+def test_triangle_count_bipartite_is_empty(ray_session):
+    # bipartite graphs have no odd cycles — and multi-edges/self-loops
+    # must collapse/drop before counting
+    df = pd.DataFrame({"src": [f"a{i % 5}" for i in range(40)] + ["x"],
+                       "dst": [f"b{i % 7}" for i in range(40)] + ["x"]})
+    out = build_op({"op": "triangle_count"})(_ds(df))
+    assert out.count() == 0
+
+
+def test_triangle_count_single_triangle_with_dups(ray_session):
+    df = pd.DataFrame({"src": ["a", "b", "c", "a", "b"],
+                       "dst": ["b", "c", "a", "b", "a"]})
+    out = build_op({"op": "triangle_count"})(_ds(df)).to_pandas()
+    assert dict(zip(out["node"], out["triangles"])) == \
+        {"a": 1, "b": 1, "c": 1}
