@@ -655,3 +655,62 @@ def test_yuv_gray_roundtrip_property(seed, codec):
     out, _ = decode_avi(synth_avi([g], fps=5, codec=codec))
     err = np.abs(out[0][:, :, 0].astype(int) - g.astype(int)).max()
     assert err <= 2, (codec, err)
+
+
+# ------------------------------------------------------------- t-digest
+
+floats = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=300)
+
+
+@given(floats, st.sampled_from([20.0, 100.0, 500.0]))
+@settings(max_examples=80, deadline=None)
+def test_td_compress_invariants(vals, delta):
+    from rayflow.ops.sketch import td_compress
+
+    v = np.asarray(vals, dtype=np.float64)
+    m, w = td_compress(v, np.ones(len(v)), delta)
+    assert np.isclose(w.sum(), len(v))             # weight conserved
+    assert (w > 0).all()
+    assert (np.diff(m) >= -1e-9).all()             # means sorted
+    assert m.min() >= v.min() - 1e-9               # means inside hull
+    assert m.max() <= v.max() + 1e-9
+    # re-compressing an already-compressed digest conserves weight and
+    # never grows the centroid count
+    m2, w2 = td_compress(m, w, delta)
+    assert np.isclose(w2.sum(), len(v))
+    assert len(m2) <= len(m)
+
+
+@given(floats)
+@settings(max_examples=60, deadline=None)
+def test_td_quantile_monotone_and_bounded(vals):
+    from rayflow.ops.sketch import td_compress, td_quantile
+
+    v = np.asarray(vals, dtype=np.float64)
+    m, w = td_compress(v, np.ones(len(v)), delta=100.0)
+    qs = np.linspace(0.0, 1.0, 21)
+    est = td_quantile(m, w, qs)
+    assert (np.diff(est) >= -1e-9).all()           # monotone in q
+    assert est.min() >= v.min() - 1e-9
+    assert est.max() <= v.max() + 1e-9
+
+
+@given(st.integers(1, 4000), st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_td_rank_error_bound_uniform(n, seed):
+    """Rank error of the single-pass digest on random uniforms stays
+    within the k1 bound (plus the 1/n discretization floor)."""
+    from rayflow.ops.sketch import td_compress, td_quantile
+
+    rng = np.random.default_rng(seed)
+    v = np.sort(rng.uniform(0, 1, n))
+    delta = 100.0
+    m, w = td_compress(v, np.ones(n), delta)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td_quantile(m, w, np.array([q]))[0]
+        rank = np.searchsorted(v, est) / n
+        assert abs(rank - q) <= 8.0 * max(q * (1 - q), 0.01) / delta \
+            + 2.0 / n + 1e-9
