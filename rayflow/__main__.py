@@ -88,6 +88,34 @@ def main(argv: list[str] | None = None) -> int:
                                          "vacuum pin on its source lake")
     ub.add_argument("src_lake")
     ub.add_argument("branch")
+    bi = sub.add_parser(
+        "build-index",
+        help="materialize a search index artifact from a parquet corpus: "
+             "kind=bm25 (hash-partitioned inverted postings) or kind=ivf "
+             "(k-means list-partitioned vectors)")
+    bi.add_argument("--kind", choices=["bm25", "ivf"], required=True)
+    bi.add_argument("--input", required=True, help="corpus parquet path")
+    bi.add_argument("--path", required=True, help="index output directory")
+    bi.add_argument("--id-col", default=None)
+    bi.add_argument("--column", default="text",
+                    help="bm25: text column")
+    bi.add_argument("--vec-col", default="embedding",
+                    help="ivf: embedding column")
+    bi.add_argument("--n-parts", type=int, default=64,
+                    help="bm25: term hash partitions")
+    bi.add_argument("--n-clusters", type=int, default=32,
+                    help="ivf: inverted lists")
+    bi.add_argument("--train-sample", type=int, default=2048,
+                    help="ivf: corpus rows sampled for the quantizer")
+    bi.add_argument("--num-cpus", type=int, default=None)
+    se = sub.add_parser(
+        "search-text",
+        help="probe a bm25 index: top-k documents for the query terms "
+             "(reads ONLY the terms' hash partitions)")
+    se.add_argument("--index", required=True)
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--num-cpus", type=int, default=None)
+    se.add_argument("terms", nargs="+")
     bl = sub.add_parser(
         "blobl",
         help="one-shot Bloblang evaluator (the `benthos blobl` analogue): "
@@ -254,6 +282,49 @@ def main(argv: list[str] | None = None) -> int:
                 "n_salted_keys": len(engine.manifest.state.get("salts", {})),
                 "committed_lsn": engine.manifest.committed_lsn,
             }))
+        elif args.cmd == "build-index":
+            import ray.data as rd
+
+            if args.kind == "bm25":
+                from rayflow.ops.textops import Bm25Index
+
+                idx = Bm25Index.build(
+                    rd.read_parquet(args.input,
+                                    columns=[args.id_col or "doc_id",
+                                             args.column]),
+                    args.path, n_parts=args.n_parts, column=args.column,
+                    id_col=args.id_col or "doc_id")
+                print(json.dumps({"kind": "bm25", "path": args.path,
+                                  **idx.meta}))
+            else:
+                import numpy as np
+                import pyarrow.parquet as pq
+
+                from rayflow.ops.ann import IvfIndex
+
+                id_col = args.id_col or "vec_id"
+                emb = pq.read_table(args.input,
+                                    columns=[id_col, args.vec_col])
+                step = max(1, emb.num_rows // args.train_sample)
+                import pyarrow as pa
+
+                sample = np.asarray(
+                    emb.take(pa.array(range(0, emb.num_rows, step)))
+                    [args.vec_col].to_pylist(), dtype=np.float64)
+                idx = IvfIndex.build(
+                    rd.read_parquet(args.input,
+                                    columns=[id_col, args.vec_col]),
+                    args.path, train_sample=sample,
+                    n_clusters=args.n_clusters,
+                    vec_col=args.vec_col, id_col=id_col)
+                print(json.dumps({"kind": "ivf", "path": args.path,
+                                  **idx.meta}))
+        elif args.cmd == "search-text":
+            from rayflow.ops.textops import Bm25Index
+
+            out = Bm25Index(args.index).probe(args.terms, k=args.k)
+            for row in out.to_pandas().to_dict("records"):
+                print(json.dumps(row, default=str))
         elif args.cmd == "replay":
             from rayflow.cdc import CdcEngine
 

@@ -672,3 +672,33 @@ def test_triangle_count_single_triangle_with_dups(ray_session):
     out = build_op({"op": "triangle_count"})(_ds(df)).to_pandas()
     assert dict(zip(out["node"], out["triangles"])) == \
         {"a": 1, "b": 1, "c": 1}
+
+
+# ----------------------------------------------------------------- CLI
+
+def test_cli_build_index_and_search(sf_dir, tmp_path):
+    """`rayflow build-index --kind bm25` + `search-text` end-to-end in a
+    subprocess (the CLI owns its own Ray session)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "rayflow", "build-index", "--kind", "bm25",
+         "--input", os.path.join(sf_dir, "documents.parquet"),
+         "--path", idx, "--n-parts", "8", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["kind"] == "bm25" and meta["n_docs"] > 0
+    s = subprocess.run(
+        [sys.executable, "-m", "rayflow", "search-text", "--index", idx,
+         "--k", "5", "--num-cpus", "4", "merge", "vector"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert s.returncode == 0, s.stderr[-800:]
+    rows = [json.loads(x) for x in s.stdout.strip().splitlines()]
+    assert len(rows) == 5 and all("score" in r_ for r_ in rows)
+    assert rows[0]["score"] >= rows[-1]["score"]
