@@ -172,3 +172,40 @@ def build_group_tdigest(*, keys: list[str], value_col: str,
             finish, batch_format="pandas")
 
     return apply
+
+
+@register_op("bucketize")
+def build_bucketize(*, value_col: str, edges: list[float],
+                    out: str = "bucket", right: bool = False):
+    """Assign each row the bucket index of ``value_col`` under DECLARED
+    ascending ``edges`` — SQL ``width_bucket`` semantics: bucket 0 is
+    (−∞, edges[0]), bucket i is [edges[i−1], edges[i]), bucket
+    len(edges) is [edges[−1], ∞).  ``right=True`` flips the closed side
+    (``(lo, hi]`` buckets).  Zero exchange — one vectorized
+    ``searchsorted`` per block.
+
+    The feature-engineering finisher for the quantile sketches: compute
+    edges once with ``group_tdigest`` / ``group_approx_percentile``
+    (or declare domain-knowledge cut points), broadcast them here as
+    plain config.  Nulls/NaNs get bucket −1 (SQL NULL analogue kept
+    typed int64 so the column stays join/group-able)."""
+    e = np.asarray(edges, dtype=np.float64)
+    if len(e) == 0:
+        raise ValueError("bucketize: edges must be non-empty")
+    if (np.diff(e) <= 0).any():
+        raise ValueError("bucketize: edges must be strictly ascending")
+    # left-closed buckets (width_bucket): x == edges[i] belongs to the
+    # HIGHER bucket ⇒ searchsorted side="right"; right=True flips it
+    side = "left" if right else "right"
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = np.searchsorted(e, v, side=side).astype(np.int64)
+        b[~np.isfinite(v)] = -1
+        return t.append_column(out, pa.array(b, pa.int64()))
+
+    def apply(ds):
+        return ds.map_batches(fn, **_PA_KW)
+
+    return apply

@@ -503,6 +503,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "archive", "unarchive", "insert_part", "select_parts",
         "batch_policy", "noop", "sleep", "log_stage", "metric",
         "token_count", "lang_id", "quality_score", "fingerprint",
+        "bucketize",
         "simhash", "pii_redact", "gopher_quality",
         "repetition_signals", "c4_line_filter", "unpivot", "awk",
         "parse_avro", "parse_msgpack", "parse_protobuf",

@@ -6000,3 +6000,32 @@ def triangle_counts_graph(sf_dir: str):
     ds = ds.map_batches(derive, batch_format="pyarrow",
                         zero_copy_batch=True)
     return build_op({"op": "triangle_count"})(ds)
+
+
+@query(
+    "bucketize_order_totals",
+    """
+    SELECT CAST(len(list_filter([50000.0, 150000.0, 300000.0],
+                                e -> o_totalprice >= e)) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def bucketize_order_totals(sf_dir: str):
+    """Declared-edge bucketing (``bucketize``, width_bucket semantics:
+    left-closed, boundary goes up) + per-bucket rollup — the
+    feature-binning finisher for the quantile sketches (edges from
+    ``group_tdigest`` at scale; declared here so the oracle is exact).
+    Zero exchange for the assignment, one bounded combine for the
+    rollup."""
+    ds = _rd().read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    ds = build_op({"op": "bucketize", "value_col": "o_totalprice",
+                   "edges": [50_000.0, 150_000.0, 300_000.0]})(ds)
+    out = build_op({"op": "group_agg", "keys": ["bucket"],
+                    "aggs": [("count", None, "n"),
+                             ("sum", "o_totalprice", "total")]})(ds)
+    return _round_cols(out, ["total"], 2) \
+        .select_columns(["bucket", "n", "total"])

@@ -702,3 +702,28 @@ def test_cli_build_index_and_search(sf_dir, tmp_path):
     rows = [json.loads(x) for x in s.stdout.strip().splitlines()]
     assert len(rows) == 5 and all("score" in r_ for r_ in rows)
     assert rows[0]["score"] >= rows[-1]["score"]
+
+
+# --------------------------------------------------------------- bucketize
+
+def test_bucketize_width_bucket_semantics(ray_session):
+    df = pd.DataFrame({"v": [-5.0, 0.0, 0.5, 1.0, 2.0, 3.0, np.nan]})
+    out = build_op({"op": "bucketize", "value_col": "v",
+                    "edges": [0.0, 1.0, 2.0]})(_ds(df)).to_pandas()
+    # left-closed: x == edge goes UP
+    assert list(out.sort_values("v", na_position="last")["bucket"]) == \
+        [0, 1, 1, 2, 3, 3, -1]
+    r = build_op({"op": "bucketize", "value_col": "v",
+                  "edges": [0.0, 1.0, 2.0], "right": True})(
+        _ds(df)).to_pandas()
+    assert list(r.sort_values("v", na_position="last")["bucket"]) == \
+        [0, 0, 1, 1, 2, 3, -1]
+
+
+def test_bucketize_rejects_bad_edges(ray_session):
+    df = pd.DataFrame({"v": [1.0]})
+    with pytest.raises(ValueError, match="ascending"):
+        build_op({"op": "bucketize", "value_col": "v",
+                  "edges": [1.0, 1.0]})(_ds(df))
+    with pytest.raises(ValueError, match="non-empty"):
+        build_op({"op": "bucketize", "value_col": "v", "edges": []})(_ds(df))
