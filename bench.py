@@ -385,7 +385,13 @@ def run_bench() -> dict:
     # the budget and report the rest as skipped
     budget_s = float(os.environ.get("RAYFLOW_BENCH_BUDGET_S", "1500"))
     battery_t0 = time.perf_counter()
-    for name in _battery(QUERIES):
+    # replay-only mode (the scaling legs) must skip the battery HERE:
+    # _battery() auto-completes from the registry, so clearing the
+    # module-level BENCH_QUERIES list is not enough (round-5 regression:
+    # the 2-cpu scaling legs ran all 146 queries and deadlocked on an
+    # actor-pool stage that wanted both CPUs)
+    replay_only = bool(os.environ.get("RAYFLOW_BENCH_REPLAY_ONLY"))
+    for name in ([] if replay_only else _battery(QUERIES)):
         if time.perf_counter() - battery_t0 > budget_s:
             result.setdefault("queries_skipped_over_budget", []).append(name)
             continue

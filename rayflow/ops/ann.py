@@ -21,6 +21,13 @@ import pyarrow.compute as pc
 from rayflow.ops import register_op
 from rayflow.ops.joins import _fetch
 
+
+def _clamped(c: int) -> int:
+    from rayflow.ops.kernels import clamp_actor_concurrency
+
+    return clamp_actor_concurrency(c)
+
+
 _PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -295,7 +302,7 @@ def build_ann_lsh(*, queries, query_ids, k: int = 10, dim: int = 64,
             LshIndexStage,
             fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
                                        vec_col=vec_col),
-            concurrency=concurrency, batch_format="pyarrow",
+            concurrency=_clamped(concurrency), batch_format="pyarrow",
             zero_copy_batch=True, num_cpus=1,
         )
         partials = indexed.map_batches(bucket_topk, **_PA_KW)
@@ -439,7 +446,7 @@ def build_embedding_near_dup(*, threshold: float = 0.9, dim: int = 64,
             LshIndexStage,
             fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
                                        vec_col=vec_col),
-            concurrency=concurrency, batch_format="pyarrow",
+            concurrency=_clamped(concurrency), batch_format="pyarrow",
             zero_copy_batch=True, num_cpus=1,
         )
 
@@ -863,7 +870,7 @@ def build_ann_ivf(*, queries, query_ids, k: int = 10, n_clusters: int = 32,
         indexed = ds.map_batches(
             IvfAssignStage,
             fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
-            concurrency=concurrency, batch_format="pyarrow",
+            concurrency=_clamped(concurrency), batch_format="pyarrow",
             zero_copy_batch=True, num_cpus=1,
         )
         partials = indexed.map_batches(probe_topk, **_PA_KW)
@@ -1063,7 +1070,8 @@ def build_pq_encode(*, train_sample, m_sub: int = 8, k_sub: int = 256,
                               pa.binary(codes.shape[1])))
 
     def apply(ds):
-        return ds.map_batches(Encode, concurrency=concurrency, **_PA_KW)
+        return ds.map_batches(Encode, concurrency=_clamped(concurrency),
+                              **_PA_KW)
 
     return apply
 

@@ -418,3 +418,20 @@ def shard_codes(keys, num_shards: int) -> "np.ndarray":
         keys = _pc.fill_null(keys, "\x00<null>")
     hi, _ = md5_rank64(keys)
     return (hi % np.uint64(num_shards)).astype(np.int64)
+
+
+def clamp_actor_concurrency(requested: int) -> int:
+    """Bound an actor-pool ``map_batches`` concurrency so at least one
+    CPU stays free for the pool's upstream task stage.  A fixed pool of
+    N actors × 1 CPU on an N-CPU cluster starves the feeding
+    ``ReadParquet``/map tasks into a DEADLOCK (measured on Ray 2.49:
+    ``concurrency=2`` + an upstream read on a 2-CPU cluster never
+    completes).  At cluster scale (CPUs ≫ requested) this is the
+    identity."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or int(requested)
+    except Exception:
+        return max(1, int(requested))
+    return max(1, min(int(requested), cpus - 1))
