@@ -88,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
                                          "vacuum pin on its source lake")
     ub.add_argument("src_lake")
     ub.add_argument("branch")
+    tp = sub.add_parser(
+        "test",
+        help="run YAML pipeline unit tests (the `benthos test` "
+             "analogue): cases of literal input rows -> expected "
+             "output against the config's steps")
+    tp.add_argument("test_file", help="YAML with pipeline: + cases:")
+    tp.add_argument("--num-cpus", type=int, default=None)
     bi = sub.add_parser(
         "build-index",
         help="materialize a search index artifact from a parquet corpus: "
@@ -282,6 +289,16 @@ def main(argv: list[str] | None = None) -> int:
                 "n_salted_keys": len(engine.manifest.state.get("salts", {})),
                 "committed_lsn": engine.manifest.committed_lsn,
             }))
+        elif args.cmd == "test":
+            from rayflow.testkit import run_config_tests
+
+            results = run_config_tests(args.test_file)
+            for r in results:
+                print(json.dumps(r))
+            n_fail = sum(1 for r in results if not r["ok"])
+            print(json.dumps({"cases": len(results), "failed": n_fail}))
+            if n_fail:
+                return 1
         elif args.cmd == "build-index":
             import ray.data as rd
 

@@ -727,3 +727,57 @@ def test_bucketize_rejects_bad_edges(ray_session):
                   "edges": [1.0, 1.0]})(_ds(df))
     with pytest.raises(ValueError, match="non-empty"):
         build_op({"op": "bucketize", "value_col": "v", "edges": []})(_ds(df))
+
+
+# --------------------------------------------------------------- testkit
+
+def test_config_test_runner(ray_session):
+    """The `benthos test` analogue: literal rows through the config's
+    steps, multiset/count/columns/error assertions."""
+    from rayflow.testkit import run_config_tests
+
+    doc = {
+        "pipeline": {"steps": [
+            {"op": "filter",
+             "predicate": ["ge", ["col", "x"], ["lit", 3]]},
+            {"op": "mapping", "cols": {"y": ["mul", ["col", "x"],
+                                             ["lit", 2]]}},
+        ]},
+        "cases": [
+            {"name": "pass rows", "input": [{"x": 1}, {"x": 5}],
+             "expect": {"rows": [{"x": 5, "y": 10}]}},
+            {"name": "pass count", "input": [{"x": 4}],
+             "expect": {"count": 1}},
+            {"name": "pass columns", "input": [{"x": 4}],
+             "expect": {"columns": ["x", "y"]}},
+            {"name": "fail rows", "input": [{"x": 4}],
+             "expect": {"rows": [{"x": 4, "y": 9}]}},
+        ],
+    }
+    res = run_config_tests(doc)
+    assert [r["ok"] for r in res] == [True, True, True, False]
+    assert "mismatch" in res[3]["detail"]
+
+
+def test_config_test_runner_approx_and_error(ray_session):
+    from rayflow.testkit import run_config_tests
+
+    doc = {
+        "pipeline": {"steps": [
+            {"op": "mapping",
+             "cols": {"z": ["div", ["col", "x"], ["lit", 3.0]]}},
+        ]},
+        "cases": [
+            {"name": "approx", "input": [{"x": 1.0}],
+             "expect": {"rows": [{"x": 1.0, "z": 0.3333}],
+                        "approx": 0.001}},
+        ],
+    }
+    res = run_config_tests(doc)
+    assert res[0]["ok"], res[0]["detail"]
+    # unknown op fails loudly at build time, not silently per-case
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        run_config_tests({"pipeline": {"steps": [{"op": "nope"}]},
+                          "cases": []})
