@@ -1145,3 +1145,174 @@ def build_ann_pq(*, queries, query_ids, k: int = 10, m_sub: int = 8,
         return finalize_topk(partials, id_col=id_col, k=k)
 
     return apply
+
+
+class IvfPqIndex:
+    """On-disk IVF-PQ index (the FAISS ``IVFx,PQy`` analogue, public
+    method — Jégou et al. TPAMI 2011): the corpus written ONCE as
+    Parquet partitioned by inverted list, each row carrying BOTH its
+    ``pq_code`` (m_sub bytes) and its raw vector; centroids + codebooks
+    in sidecar files.
+
+    Probe cost model (why this beats :class:`IvfIndex` at 100 TB): the
+    ADC pass reads ONLY the ``(id, pq_code)`` columns of the ``nprobe``
+    list partitions — Parquet column pruning makes that ~m_sub/(8·d) of
+    the partition bytes (64× smaller at d=64, m_sub=8).  Only the
+    re-rank (optional, ``rerank > 0``) touches the vector column, and
+    only for the partitions that produced the shortlist.  Identical
+    vectors encode identically, so the planted-copy rank-1 invariant
+    holds end-to-end."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.centroids = np.load(os.path.join(path, "centroids.npy"))
+        self.codebooks = np.load(os.path.join(path, "codebooks.npy"))
+
+    @classmethod
+    def build(cls, ds, path: str, *, train_sample, n_clusters: int = 32,
+              m_sub: int = 8, k_sub: int = 256, seed: int = 42,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              concurrency: int = 2) -> "IvfPqIndex":
+        import json
+        import os
+
+        import ray
+
+        train = _normalize_rows(np.asarray(train_sample, dtype=np.float64))
+        centroids = kmeans_fit(train, n_clusters, seed=seed)
+        codebooks = pq_train_codebooks(train, m_sub, k_sub, seed=seed)
+        ref = ray.put((centroids, codebooks))
+
+        def assign_encode(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column(
+                    "pq_code", pa.array([], pa.binary(m_sub))) \
+                    .append_column("part", pa.array([], pa.int64()))
+            cent, cb = _fetch(ref, lambda v: v)
+            x = _normalize_rows(_mat(t.column(vec_col)))
+            lists = np.argmax(x @ cent.T, axis=1).astype(np.int64)
+            codes = _pq_encode(x, cb)
+            return t.append_column(
+                "pq_code", pa.array([r.tobytes() for r in codes],
+                                    pa.binary(m_sub))) \
+                .append_column("part", pa.array(lists, pa.int64()))
+
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(assign_encode,
+                       concurrency=_clamped(concurrency), **_PA_KW) \
+            .write_parquet(os.path.join(path, "corpus"),
+                           partition_cols=["part"])
+        np.save(os.path.join(path, "centroids.npy"), centroids)
+        np.save(os.path.join(path, "codebooks.npy"), codebooks)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"n_clusters": int(n_clusters), "m_sub": int(m_sub),
+                       "k_sub": int(k_sub), "seed": int(seed),
+                       "vec_col": vec_col, "id_col": id_col}, f)
+        return cls(path)
+
+    def list_files(self, lists) -> list[str]:
+        import glob
+        import os
+
+        out = []
+        for li in sorted(set(int(x) for x in lists)):
+            d = os.path.join(self.path, "corpus", f"part={li}")
+            if os.path.isdir(d):
+                out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return out
+
+    def probe(self, queries, query_ids, *, k: int = 10, nprobe: int = 4,
+              rerank: int = 4):
+        """ADC scan over the codes column of the ``nprobe`` partitions,
+        then (``rerank > 0``) exact-cosine re-rank of the per-batch
+        shortlist from the vector column of the SAME pruned files."""
+        import ray
+        import ray.data as rd
+
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        m_sub = int(self.meta["m_sub"])
+        q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+        qids = np.asarray(query_ids, dtype=np.int64)
+        dsub = self.codebooks.shape[2]
+        luts = np.stack([q[:, m * dsub:(m + 1) * dsub] @ self.codebooks[m].T
+                         for m in range(self.codebooks.shape[0])], axis=1)
+        q_lists = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        files = self.list_files(q_lists.ravel())
+        if not files:
+            import pandas as pd  # noqa: F811
+
+            return rd.from_arrow(pa.table({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64())}))
+        ref = ray.put((q, qids, luts))
+
+        def adc_scan(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_topk(id_col)
+            qm, qi, lut = _fetch(ref, lambda v: v)
+            raw = t.column("pq_code").combine_chunks() \
+                if isinstance(t.column("pq_code"), pa.ChunkedArray) \
+                else t.column("pq_code")
+            codes = np.frombuffer(
+                b"".join(raw.to_pylist()), dtype=np.uint8
+            ).reshape(t.num_rows, m_sub)
+            ids = t.column(id_col).to_numpy()
+            n = t.num_rows
+            short = min(max(k * max(rerank, 1), k) + 1, n)
+            rows_q, rows_v, rows_s = [], [], []
+            for j in range(len(qi)):
+                adc = lut[j, 0, codes[:, 0]].copy()
+                for m in range(1, m_sub):
+                    adc += lut[j, m, codes[:, m]]
+                top = np.argpartition(-adc, short - 1)[:short] \
+                    if short < n else np.arange(n)
+                rows_q.append(np.full(len(top), qi[j], dtype=np.int64))
+                rows_v.append(ids[top].astype(np.int64))
+                rows_s.append(adc[top])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(rows_q)),
+                id_col: pa.array(np.concatenate(rows_v)),
+                "cos": pa.array(np.concatenate(rows_s), pa.float64())})
+
+        # ADC pass: codes column ONLY (the pruned-bytes read)
+        shortlist = rd.read_parquet(files, columns=[id_col, "pq_code"]) \
+            .map_batches(adc_scan, **_PA_KW)
+        if rerank <= 0:
+            return finalize_topk(shortlist, id_col=id_col, k=k)
+        from rayflow.ops.kernels import collect_table
+
+        short_tbl = collect_table(shortlist.materialize())
+        want = pa.compute.unique(short_tbl.column(id_col))
+        want_ref = ray.put((q, qids, want))
+
+        def exact_rerank(t: pa.Table) -> pa.Table:
+            qm, qi, w = _fetch(want_ref, lambda v: v)
+            t = t.filter(pc.is_in(t.column(id_col), value_set=w))
+            if t.num_rows == 0:
+                return _empty_topk(id_col)
+            x = _normalize_rows(_mat(t.column(vec_col)))
+            ids = t.column(id_col).to_numpy()
+            sims = x @ qm.T
+            kk = min(k + 1, sims.shape[0])
+            rows_q, rows_v, rows_s = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                top = np.argpartition(-col, kk - 1)[:kk] \
+                    if kk < len(col) else np.arange(len(col))
+                rows_q.append(np.full(len(top), qi[j], dtype=np.int64))
+                rows_v.append(ids[top].astype(np.int64))
+                rows_s.append(col[top])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(rows_q)),
+                id_col: pa.array(np.concatenate(rows_v)),
+                "cos": pa.array(np.concatenate(rows_s), pa.float64())})
+
+        rer = rd.read_parquet(files, columns=[id_col, vec_col]) \
+            .map_batches(exact_rerank, **_PA_KW)
+        return finalize_topk(rer, id_col=id_col, k=k)

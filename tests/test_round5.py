@@ -781,3 +781,63 @@ def test_config_test_runner_approx_and_error(ray_session):
     with _pytest.raises(KeyError):
         run_config_tests({"pipeline": {"steps": [{"op": "nope"}]},
                           "cases": []})
+
+
+def test_ivfpq_index_recall_planted_and_pruned_bytes(ray_session, sf_dir,
+                                                     tmp_path):
+    """IVF-PQ on-disk index: recall@10 floor vs bruteforce, planted
+    rank-1 through the full disk path, and the ADC read is provably
+    cheap — the pq_code column occupies a small fraction of the
+    embedding column's bytes in the same files."""
+    import os
+
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    from rayflow.ops.ann import IvfPqIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pqt.read_table(emb_path, columns=["vec_id", "embedding"])
+    qt = emb.filter(pa.compute.less(emb["vec_id"], 10))
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    planted = qt.set_column(0, "vec_id",
+                            pa.compute.add(qt["vec_id"], 1_000_000))
+    aug = pa.concat_tables([emb, planted])
+    sample = np.asarray(emb["embedding"].to_pylist()[::3],
+                        dtype=np.float64)
+
+    idx = IvfPqIndex.build(rd.from_arrow(aug), str(tmp_path / "ivfpq"),
+                           train_sample=sample, n_clusters=16,
+                           m_sub=8, k_sub=64)
+    res = idx.probe(queries, qids, k=10, nprobe=6, rerank=8).to_pandas()
+    r1 = res[res["rank"] == 1]
+    assert len(r1) == len(qids)
+    assert (r1["vec_id"].to_numpy()
+            == r1["query_id"].to_numpy() + 1_000_000).all()
+
+    # recall vs bruteforce over the same augmented corpus
+    exact = build_op({"op": "knn_bruteforce", "queries": queries,
+                      "query_ids": qids, "k": 10})(
+        rd.from_arrow(aug)).to_pandas()
+    rec = _recall_at_k(res, exact)
+    print(f"\nIVF-PQ recall@10 (nprobe=6/16, rerank): {rec:.3f}")
+    assert rec >= 0.7
+
+    # ADC-only path also works
+    res0 = idx.probe(queries, qids, k=10, nprobe=6, rerank=0).to_pandas()
+    assert len(res0[res0["rank"] == 1]) == len(qids)
+
+    # bytes: pq_code column ≪ embedding column in the SAME files
+    code_b = emb_b = 0
+    for f in idx.list_files(range(16)):
+        md = pqt.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema.startswith("pq_code"):
+                    code_b += col.total_compressed_size
+                elif col.path_in_schema.startswith("embedding"):
+                    emb_b += col.total_compressed_size
+    assert code_b > 0 and emb_b > 0
+    assert code_b < emb_b / 8, (code_b, emb_b)
