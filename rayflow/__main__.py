@@ -100,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
         help="materialize a search index artifact from a parquet corpus: "
              "kind=bm25 (hash-partitioned inverted postings) or kind=ivf "
              "(k-means list-partitioned vectors)")
-    bi.add_argument("--kind", choices=["bm25", "ivf"], required=True)
+    bi.add_argument("--kind", choices=["bm25", "ivf", "ivfpq"],
+                    required=True)
     bi.add_argument("--input", required=True, help="corpus parquet path")
     bi.add_argument("--path", required=True, help="index output directory")
     bi.add_argument("--id-col", default=None)
@@ -328,13 +329,21 @@ def main(argv: list[str] | None = None) -> int:
                 sample = np.asarray(
                     emb.take(pa.array(range(0, emb.num_rows, step)))
                     [args.vec_col].to_pylist(), dtype=np.float64)
-                idx = IvfIndex.build(
-                    rd.read_parquet(args.input,
-                                    columns=[id_col, args.vec_col]),
-                    args.path, train_sample=sample,
-                    n_clusters=args.n_clusters,
-                    vec_col=args.vec_col, id_col=id_col)
-                print(json.dumps({"kind": "ivf", "path": args.path,
+                corpus = rd.read_parquet(args.input,
+                                         columns=[id_col, args.vec_col])
+                if args.kind == "ivfpq":
+                    from rayflow.ops.ann import IvfPqIndex
+
+                    idx = IvfPqIndex.build(
+                        corpus, args.path, train_sample=sample,
+                        n_clusters=args.n_clusters,
+                        vec_col=args.vec_col, id_col=id_col)
+                else:
+                    idx = IvfIndex.build(
+                        corpus, args.path, train_sample=sample,
+                        n_clusters=args.n_clusters,
+                        vec_col=args.vec_col, id_col=id_col)
+                print(json.dumps({"kind": args.kind, "path": args.path,
                                   **idx.meta}))
         elif args.cmd == "search-text":
             from rayflow.ops.textops import Bm25Index

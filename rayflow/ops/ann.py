@@ -1080,7 +1080,10 @@ def build_pq_encode(*, train_sample, m_sub: int = 8, k_sub: int = 256,
 def build_ann_pq(*, queries, query_ids, k: int = 10, m_sub: int = 8,
                  k_sub: int = 256, rerank: int = 4, seed: int = 42,
                  train_sample: np.ndarray | None = None,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 index_above_bytes: int | None = 256 << 20,
+                 index_path: str | None = None, n_clusters: int = 32,
+                 nprobe: int = 4):
     """PQ/ADC approximate top-k with exact re-rank: per batch the
     corpus is PQ-encoded (m_sub uint8 codes), every query scores ALL
     rows from an m_sub × k_sub inner-product lookup table (asymmetric
@@ -1141,6 +1144,25 @@ def build_ann_pq(*, queries, query_ids, k: int = 10, m_sub: int = 8,
         })
 
     def apply(ds):
+        # AUTO-ROUTED scale path (mirror of ann_lsh/ann_ivf): above
+        # index_above_bytes of input files, build / reuse the
+        # list-partitioned IvfPqIndex and probe it — the ADC pass then
+        # reads only the (id, pq_code) columns of nprobe partitions
+        if index_above_bytes is not None:
+            est = _corpus_bytes_estimate(ds)
+            if est is not None and est > index_above_bytes:
+                import os
+                import tempfile
+
+                path = index_path or tempfile.mkdtemp(
+                    prefix="rayflow_ivfpq_idx_")
+                if not os.path.exists(os.path.join(path, "meta.json")):
+                    IvfPqIndex.build(ds, path, train_sample=train,
+                                     n_clusters=n_clusters, m_sub=m_sub,
+                                     k_sub=k_sub, seed=seed,
+                                     vec_col=vec_col, id_col=id_col)
+                return IvfPqIndex(path).probe(q, qids, k=k,
+                                              nprobe=nprobe, rerank=rerank)
         partials = ds.map_batches(scan, **_PA_KW)
         return finalize_topk(partials, id_col=id_col, k=k)
 

@@ -841,3 +841,35 @@ def test_ivfpq_index_recall_planted_and_pruned_bytes(ray_session, sf_dir,
                     emb_b += col.total_compressed_size
     assert code_b > 0 and emb_b > 0
     assert code_b < emb_b / 8, (code_b, emb_b)
+
+
+def test_ann_pq_auto_routes_to_disk_index(ray_session, sf_dir, tmp_path):
+    """Forced tiny index_above_bytes: ann_pq must build + probe the
+    IvfPqIndex at index_path (file-backed input) and keep the recall
+    floor; the index artifact persists for reuse."""
+    import os
+
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pqt.read_table(emb_path, columns=["vec_id", "embedding"])
+    qt = emb.filter(pa.compute.less(emb["vec_id"], 10))
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    sample = np.asarray(emb["embedding"].to_pylist()[::3],
+                        dtype=np.float64)
+    idx_path = str(tmp_path / "auto_ivfpq")
+    spec = {"op": "ann_pq", "queries": queries, "query_ids": qids,
+            "k": 10, "m_sub": 8, "k_sub": 64, "rerank": 8,
+            "train_sample": sample, "index_above_bytes": 1,
+            "index_path": idx_path, "n_clusters": 16, "nprobe": 6}
+    res = build_op(spec)(
+        rd.read_parquet(emb_path,
+                        columns=["vec_id", "embedding"])).to_pandas()
+    assert os.path.exists(os.path.join(idx_path, "meta.json"))
+    exact = build_op({"op": "knn_bruteforce", "queries": queries,
+                      "query_ids": qids, "k": 10})(
+        rd.read_parquet(emb_path,
+                        columns=["vec_id", "embedding"])).to_pandas()
+    assert _recall_at_k(res, exact) >= 0.7
