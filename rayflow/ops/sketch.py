@@ -90,7 +90,8 @@ def td_quantile(means: np.ndarray, weights: np.ndarray,
 @register_op("group_tdigest")
 def build_group_tdigest(*, keys: list[str], value_col: str,
                         quantiles: list[float], delta: float = 200.0,
-                        prefix: str | None = None):
+                        prefix: str | None = None,
+                        weight_col: str | None = None):
     """Per-group approximate quantiles via mergeable t-digests — no
     declared domain needed (contrast ``group_approx_percentile``).
 
@@ -104,7 +105,10 @@ def build_group_tdigest(*, keys: list[str], value_col: str,
     property tests, not assumed.
 
     NaN/null values are dropped (SQL aggregate semantics); a key with
-    no finite values yields NaN estimates."""
+    no finite values yields NaN estimates.  ``weight_col`` makes it a
+    WEIGHTED quantile (row importance, e.g. DSIR weights or event
+    multiplicities) — rows with non-finite or non-positive weight are
+    dropped."""
     if not quantiles:
         raise ValueError("group_tdigest: quantiles must be non-empty")
     qs = np.asarray(sorted(quantiles), dtype=np.float64)
@@ -123,20 +127,30 @@ def build_group_tdigest(*, keys: list[str], value_col: str,
         kidx = group_codes(key_arr)
         v = t.column(value_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        ok = np.isfinite(v)
+        if weight_col is not None:
+            wt = t.column(weight_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ok = np.isfinite(v) & np.isfinite(wt) & (wt > 0)
+        else:
+            wt = None
+            ok = np.isfinite(v)
         kidx, v = kidx[ok], v[ok]
+        if wt is not None:
+            wt = wt[ok]
         key_cols = {k: [] for k in keys}
         ms, ws = [], []
         if len(v):
             order = np.lexsort((v, kidx))
             ks, vs = kidx[order], v[order]
+            wts = wt[order] if wt is not None else None
             starts = np.nonzero(
                 np.concatenate(([True], ks[1:] != ks[:-1])))[0]
             ends = np.append(starts[1:], len(ks))
             first_row = np.nonzero(ok)[0][order[starts]]
             for s_i, e_i, r0 in zip(starts, ends, first_row):
                 m, w = td_compress(vs[s_i:e_i],
-                                   np.ones(e_i - s_i), delta)
+                                   wts[s_i:e_i] if wts is not None
+                                   else np.ones(e_i - s_i), delta)
                 ms.append(m)
                 ws.append(w)
                 for k in keys:

@@ -873,3 +873,30 @@ def test_ann_pq_auto_routes_to_disk_index(ray_session, sf_dir, tmp_path):
         rd.read_parquet(emb_path,
                         columns=["vec_id", "embedding"])).to_pandas()
     assert _recall_at_k(res, exact) >= 0.7
+
+
+def test_tdigest_weighted_matches_kernel(ray_session):
+    """Weighted digest through the full distributed plan equals the
+    kernel applied directly to the (value, weight) multiset (delta high
+    enough that nothing merges — note weighted mass interpolates
+    CONTINUOUSLY between centroid midpoints, which deliberately differs
+    from integer replication's discrete steps)."""
+    from rayflow.ops.sketch import td_compress, td_quantile
+
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    wts = np.array([1.0, 3.0, 1.0, 2.0])
+    qs = np.array([0.25, 0.5, 0.9])
+    m, w = td_compress(vals, wts, delta=10_000.0)
+    want = td_quantile(m, w, qs)
+    df_w = pd.DataFrame({"k": ["a"] * 4, "v": vals, "w": wts})
+    spec = dict(op="group_tdigest", keys=["k"], value_col="v",
+                quantiles=[0.25, 0.5, 0.9], delta=10_000.0,
+                weight_col="w")
+    a = build_op(spec)(_ds(df_w)).to_pandas()
+    for c, exp in zip(("p25", "p50", "p90"), want):
+        assert np.isclose(a[c][0], exp), (c, a[c][0], exp)
+    # non-positive / NaN weights drop
+    df_bad = pd.DataFrame({"k": ["a"] * 3, "v": [1.0, 100.0, 2.0],
+                           "w": [1.0, 0.0, 1.0]})
+    out = build_op({**spec, "quantiles": [1.0]})(_ds(df_bad)).to_pandas()
+    assert out["p100"][0] <= 2.0
