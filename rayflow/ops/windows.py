@@ -1069,3 +1069,73 @@ def build_resample_ffill(*, key_col: str, ts_col: str, value_col: str,
                                              batch_format="pyarrow")
 
     return apply
+
+
+@register_op("ewma")
+def build_ewma(*, key_col: str, order_col: str, value_col: str,
+               alpha: float, out: str = "ewma",
+               num_shards: int | None = None):
+    """Per-key exponentially-weighted moving average over an ordered
+    column (pandas ``ewm(alpha, adjust=False)`` semantics: ``y_0 =
+    x_0``, ``y_i = α·x_i + (1−α)·y_{i−1}``) — the time-series smoother
+    / drift baseline of metric pipelines.
+
+    Same ONE coarse-shard keyed exchange as ``group_cumsum``; in-shard
+    each key run evaluates the recurrence in closed form, vectorized:
+    ``y_i = α·p_i·Σ_j x_j/p_j + (1−α)·p_i·c`` with ``p_i = (1−α)^i``
+    and carry ``c``, processed in blocks sized so ``(1−α)^{−(B−1)}``
+    stays finite — no per-row Python, no overflow at any α, and terms
+    that fall below float range are exactly the ones EWMA has already
+    decayed to nothing."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("ewma: alpha must be in (0, 1]")
+    beta = 1.0 - alpha
+    # block bound: beta^-(B-1) < 1e300
+    B = 512 if beta == 0.0 else max(
+        1, min(512, int(690.0 / max(1e-12, -np.log(beta)))))
+
+    def _run_ewma(x: np.ndarray) -> np.ndarray:
+        if beta == 0.0:
+            return x.copy()
+        y = np.empty_like(x)
+        y[0] = x[0]
+        c = x[0]
+        i = 1
+        while i < len(x):
+            blk = x[i:i + B]
+            m = len(blk)
+            p = np.power(beta, np.arange(m, dtype=np.float64))
+            inv = np.power(beta, -np.arange(m, dtype=np.float64))
+            yb = alpha * p * np.cumsum(blk * inv) + beta * p * c
+            y[i:i + m] = yb
+            c = yb[-1]
+            i += m
+        return y
+
+    def shard(g: pa.Table) -> pa.Table:
+        from rayflow.ops.kernels import group_codes
+
+        codes = group_codes(g.column(key_col))
+        order = g.column(order_col).to_numpy(zero_copy_only=False)
+        vals = g.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((order, codes))
+        ks, vs = codes[o], vals[o]
+        res = np.empty(len(ks), np.float64)
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ends = np.append(starts[1:], len(ks))
+        for s_i, e_i in zip(starts, ends):
+            res[s_i:e_i] = _run_ewma(vs[s_i:e_i])
+        outv = np.empty(len(ks), np.float64)
+        outv[o] = res
+        return g.append_column(out, pa.array(outv, pa.float64())) \
+                .drop_columns(["_ew_shard"])
+
+    def apply(ds):
+        ns, ds = _resolve_shards(ds, num_shards)
+        return ds.map_batches(_shard_fn(key_col, "_ew_shard", ns),
+                              **_PA_KW) \
+            .groupby("_ew_shard").map_groups(shard,
+                                             batch_format="pyarrow")
+
+    return apply

@@ -529,7 +529,7 @@ EXCHANGE_CLASS: dict[str, str] = {
         "approx_distinct", "pivot", "weighted_mix", "embedding_near_dup",
         "profile_columns", "funnel", "group_mode", "dup_span_remove",
         "group_zscore", "semdedup", "bpe_train", "gumbel_topk_sample",
-        "group_tdigest", "bm25_topk", "triangle_count",
+        "group_tdigest", "bm25_topk", "triangle_count", "ewma",
     )},
     **{n: "broadcast" for n in (
         "broadcast_join", "broadcast_semi", "decontaminate",

@@ -6029,3 +6029,41 @@ def bucketize_order_totals(sf_dir: str):
                              ("sum", "o_totalprice", "total")]})(ds)
     return _round_cols(out, ["total"], 2) \
         .select_columns(["bucket", "n", "total"])
+
+
+@query(
+    "ewma_user_value",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) - 1 AS i
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, i,
+             first_value(value) OVER w AS x0,
+             SUM(CASE WHEN i > 0 THEN value * pow(0.8, -i)
+                      ELSE 0.0 END) OVER w AS acc
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(pow(0.8, i) * x0 + 0.2 * pow(0.8, i) * acc, 4) AS ewma
+    FROM s
+    """,
+)
+def ewma_user_value(sf_dir: str):
+    """Per-user EWMA of the event value stream (``ewma`` op, α=0.2,
+    pandas adjust=False semantics): ONE coarse-shard exchange, blocked
+    closed-form recurrence in-shard.  The oracle unrolls the recurrence
+    as a pow-weighted window sum — algebraically identical, both sides
+    rounded to 4 (the blocked engine kernel and the whole-run SQL
+    scaling agree to ~1e-12 relative)."""
+    ds = _rd().read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "event_id", "value"])
+    out = build_op({"op": "ewma", "key_col": "user_id",
+                    "order_col": "event_id", "value_col": "value",
+                    "alpha": 0.2})(ds)
+    return _round_cols(out, ["ewma"]) \
+        .select_columns(["user_id", "event_id", "ewma"])

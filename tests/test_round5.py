@@ -900,3 +900,28 @@ def test_tdigest_weighted_matches_kernel(ray_session):
                            "w": [1.0, 0.0, 1.0]})
     out = build_op({**spec, "quantiles": [1.0]})(_ds(df_bad)).to_pandas()
     assert out["p100"][0] <= 2.0
+
+
+# ------------------------------------------------------------------ ewma
+
+def test_ewma_matches_pandas_ewm(ray_session):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 500).astype(str),
+        "t": np.arange(500, dtype=np.int64),
+        "v": rng.normal(size=500)})
+    for alpha in (0.01, 0.3, 0.95, 1.0):
+        out = build_op({"op": "ewma", "key_col": "k", "order_col": "t",
+                        "value_col": "v", "alpha": alpha})(
+            _ds(df)).to_pandas().sort_values("t").reset_index(drop=True)
+        ref = df.sort_values("t").groupby("k")["v"].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()).to_numpy()
+        assert np.abs(out["ewma"].to_numpy() - ref).max() < 1e-10, alpha
+
+
+def test_ewma_rejects_bad_alpha(ray_session):
+    df = pd.DataFrame({"k": ["a"], "t": [0], "v": [1.0]})
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            build_op({"op": "ewma", "key_col": "k", "order_col": "t",
+                      "value_col": "v", "alpha": bad})(_ds(df))
