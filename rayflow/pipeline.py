@@ -321,6 +321,10 @@ def lint(text_or_path: str) -> dict:
     if not isinstance(conf, dict):
         return {"ok": False,
                 "errors": [{"where": "root", "error": "config must be a mapping"}]}
+    # a `rayflow test` document wraps its pipeline: lint the inner steps
+    if "pipeline" in conf and "steps" not in conf and \
+            isinstance(conf["pipeline"], dict):
+        conf = conf["pipeline"]
 
     import ray
 
@@ -586,6 +590,13 @@ def explain(text_or_path: str) -> dict:
         name = op_conf["op"]
         stages.append({"where": where, "op": name,
                        "exchange": EXCHANGE_CLASS.get(name, "unclassified")})
+
+    # a `rayflow test` document wraps its pipeline — explain the inner
+    # steps (a path-based `config:` indirection resolves through lint)
+    if "pipeline" in conf and "steps" not in conf:
+        inner = conf["pipeline"]
+        if isinstance(inner, dict):
+            conf = inner
 
     if "input" in conf:
         add("input", conf["input"])
