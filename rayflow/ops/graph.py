@@ -25,7 +25,8 @@ _PA_KW = dict(batch_format="pyarrow", zero_copy_batch=True)
 def build_triangle_count(*, src_col: str = "src", dst_col: str = "dst",
                          node_out: str = "node", out: str = "triangles",
                          broadcast_limit: int = 50_000_000,
-                         num_partitions: int = 16):
+                         num_partitions: int = 16,
+                         broadcast_bytes_limit: int = 64 << 20):
     """Per-node exact triangle counts over an undirected simple graph
     (edge list; self-loops dropped, multi-edges collapse via DISTINCT).
     Output: one row per node that closes ≥ 1 triangle (zero-triangle
@@ -123,11 +124,29 @@ def build_triangle_count(*, src_col: str = "src", dst_col: str = "dst",
         prefer_push_shuffle()
         w = fwd.groupby("_lo").map_groups(wedges, batch_format="pandas")
 
-        closed = build_op({
-            "op": "sharded_join", "right": edges,
-            "on": ["_wa", "_wb"], "right_on": ["_ta", "_tb"],
-            "how": "inner", "num_partitions": num_partitions,
-        })(w)
+        # close wedges against the edge set.  The edge list is tiny
+        # relative to the wedge stream (|E| vs O(m^{3/2})), so below
+        # broadcast_bytes_limit it ships ONCE as a joined-key set and
+        # wedges filter per batch with a C-hash is_in — no second keyed
+        # exchange.  Above the limit, the sharded join path remains.
+        if edges.size_bytes() <= broadcast_bytes_limit:
+            ekeys = collect_table(edges)
+            eset = ray.put(pc.binary_join_element_wise(
+                ekeys.column("_ta").combine_chunks(),
+                ekeys.column("_tb").combine_chunks(), "\x1f"))
+
+            def close(t: pa.Table) -> pa.Table:
+                keys = pc.binary_join_element_wise(
+                    _cc(t.column("_wa")), _cc(t.column("_wb")), "\x1f")
+                return t.filter(pc.is_in(keys, value_set=ray.get(eset)))
+
+            closed = w.map_batches(close, **_PA_KW)
+        else:
+            closed = build_op({
+                "op": "sharded_join", "right": edges,
+                "on": ["_wa", "_wb"], "right_on": ["_ta", "_tb"],
+                "how": "inner", "num_partitions": num_partitions,
+            })(w)
 
         def tri_nodes(t: pa.Table) -> pa.Table:
             return pa.table({node_out: pa.concat_arrays(

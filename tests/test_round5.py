@@ -925,3 +925,16 @@ def test_ewma_rejects_bad_alpha(ray_session):
         with pytest.raises(ValueError, match="alpha"):
             build_op({"op": "ewma", "key_col": "k", "order_col": "t",
                       "value_col": "v", "alpha": bad})(_ds(df))
+
+
+def test_triangle_count_sharded_fallback_matches(ray_session):
+    rng = np.random.default_rng(4)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 20, size=(150, 2))]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    a = build_op({"op": "triangle_count"})(_ds(df)).to_pandas()
+    b = build_op({"op": "triangle_count",
+                  "broadcast_bytes_limit": 0})(_ds(df)).to_pandas()
+    ga = dict(zip(a["node"], a["triangles"]))
+    gb = dict(zip(b["node"], b["triangles"]))
+    assert ga == gb == _ref_triangles(edges)
