@@ -116,6 +116,21 @@ def main(argv: list[str] | None = None) -> int:
     bi.add_argument("--train-sample", type=int, default=2048,
                     help="ivf: corpus rows sampled for the quantizer")
     bi.add_argument("--num-cpus", type=int, default=None)
+    sv = sub.add_parser(
+        "search-vec",
+        help="probe an ivf / ivfpq index: top-k neighbors for query "
+             "vectors from a parquet file (kind auto-detected from the "
+             "index artifacts)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--queries", required=True,
+                    help="parquet with (id, vector) query rows")
+    sv.add_argument("--id-col", default="vec_id")
+    sv.add_argument("--vec-col", default="embedding")
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--nprobe", type=int, default=4)
+    sv.add_argument("--rerank", type=int, default=4,
+                    help="ivfpq only: exact re-rank factor (0 = ADC only)")
+    sv.add_argument("--num-cpus", type=int, default=None)
     se = sub.add_parser(
         "search-text",
         help="probe a bm25 index: top-k documents for the query terms "
@@ -345,6 +360,30 @@ def main(argv: list[str] | None = None) -> int:
                         vec_col=args.vec_col, id_col=id_col)
                 print(json.dumps({"kind": args.kind, "path": args.path,
                                   **idx.meta}))
+        elif args.cmd == "search-vec":
+            import os
+
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            qt = pq.read_table(args.queries,
+                               columns=[args.id_col, args.vec_col])
+            queries = np.asarray(qt[args.vec_col].to_pylist(),
+                                 dtype=np.float64)
+            qids = qt[args.id_col].to_numpy()
+            if os.path.exists(os.path.join(args.index, "codebooks.npy")):
+                from rayflow.ops.ann import IvfPqIndex
+
+                out = IvfPqIndex(args.index).probe(
+                    queries, qids, k=args.k, nprobe=args.nprobe,
+                    rerank=args.rerank)
+            else:
+                from rayflow.ops.ann import IvfIndex
+
+                out = IvfIndex(args.index).probe(
+                    queries, qids, k=args.k, nprobe=args.nprobe)
+            for row in out.to_pandas().to_dict("records"):
+                print(json.dumps(row, default=str))
         elif args.cmd == "search-text":
             from rayflow.ops.textops import Bm25Index
 
