@@ -712,8 +712,10 @@ def test_td_rank_error_bound_uniform(n, seed):
     for q in (0.01, 0.25, 0.5, 0.75, 0.99):
         est = td_quantile(m, w, np.array([q]))[0]
         rank = np.searchsorted(v, est) / n
-        assert abs(rank - q) <= 8.0 * max(q * (1 - q), 0.01) / delta \
-            + 2.0 / n + 1e-9
+        # k1-scale cluster q-width is ~4π·sqrt(q(1−q))/δ (NOT q(1−q)/δ
+        # — the asin derivative), plus the 1/n discretization floor
+        assert abs(rank - q) <= 4.0 * np.pi * np.sqrt(q * (1 - q)) \
+            / delta + 2.0 / n + 1e-9
 
 
 # ------------------------------------------------------------------ PQ
